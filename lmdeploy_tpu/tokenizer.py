@@ -1,0 +1,161 @@
+"""Tokenizer wrapper with incremental (streaming) detokenization.
+
+Behavior-parity rebuild of the reference tokenizer layer
+(reference: lmdeploy/turbomind/tokenizer.py): HF tokenizers backend,
+``<BOS>``/``<EOS>`` markers consumed at encode time, and prefix-space
+fixup for incremental decoding of sentencepiece-style vocabularies.
+
+sentencepiece is not a dependency here; HF ``transformers`` covers both
+fast and slow tokenizers (the slow path wraps sentencepiece models).
+"""
+from __future__ import annotations
+
+import json
+import os.path as osp
+from typing import List, Optional, Sequence
+
+
+class HuggingFaceTokenizer:
+    """Wraps ``transformers.AutoTokenizer`` for a model directory."""
+
+    def __init__(self, model_dir: str):
+        from transformers import AutoTokenizer
+        self.model = AutoTokenizer.from_pretrained(model_dir,
+                                                   trust_remote_code=True)
+        self._no_prefix_space_tokens: Optional[set] = None
+        self._heading_space_symbol = '▁'  # sentencepiece "▁"
+
+    @property
+    def vocab_size(self) -> int:
+        return self.model.vocab_size
+
+    @property
+    def bos_token_id(self) -> Optional[int]:
+        return self.model.bos_token_id
+
+    @property
+    def eos_token_id(self) -> Optional[int]:
+        return self.model.eos_token_id
+
+    @property
+    def no_prefix_space_tokens(self) -> set:
+        """Token ids whose piece does not start a new word (no leading '▁')."""
+        if self._no_prefix_space_tokens is None:
+            vocab = self.model.convert_ids_to_tokens(list(range(self.vocab_size)))
+            self._no_prefix_space_tokens = {
+                i for i, tok in enumerate(vocab)
+                if tok and not tok.startswith(self._heading_space_symbol)
+            }
+        return self._no_prefix_space_tokens
+
+    def _maybe_add_prefix_space(self, tokens: Sequence[int], decoded: str) -> str:
+        if len(tokens) and not decoded.startswith(' ') \
+                and tokens[0] not in self.no_prefix_space_tokens:
+            return ' ' + decoded
+        return decoded
+
+    def encode(self, s: str, add_bos: bool = False, add_eos: bool = False) -> List[int]:
+        ids = self.model.encode(s, add_special_tokens=False)
+        if add_bos and self.bos_token_id is not None:
+            ids = [self.bos_token_id] + ids
+        if add_eos and self.eos_token_id is not None:
+            ids = ids + [self.eos_token_id]
+        return ids
+
+    def decode(self, t: Sequence[int], offset: Optional[int] = None) -> str:
+        t = list(t)
+        new = t[offset:] if offset else t
+        out = self.model.decode(new, skip_special_tokens=False)
+        if offset:
+            out = self._maybe_add_prefix_space(new, out)
+        return out
+
+    def __call__(self, s):
+        return self.model(s)
+
+
+class Tokenizer:
+    """Facade that consumes ``<BOS>``/``<EOS>`` markers from chat templates
+    (reference: lmdeploy/turbomind/tokenizer.py:59-69)."""
+
+    def __init__(self, model_path: str):
+        if osp.isdir(model_path):
+            model_dir = model_path
+        else:
+            model_dir = osp.dirname(model_path) or '.'
+        self.model = HuggingFaceTokenizer(model_dir)
+
+    @property
+    def vocab_size(self) -> int:
+        return self.model.vocab_size
+
+    @property
+    def bos_token_id(self):
+        return self.model.bos_token_id
+
+    @property
+    def eos_token_id(self):
+        return self.model.eos_token_id
+
+    def encode(self, s: str) -> List[int]:
+        add_bos = False
+        add_eos = False
+        if '<BOS>' in s:
+            s = s.replace('<BOS>', '')
+            add_bos = True
+        if s == '<EOS>':
+            s = ''
+            add_eos = True
+        return self.model.encode(s, add_bos=add_bos, add_eos=add_eos)
+
+    def decode(self, t: Sequence[int], offset: Optional[int] = None) -> str:
+        return self.model.decode(t, offset)
+
+    def indexes_containing_token(self, token: str) -> List[int]:
+        """All vocab ids whose decoded text equals ``token`` — used to expand
+        stop *words* into stop token-id lists (reference:
+        lmdeploy/turbomind/tokenizer.py HuggingFaceTokenizer)."""
+        encoded = self.model.encode(token, add_bos=False)
+        if len(encoded) > 1:
+            return []
+        return encoded
+
+    def __call__(self, s):
+        return self.model(s)
+
+
+class DummyTokenizer:
+    """A trivial whitespace/byte tokenizer for tests and random-weight
+    benchmarks where no real tokenizer files exist."""
+
+    def __init__(self, vocab_size: int = 32000, bos_id: int = 1, eos_id: int = 2):
+        self._vocab_size = vocab_size
+        self._bos = bos_id
+        self._eos = eos_id
+
+    @property
+    def vocab_size(self):
+        return self._vocab_size
+
+    @property
+    def bos_token_id(self):
+        return self._bos
+
+    @property
+    def eos_token_id(self):
+        return self._eos
+
+    def encode(self, s: str) -> List[int]:
+        add_bos = '<BOS>' in s
+        s = s.replace('<BOS>', '')
+        ids = [(3 + (b % (self._vocab_size - 3))) for b in s.encode('utf-8')]
+        return ([self._bos] if add_bos else []) + ids
+
+    def decode(self, t: Sequence[int], offset: Optional[int] = None) -> str:
+        t = list(t)[offset or 0:]
+        body = bytes((max(0, i - 3) % 256) for i in t if i > 2)
+        return body.decode('utf-8', errors='replace')
+
+    def indexes_containing_token(self, token: str) -> List[int]:
+        ids = self.encode(token)
+        return ids if len(ids) == 1 else []
