@@ -1,0 +1,137 @@
+"""Paged KV cache — device-side structures and pure update/gather functions.
+
+TPU-native redesign of the reference's LlamaCacheManager per-sequence CUDA
+slabs (src/turbomind/models/llama/LlamaCacheManager.cc): instead of one
+contiguous [L,H,S,D] slab per sequence, all KV lives in a single sharded
+pool ``[L, P, page_size, KH, Dh]`` addressed through a per-slot page table.
+Pages give us the same pointer-indirection trick the reference's attention
+kernels use (k_cache_per_sample), but with page-granular allocation, LRU
+eviction and prefix reuse handled by a host-side allocator
+(kvcache/manager.py).
+
+Supports bf16 and int8 storage.  INT8 follows the reference's KV-INT8
+scheme (quant_policy=4, docs/en/kv_int8.md): static per-layer qparams from
+calibration, symmetric (zp=0) or asymmetric.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Device KV pool. k/v: [L, P, page_size, KH, Dh] (bf16 or int8).
+
+    k_scale/k_zp/v_scale/v_zp: [L] f32 static quantization parameters
+    (ignored for bf16 storage; exported by lite/kv_qparams from calibration
+    like the reference's past_kv_scale.{rank}.weight files).
+    """
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_scale: jnp.ndarray
+    k_zp: jnp.ndarray
+    v_scale: jnp.ndarray
+    v_zp: jnp.ndarray
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
+
+
+def init_cache(num_layers: int, num_pages: int, page_size: int,
+               kv_heads: int, head_dim: int, dtype=jnp.bfloat16,
+               kv_scales=None) -> KVCache:
+    shape = (num_layers, num_pages, page_size, kv_heads, head_dim)
+    ones = jnp.ones((num_layers,), jnp.float32)
+    zeros = jnp.zeros((num_layers,), jnp.float32)
+    if kv_scales is None:
+        ks, kz, vs, vz = ones, zeros, ones, zeros
+    else:
+        ks, kz, vs, vz = (jnp.asarray(x, jnp.float32) for x in kv_scales)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   k_scale=ks, k_zp=kz, v_scale=vs, v_zp=vz)
+
+
+def quantize_kv(x: jnp.ndarray, scale, zp) -> jnp.ndarray:
+    """f -> int8 with static scale/zp (reference: int8 store path of
+    ExtendKVCache / mmha, llama_kernels.cu:342-431)."""
+    q = jnp.round(x.astype(jnp.float32) / scale + zp)
+    return jnp.clip(q, -128, 127).astype(jnp.int8)
+
+
+def dequantize_kv(q: jnp.ndarray, scale, zp, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return ((q.astype(jnp.float32) - zp) * scale).astype(dtype)
+
+
+def write_kv_layer(cache_k_l: jnp.ndarray, cache_v_l: jnp.ndarray,
+                   k_new: jnp.ndarray, v_new: jnp.ndarray,
+                   positions: jnp.ndarray, page_table: jnp.ndarray,
+                   valid: jnp.ndarray,
+                   qparams=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter new tokens' K/V into the page pool for one layer.
+
+    Args:
+      cache_k_l/cache_v_l: [P, page, KH, Dh]
+      k_new/v_new: [B, T, KH, Dh]
+      positions: int32 [B, T] absolute positions of the new tokens.
+      page_table: int32 [B, max_pages]; entries < 0 are unmapped.
+      valid: bool [B, T] which tokens are real (padding is dropped).
+      qparams: optional (k_scale, k_zp, v_scale, v_zp) scalars for int8.
+    """
+    p, page_size = cache_k_l.shape[0], cache_k_l.shape[1]
+    page_of = positions // page_size                     # [B, T]
+    slot_of = positions % page_size                      # [B, T]
+    phys = jnp.take_along_axis(page_table, page_of, axis=1)  # [B, T]
+    # Invalid tokens or unmapped pages route out of range and get dropped.
+    phys = jnp.where(valid & (phys >= 0), phys, p)
+    if qparams is not None:
+        ks, kz, vs, vz = qparams
+        k_new = quantize_kv(k_new, ks, kz)
+        v_new = quantize_kv(v_new, vs, vz)
+    else:
+        k_new = k_new.astype(cache_k_l.dtype)
+        v_new = v_new.astype(cache_v_l.dtype)
+    cache_k_l = cache_k_l.at[phys, slot_of].set(k_new, mode='drop')
+    cache_v_l = cache_v_l.at[phys, slot_of].set(v_new, mode='drop')
+    return cache_k_l, cache_v_l
+
+
+def gather_kv_layer(cache_k_l: jnp.ndarray, cache_v_l: jnp.ndarray,
+                    page_table: jnp.ndarray, qparams=None,
+                    dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Materialize per-slot contiguous K/V from pages (XLA reference path;
+    the Pallas kernels read pages in place instead).
+
+    Returns k/v of shape [B, max_pages*page, KH, Dh]; unmapped pages read
+    page 0's data and must be masked out by the caller via kv_len.
+    """
+    b, max_pages = page_table.shape
+    page_size = cache_k_l.shape[1]
+    idx = jnp.maximum(page_table, 0)
+    k = cache_k_l[idx]  # [B, max_pages, page, KH, Dh]
+    v = cache_v_l[idx]
+    kh, dh = k.shape[-2], k.shape[-1]
+    k = k.reshape(b, max_pages * page_size, kh, dh)
+    v = v.reshape(b, max_pages * page_size, kh, dh)
+    if qparams is not None:
+        ks, kz, vs, vz = qparams
+        k = dequantize_kv(k, ks, kz, dtype)
+        v = dequantize_kv(v, vs, vz, dtype)
+    return k, v
+
+
+__all__ = ['KVCache', 'init_cache', 'write_kv_layer', 'gather_kv_layer',
+           'quantize_kv', 'dequantize_kv']

@@ -1,0 +1,230 @@
+"""Llama-family transformer in JAX — the TPU-native engine core.
+
+Covers the reference's model layer stack (src/turbomind/models/llama/:
+LlamaContextDecoder + LlamaDecoder + attention/ffn layers) with ONE
+unified step function: prefill is a [B, T] step, decode is a [B, 1] step;
+both append K/V into the paged cache and attend over it.  Layers run
+under ``lax.scan`` with stacked weights — the idiomatic XLA replacement
+for the reference's per-layer C++ loop (compile once, no unrolling).
+
+Model families supported via ModelConfig flags (SURVEY.md §2.4):
+llama / llama-2 (GQA), internlm (attn bias), baichuan (W_pack == fused
+qkv), baichuan2 (normalized lm_head at conversion), qwen (dynamic NTK +
+logn + qkv-only bias), codellama (rope theta 1e6), vicuna.
+
+Tensor parallelism: when ``axis`` is given the function assumes it runs
+under ``shard_map`` with heads/inter/vocab dims sharded on that mesh axis
+and inserts psum / all-gather exactly where the reference places NCCL
+collectives (attn-out, ffn-down: LlamaContextAttentionLayer.cc:244-248;
+vocab-split lm_head gather: LlamaV2.cc:338-369).  Without ``axis`` it is
+pure single-device code that GSPMD can also auto-partition.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..kvcache.paged import KVCache, gather_kv_layer, write_kv_layer
+from ..ops.attention import gqa_attention
+from ..ops import pallas as pallas_ops
+from ..ops.linear import QuantizedWeight, linear, quantize_weight_int4
+from ..ops.norms import rms_norm
+from ..ops.rope import rope_qk
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StepBatch:
+    """Fixed-shape inputs of one engine step (prefill chunk or decode step)."""
+    ids: jnp.ndarray          # int32 [B, T]
+    positions: jnp.ndarray    # int32 [B, T] absolute positions
+    valid: jnp.ndarray        # bool  [B, T]
+    context_len: jnp.ndarray  # int32 [B] total ctx len incl. this step
+    page_table: jnp.ndarray   # int32 [B, max_pages]
+
+
+def vocab_padded(cfg: ModelConfig, tp: int = 1) -> int:
+    """Pad vocab to a multiple of 128*tp so the TP-split lm_head tiles the
+    MXU (reference pads to a multiple of tp: LlamaV2.cc:96-97)."""
+    m = 128 * tp
+    return (cfg.vocab_size + m - 1) // m * m
+
+
+def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16,
+                tp: int = 1) -> Dict[str, Any]:
+    """Random-init parameter pytree (tests / benchmarks). Converted
+    checkpoints produce the same structure (convert/converter.py)."""
+    d = cfg.hidden_size
+    dh = cfg.size_per_head
+    h, kh = cfg.head_num, cfg.kv_head_num
+    inter = cfg.inter_size
+    nl = cfg.num_layer
+    vp = vocab_padded(cfg, tp)
+    keys = jax.random.split(key, 8)
+    init = jax.nn.initializers.normal(0.02)
+
+    def w(key, shape):
+        return init(key, shape, dtype)
+
+    layers: Dict[str, Any] = {
+        'attn_norm': jnp.ones((nl, d), dtype),
+        'ffn_norm': jnp.ones((nl, d), dtype),
+        'wqkv': w(keys[0], (nl, d, (h + 2 * kh) * dh)),
+        'wo': w(keys[1], (nl, h * dh, d)),
+        'w1': w(keys[2], (nl, d, inter)),
+        'w3': w(keys[3], (nl, d, inter)),
+        'w2': w(keys[4], (nl, inter, d)),
+    }
+    if cfg.attn_bias:
+        layers['bqkv'] = jnp.zeros((nl, (h + 2 * kh) * dh), dtype)
+        if not cfg.qkv_bias_only:
+            layers['bo'] = jnp.zeros((nl, d), dtype)
+    params = {
+        'tok_embedding': w(keys[5], (vp, d)),
+        'norm': jnp.ones((d,), dtype),
+        'layers': layers,
+    }
+    if not cfg.tie_word_embeddings:
+        params['lm_head'] = w(keys[6], (d, vp))
+    return params
+
+
+def quantize_params(params: Dict[str, Any], cfg: ModelConfig,
+                    group_size: int = 128) -> Dict[str, Any]:
+    """Convert the big per-layer matmul weights to W4A16 QuantizedWeight.
+
+    Norms, biases, embedding and lm_head stay bf16 (the reference likewise
+    only quantizes the four projection families; lm_head stays fp16).
+    """
+    layers = dict(params['layers'])
+    for name in ('wqkv', 'wo', 'w1', 'w3', 'w2'):
+        stacked = np.asarray(layers[name], np.float32)
+        qws = [quantize_weight_int4(stacked[i], group_size)
+               for i in range(stacked.shape[0])]
+        layers[name] = QuantizedWeight(
+            packed=jnp.stack([q.packed for q in qws]),
+            scales=jnp.stack([q.scales for q in qws]),
+            zeros=jnp.stack([q.zeros for q in qws]),
+        )
+    out = dict(params)
+    out['layers'] = layers
+    return out
+
+
+def _split_qkv(qkv: jnp.ndarray, cfg: ModelConfig, tp: int = 1):
+    """[B, T, (H + 2KH)/tp * Dh] -> q [B,T,H/tp,Dh], k/v [B,T,KH/tp,Dh]."""
+    b, t, _ = qkv.shape
+    h = cfg.head_num // tp
+    kh = cfg.kv_head_num // tp
+    dh = cfg.size_per_head
+    qkv = qkv.reshape(b, t, h + 2 * kh, dh)
+    return (qkv[:, :, :h], qkv[:, :, h:h + kh], qkv[:, :, h + kh:])
+
+
+def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
+            cfg: ModelConfig, *, return_all_logits: bool = False,
+            axis: Optional[str] = None, use_pallas_attn: bool = False):
+    """One step: embed -> scan(layers) -> final norm -> lm_head.
+
+    Args:
+      axis: mesh axis name when running manually-partitioned under
+        shard_map (heads / inter / vocab sharded on it); None otherwise.
+      use_pallas_attn: read attention straight from the paged pool with
+        Pallas kernels instead of gather+masked-softmax XLA reference.
+    Returns:
+      (logits, new_cache): logits [B, T, V] if return_all_logits else
+      [B, V] (last valid position of each row).
+    """
+    tp = jax.lax.psum(1, axis) if axis else 1
+    dh = cfg.size_per_head
+    b, t = batch.ids.shape
+    is_decode = t == 1
+
+    emb = params['tok_embedding']
+    h_res = emb[batch.ids]  # [B, T, D] (vocab padding rows never indexed)
+
+    kq = (cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)
+
+    def layer_fn(h, xs):
+        lw, ck, cv, k_scale, k_zp, v_scale, v_zp = xs
+        qparams = ((k_scale, k_zp, v_scale, v_zp)
+                   if cache.quantized else None)
+        x = rms_norm(h, lw['attn_norm'], cfg.norm_eps)
+        qkv = linear(x, lw['wqkv'], lw.get('bqkv'))
+        q, k, v = _split_qkv(qkv, cfg, tp)
+        q, k = rope_qk(q, k, batch.positions, batch.context_len,
+                       rotary_dim=cfg.rotary_embedding, base=cfg.rope_theta,
+                       max_position_embeddings=cfg.max_position_embeddings,
+                       use_dynamic_ntk=cfg.use_dynamic_ntk,
+                       use_logn_attn=cfg.use_logn_attn)
+        ck, cv = write_kv_layer(ck, cv, k, v, batch.positions,
+                                batch.page_table, batch.valid, qparams)
+        if use_pallas_attn:
+            o = pallas_ops.paged_attention(
+                q, ck, cv, batch.page_table, batch.context_len,
+                batch.positions, qparams=qparams, is_decode=is_decode)
+        else:
+            kk, vv = gather_kv_layer(ck, cv, batch.page_table, qparams,
+                                     dtype=q.dtype)
+            o = gqa_attention(q, kk, vv, batch.positions, batch.context_len)
+        o = o.reshape(b, t, -1)
+        o = linear(o, lw['wo'])
+        if axis:
+            o = jax.lax.psum(o, axis)
+        if 'bo' in lw:
+            o = o + lw['bo']
+        h = h + o
+        x = rms_norm(h, lw['ffn_norm'], cfg.norm_eps)
+        gate = linear(x, lw['w1'])
+        up = linear(x, lw['w3'])
+        f = linear(jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype)
+                   * up, lw['w2'])
+        if axis:
+            f = jax.lax.psum(f, axis)
+        h = h + f
+        return h, (ck, cv)
+
+    lw_stacked = dict(params['layers'])
+    xs = (lw_stacked, cache.k, cache.v, cache.k_scale, cache.k_zp,
+          cache.v_scale, cache.v_zp)
+    h_out, (new_k, new_v) = jax.lax.scan(layer_fn, h_res, xs)
+    new_cache = dataclasses.replace(cache, k=new_k, v=new_v)
+
+    h_out = rms_norm(h_out, params['norm'], cfg.norm_eps)
+    if not return_all_logits:
+        # Last valid token per row (prefill); decode has T == 1.
+        last = jnp.maximum(jnp.sum(batch.valid, axis=1) - 1, 0)  # [B]
+        h_out = jnp.take_along_axis(
+            h_out, last[:, None, None], axis=1)[:, 0]  # [B, D]
+    lm_head = params.get('lm_head')
+    if lm_head is None:
+        lm_head = params['tok_embedding'].T
+    logits = jnp.dot(h_out.astype(lm_head.dtype), lm_head,
+                     preferred_element_type=jnp.float32)
+    if axis:
+        logits = _all_gather_logits(logits, axis)
+    return logits, new_cache
+
+
+def _all_gather_logits(logits, axis):
+    """Gather the vocab-sharded lm_head output (reference: LlamaV2.cc:360)."""
+    return jax.lax.all_gather(logits, axis, axis=logits.ndim - 1,
+                              tiled=True)
+
+
+def mask_vocab_padding(logits: jnp.ndarray, vocab_size: int) -> jnp.ndarray:
+    """-inf out padded vocab columns before sampling."""
+    v = logits.shape[-1]
+    if v == vocab_size:
+        return logits
+    pad_mask = jnp.arange(v) >= vocab_size
+    return jnp.where(pad_mask, -1e30, logits)
+
+
+__all__ = ['StepBatch', 'init_params', 'quantize_params', 'forward',
+           'vocab_padded', 'mask_vocab_padding']

@@ -1,0 +1,110 @@
+"""Rotary position embedding with dynamic-NTK base scaling and logn
+attention scaling.
+
+Math parity with the reference kernels (formulas at
+src/turbomind/kernels/decoder_masked_multihead_attention_utils.h:854-890):
+
+- dynamic NTK:  alpha = max(2^ceil(log2(L/Lmax)+1) - 1, 1) when L >= Lmax,
+  base' = base * alpha^(dim/(dim-2))   (recomputed per sequence from the
+  current context length — this is what lets Qwen extrapolate)
+- logn scaling: q *= log2(L)/log2(Lmax) when L > Lmax
+
+Convention: this framework uses the HF "rotate_half" pairing (x[..., :d/2]
+with x[..., d/2:]); the reference uses Meta-style interleaved pairs and
+permutes HF weights at conversion (deploy.py:371).  Both produce identical
+attention — we simply skip the weight permutation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ntk_rope_base(context_len, max_position_embeddings: int,
+                  rotary_dim: int, base: float):
+    """Per-sequence dynamic-NTK rope base. ``context_len`` may be traced."""
+    ctx = jnp.asarray(context_len, jnp.float32)
+    ratio = jnp.maximum(ctx / max_position_embeddings, 1e-9)
+    alpha = jnp.maximum(jnp.exp2(jnp.ceil(jnp.log2(ratio) + 1.0)) - 1.0, 1.0)
+    scaled = base * jnp.power(alpha, rotary_dim / (rotary_dim - 2.0))
+    return jnp.where(ctx < max_position_embeddings, base, scaled)
+
+
+def logn_scaling(context_len, max_position_embeddings: int):
+    """log_2(L)/log_2(Lmax) for L > Lmax else 1."""
+    ctx = jnp.asarray(context_len, jnp.float32)
+    scale = jnp.log2(jnp.maximum(ctx, 2.0)) / jnp.log2(
+        jnp.float32(max_position_embeddings))
+    return jnp.where(ctx <= max_position_embeddings, 1.0, scale)
+
+
+def rope_cos_sin(positions: jnp.ndarray, rotary_dim: int, base):
+    """cos/sin tables for given positions.
+
+    Args:
+      positions: int32 [...], absolute token positions.
+      rotary_dim: rope dimension (even).
+      base: scalar or array broadcastable to ``positions`` (per-sequence
+        dynamic-NTK bases).
+    Returns:
+      (cos, sin) of shape positions.shape + (rotary_dim//2,), float32.
+    """
+    half = rotary_dim // 2
+    exponent = jnp.arange(half, dtype=jnp.float32) * (2.0 / rotary_dim)
+    base = jnp.asarray(base, jnp.float32)
+    inv_freq = jnp.power(base[..., None], -exponent)  # [..., half]
+    angle = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(angle), jnp.sin(angle)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Apply rotary embedding with the rotate-half convention.
+
+    Args:
+      x: [..., heads, head_dim]
+      cos/sin: [..., rotary_dim//2] (broadcast over the heads axis)
+    """
+    half = cos.shape[-1]
+    cos = cos[..., None, :]  # add heads axis
+    sin = sin[..., None, :]
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:2 * half].astype(jnp.float32)
+    r1 = x1 * cos - x2 * sin
+    r2 = x2 * cos + x1 * sin
+    rotated = jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
+    if x.shape[-1] > 2 * half:
+        rotated = jnp.concatenate([rotated, x[..., 2 * half:]], axis=-1)
+    return rotated
+
+
+def rope_qk(q, k, positions, context_len, *, rotary_dim: int, base: float,
+            max_position_embeddings: int, use_dynamic_ntk: bool = False,
+            use_logn_attn: bool = False):
+    """Rotate q and k; optionally apply per-sequence NTK base and logn q-scale.
+
+    Args:
+      q: [B, T, Hq, D]; k: [B, T, Hk, D]
+      positions: int32 [B, T] absolute positions of these tokens.
+      context_len: int32 [B] total sequence length (history + new tokens) —
+        the quantity the reference feeds to both NTK and logn.
+    """
+    if use_dynamic_ntk:
+        eff_base = ntk_rope_base(context_len, max_position_embeddings,
+                                 rotary_dim, base)[:, None]  # [B,1]
+    else:
+        eff_base = jnp.full(positions.shape[:1] + (1,), base, jnp.float32)
+    cos, sin = rope_cos_sin(positions, rotary_dim, eff_base)  # [B,T,half]
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if use_logn_attn:
+        # The reference scales q by logn(timestep+1) per *token position*
+        # during prefill (unfused_attention_kernels.cu:943-950) and by the
+        # context length during decode; positions+1 covers both.
+        scale = logn_scaling(positions.astype(jnp.float32) + 1.0,
+                             max_position_embeddings)
+        q = (q.astype(jnp.float32) * scale[..., None, None]).astype(q.dtype)
+    return q, k
+
+
+__all__ = ['ntk_rope_base', 'logn_scaling', 'rope_cos_sin', 'apply_rope',
+           'rope_qk']

@@ -1,0 +1,189 @@
+"""Batched sampling pipeline — the TPU-native DynamicDecodeLayer.
+
+Reference: src/turbomind/layers/DynamicDecodeLayer.cc:146-239 runs
+ban-bad-words -> min-length EOS mask -> repetition penalty -> top-k ->
+top-p -> stop/length criteria as separate CUDA kernels with curand state
+per slot.  Here the whole pipeline is one jittable function over fixed
+[B] batch slots; per-slot randomness uses JAX PRNG keys stored as plain
+data (replacing curand state save/restore, LlamaBatch.cc:363-377 — keys
+snapshot/restore across turns for free because they are just arrays).
+
+Everything is fully vectorized: per-slot top_k/top_p/temperature etc. are
+[B] arrays; disabled features are identity (k=0 -> no top-k, p=1 -> no
+top-p, penalty=1 -> no penalty), so one compiled program serves any mix.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+MAX_TOPK = 1024  # reference clips top_k to 1024 likewise
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SamplingState:
+    """Per-slot sampling parameters and RNG keys (all leading dim [B])."""
+    top_k: jnp.ndarray              # int32 [B]; 0 disables
+    top_p: jnp.ndarray              # f32 [B]; 1.0 disables
+    min_p: jnp.ndarray              # f32 [B]; 0.0 disables
+    temperature: jnp.ndarray        # f32 [B]
+    repetition_penalty: jnp.ndarray  # f32 [B]; 1.0 disables
+    rng_key: jnp.ndarray            # uint32 [B, 2] (threefry key data)
+    bad_words: jnp.ndarray          # int32 [B, MAX_BAD]; pad with -1
+    stop_words: jnp.ndarray         # int32 [B, MAX_STOP]; pad with -1
+    eos_id: jnp.ndarray             # int32 [B]
+    ignore_eos: jnp.ndarray         # bool [B]
+    min_new_tokens: jnp.ndarray     # int32 [B]
+    max_new_tokens: jnp.ndarray     # int32 [B]
+
+    @staticmethod
+    def init(batch: int, max_bad: int = 8, max_stop: int = 8,
+             eos_id: int = 2) -> 'SamplingState':
+        return SamplingState(
+            top_k=jnp.zeros((batch,), jnp.int32),
+            top_p=jnp.ones((batch,), jnp.float32),
+            min_p=jnp.zeros((batch,), jnp.float32),
+            temperature=jnp.ones((batch,), jnp.float32),
+            repetition_penalty=jnp.ones((batch,), jnp.float32),
+            rng_key=jnp.zeros((batch, 2), jnp.uint32),
+            bad_words=jnp.full((batch, max_bad), -1, jnp.int32),
+            stop_words=jnp.full((batch, max_stop), -1, jnp.int32),
+            eos_id=jnp.full((batch,), eos_id, jnp.int32),
+            ignore_eos=jnp.zeros((batch,), bool),
+            min_new_tokens=jnp.zeros((batch,), jnp.int32),
+            max_new_tokens=jnp.full((batch,), 512, jnp.int32),
+        )
+
+
+def apply_repetition_penalty(logits, history, history_len, penalty):
+    """Divide positive / multiply negative logits of previously seen tokens
+    (reference: sampling_penalty_kernels.cu repetition penalty over the full
+    output-id history including the prompt).
+
+    Args:
+      logits: f32 [B, V]
+      history: int32 [B, S] token ids (prompt + generated), padded arbitrarily
+      history_len: int32 [B] number of valid entries in ``history``
+      penalty: f32 [B]
+    """
+    b, v = logits.shape
+    s = history.shape[1]
+    valid = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1) < history_len[:, None]
+    idx = jnp.where(valid, history, v)  # out-of-range rows drop
+    seen = jnp.zeros((b, v), jnp.bool_).at[
+        jnp.arange(b)[:, None], idx].max(valid, mode='drop')
+    pen = penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+    return jnp.where(seen & (pen != 1.0), penalized, logits)
+
+
+def ban_words(logits, word_ids):
+    """Set banned token ids to -inf. word_ids int32 [B, W], -1 padded."""
+    b, v = logits.shape
+    idx = jnp.where(word_ids >= 0, word_ids, v)
+    return logits.at[jnp.arange(b)[:, None], idx].set(NEG_INF, mode='drop')
+
+
+def mask_eos_below_min_len(logits, eos_id, generated, min_new_tokens):
+    """Forbid EOS until min_new_tokens generated (reference min-length mask)."""
+    b, v = logits.shape
+    block = generated < min_new_tokens
+    idx = jnp.where(block, eos_id, v)
+    return logits.at[jnp.arange(b), idx].set(NEG_INF, mode='drop')
+
+
+def top_k_mask(logits, k):
+    """Keep the k largest per row; k<=0 disables. Vectorized over mixed k."""
+    b, v = logits.shape
+    kk = jnp.clip(k, 0, min(MAX_TOPK, v))
+    top_vals = jax.lax.top_k(logits, min(MAX_TOPK, v))[0]  # [B, MAX_TOPK]
+    kth = jnp.take_along_axis(
+        top_vals, jnp.maximum(kk - 1, 0)[:, None], axis=1)  # [B,1]
+    keep = (logits >= kth) | (kk[:, None] <= 0)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def top_p_mask(logits, p):
+    """Nucleus filtering; p>=1 disables. Keeps the smallest prefix of the
+    descending-prob order whose mass reaches p (always >= 1 token)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    # Probability threshold: smallest prob still inside the nucleus.
+    inside = (cum - sorted_probs) < p[:, None]
+    thresh = jnp.min(jnp.where(inside, sorted_probs, jnp.inf),
+                     axis=-1, keepdims=True)
+    keep = (probs >= thresh) | (p[:, None] >= 1.0)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def min_p_mask(logits, min_p):
+    """Drop tokens below min_p * max_prob; 0 disables."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    cutoff = probs.max(axis=-1, keepdims=True) * min_p[:, None]
+    keep = (probs >= cutoff) | (min_p[:, None] <= 0.0)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def sample_step(logits, state: SamplingState, history, history_len,
+                generated):
+    """Run the full sampling pipeline for one decode step.
+
+    Args:
+      logits: f32/bf16 [B, V] raw lm_head output for the current position.
+      state: SamplingState pytree of [B] parameters.
+      history: int32 [B, S] all tokens so far (prompt + generated).
+      history_len: int32 [B].
+      generated: int32 [B] tokens generated so far for min-len masking.
+    Returns:
+      (tokens int32 [B], new_rng_key uint32 [B,2], token_logprob f32 [B])
+    """
+    logits = logits.astype(jnp.float32)
+    logits = ban_words(logits, state.bad_words)
+    logits = mask_eos_below_min_len(logits, state.eos_id, generated,
+                                    state.min_new_tokens)
+    logits = apply_repetition_penalty(logits, history, history_len,
+                                      state.repetition_penalty)
+    logits = logits / jnp.maximum(state.temperature, 1e-5)[:, None]
+    logits = top_k_mask(logits, state.top_k)
+    logits = top_p_mask(logits, state.top_p)
+    logits = min_p_mask(logits, state.min_p)
+
+    # Greedy when temperature ~ 0 is expressed as top_k == 1 upstream; the
+    # categorical below then has a single finite logit.
+    keys = jax.vmap(jax.random.wrap_key_data)(state.rng_key)
+    split = jax.vmap(jax.random.split)(keys)  # [B, 2] keys
+    new_keys = jax.vmap(jax.random.key_data)(split[:, 0])
+    sample_keys = split[:, 1]
+    tokens = jax.vmap(lambda k, lg: jax.random.categorical(k, lg))(
+        sample_keys, logits)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    tok_logprob = jnp.take_along_axis(logprobs, tokens[:, None], axis=1)[:, 0]
+    return tokens.astype(jnp.int32), new_keys, tok_logprob
+
+
+def check_stop(tokens, state: SamplingState, generated):
+    """Per-slot finished flags after sampling ``tokens`` (the reference's
+    StopCriteria + LengthCriteria layers).
+
+    ``generated`` must already count the new token.
+    """
+    is_eos = (tokens == state.eos_id) & ~state.ignore_eos
+    is_stop = jnp.any(tokens[:, None] == state.stop_words, axis=1)
+    too_long = generated >= state.max_new_tokens
+    return is_eos | is_stop | too_long
+
+
+def make_rng_keys(seeds) -> jnp.ndarray:
+    """Per-slot key data from integer seeds (host side)."""
+    return jax.vmap(lambda s: jax.random.key_data(jax.random.PRNGKey(s)))(
+        jnp.asarray(seeds, jnp.uint32))
+
+
+__all__ = ['SamplingState', 'sample_step', 'check_stop', 'make_rng_keys',
+           'apply_repetition_penalty', 'ban_words', 'top_k_mask',
+           'top_p_mask', 'min_p_mask', 'mask_eos_below_min_len']

@@ -1,0 +1,137 @@
+"""Unit tests for core ops (norms, rope, int4 quant, linear)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lmdeploy_tpu.ops.linear import (QuantizedWeight, dequantize, linear,
+                                     pack_int4, quantize_weight_int4,
+                                     unpack_int4)
+from lmdeploy_tpu.ops.norms import add_residual_rms_norm, rms_norm
+from lmdeploy_tpu.ops.rope import (apply_rope, logn_scaling, ntk_rope_base,
+                                   rope_cos_sin, rope_qk)
+
+
+def test_rms_norm_matches_manual():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 64)).astype(np.float32)
+    w = rng.normal(size=(64,)).astype(np.float32)
+    got = rms_norm(jnp.asarray(x), jnp.asarray(w), 1e-6)
+    want = x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-6) * w
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_add_residual_rms_norm():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 32)).astype(np.float32)
+    r = rng.normal(size=(2, 32)).astype(np.float32)
+    w = np.ones((32,), np.float32)
+    normed, new_r = add_residual_rms_norm(jnp.asarray(x), jnp.asarray(r),
+                                          jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(new_r), x + r, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(normed),
+                               np.asarray(rms_norm(jnp.asarray(x + r),
+                                                   jnp.asarray(w))),
+                               rtol=1e-5)
+
+
+def test_ntk_base_matches_reference_formula():
+    # reference: decoder_masked_multihead_attention_utils.h:863-871
+    base, max_pos, dim = 10000.0, 2048, 128
+    for seq_len in [100, 2047, 2048, 4096, 10000]:
+        got = float(ntk_rope_base(seq_len, max_pos, dim, base))
+        if seq_len < max_pos:
+            want = base
+        else:
+            alpha = max(2.0 ** np.ceil(np.log2(seq_len / max_pos) + 1) - 1, 1.0)
+            want = base * alpha ** (dim / (dim - 2.0))
+        assert got == pytest.approx(want, rel=1e-5), seq_len
+
+
+def test_logn_scaling():
+    assert float(logn_scaling(100, 2048)) == 1.0
+    assert float(logn_scaling(2048, 2048)) == 1.0
+    assert float(logn_scaling(4096, 2048)) == pytest.approx(
+        np.log2(4096) / np.log2(2048))
+
+
+def test_rope_rotation_preserves_norm_and_is_relative():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 4, 2, 64)).astype(np.float32)
+    pos = jnp.asarray([[0, 1, 5, 9]], jnp.int32)
+    cos, sin = rope_cos_sin(pos, 64, 10000.0)
+    y = apply_rope(jnp.asarray(x), cos, sin)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(y), axis=-1),
+                               np.linalg.norm(x, axis=-1), rtol=1e-4)
+    # Relative property: <rope(q,m), rope(k,n)> depends only on m-n.
+    q = rng.normal(size=(1, 1, 1, 64)).astype(np.float32)
+    k = rng.normal(size=(1, 1, 1, 64)).astype(np.float32)
+
+    def dot_at(m, n):
+        cm, sm = rope_cos_sin(jnp.asarray([[m]], jnp.int32), 64, 10000.0)
+        cn, sn = rope_cos_sin(jnp.asarray([[n]], jnp.int32), 64, 10000.0)
+        qm = np.asarray(apply_rope(jnp.asarray(q), cm, sm)).ravel()
+        kn = np.asarray(apply_rope(jnp.asarray(k), cn, sn)).ravel()
+        return float(qm @ kn)
+
+    assert dot_at(7, 3) == pytest.approx(dot_at(14, 10), abs=1e-3)
+
+
+def test_rope_qk_logn_scales_only_q():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, 1, 2, 32)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 1, 1, 32)), jnp.float32)
+    pos = jnp.asarray([[4095]], jnp.int32)
+    ctx = jnp.asarray([4096], jnp.int32)
+    q1, k1 = rope_qk(q, k, pos, ctx, rotary_dim=32, base=10000.0,
+                     max_position_embeddings=2048, use_logn_attn=False)
+    q2, k2 = rope_qk(q, k, pos, ctx, rotary_dim=32, base=10000.0,
+                     max_position_embeddings=2048, use_logn_attn=True)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2))
+    scale = np.log2(4096) / np.log2(2048)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1) * scale,
+                               rtol=1e-4)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(4)
+    q = rng.integers(0, 16, size=(256, 64)).astype(np.uint8)
+    packed = pack_int4(q)
+    assert packed.shape == (128, 64)
+    got = np.asarray(unpack_int4(jnp.asarray(packed)))
+    np.testing.assert_array_equal(got, q)
+
+
+def test_quantize_dequantize_error():
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(256, 128)).astype(np.float32) * 0.1
+    qw = quantize_weight_int4(w, group_size=128)
+    wd = np.asarray(dequantize(qw, jnp.float32))
+    # int4 with per-128 group scales: max error ~ scale/2 (+ bf16 rounding
+    # of the stored scales).
+    err = np.abs(wd - w)
+    scale = np.asarray(qw.scales, np.float32)
+    assert (err <= np.repeat(scale, 128, axis=0) * 0.51 + np.abs(w) * 0.01
+            + 1e-6).all()
+
+
+def test_quantized_linear_matches_dequant_matmul():
+    rng = np.random.default_rng(6)
+    w = rng.normal(size=(256, 128)).astype(np.float32) * 0.1
+    x = rng.normal(size=(4, 256)).astype(np.float32)
+    qw = quantize_weight_int4(w, 128)
+    got = np.asarray(linear(jnp.asarray(x), qw))
+    want = x @ np.asarray(dequantize(qw, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_linear_fused_silu_gate():
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(32, 64)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 32)), jnp.float32)
+    out = linear(x, w, fuse_silu_gate=True)
+    full = np.asarray(x) @ np.asarray(w)
+    gate, up = full[:, :32], full[:, 32:]
+    want = gate / (1 + np.exp(-gate)) * up
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)

