@@ -1,0 +1,59 @@
+"""Top-level facade: build an engine from a model path.
+
+Reference: lmdeploy/turbomind/turbomind.py TurboMind(model_path, ...) —
+loads workspace config, resolves the chat template and stop words, and
+spins up the engine.
+"""
+from __future__ import annotations
+
+import os.path as osp
+from typing import Optional
+
+from .config import EngineConfig, ModelConfig
+from .engine.engine import TPUEngine
+from .model import MODELS, best_match_model
+from .tokenizer import DummyTokenizer, Tokenizer
+
+
+def _resolve_tokenizer(model_path: str, vocab_size: int):
+    for probe in ('tokenizer.json', 'tokenizer.model', 'tokenizer_config.json'):
+        if osp.exists(osp.join(model_path, probe)):
+            try:
+                return Tokenizer(model_path)
+            except Exception:
+                break
+    return DummyTokenizer(vocab_size=vocab_size)
+
+
+def build_engine(model_path: str,
+                 engine_config: Optional[EngineConfig] = None,
+                 model_name: str = '', **engine_kw) -> TPUEngine:
+    """Load a workspace (converted) or HF directory and start the engine."""
+    from .convert.converter import is_workspace, load_workspace
+
+    kv_scales = None
+    if is_workspace(model_path):
+        cfg, ws_ecfg, params, kv_scales = load_workspace(model_path)
+        engine_config = engine_config or ws_ecfg
+    else:
+        from .convert.hf import load_hf_dir
+        cfg, params = load_hf_dir(model_path)
+
+    if engine_config is None:
+        engine_config = EngineConfig(session_len=cfg.session_len)
+
+    name = model_name or cfg.model_name
+    template_name = name if name in MODELS.module_dict else \
+        (best_match_model(name) or best_match_model(model_path) or 'base')
+    template = MODELS.get(template_name)()
+    stop_words = template.stop_words or []
+
+    tokenizer = _resolve_tokenizer(model_path, cfg.vocab_size)
+    engine = TPUEngine(cfg, engine_config, params, tokenizer=tokenizer,
+                       stop_words=stop_words, kv_scales=kv_scales, **engine_kw)
+    engine.chat_template = template
+    engine.template_name = template_name
+    return engine
+
+
+__all__ = ['build_engine']

@@ -1,0 +1,510 @@
+"""TPUEngine — the persistent-batch inference engine.
+
+Host-side rebuild of the reference's engine stack:
+- TurboMind / TurboMindInstance (lmdeploy/turbomind/turbomind.py): engine
+  construction, stream_infer generator, decode() logits API.
+- LlamaBatch (LlamaBatch.cc): request verification, admission sorted by
+  length, chunked prefill bounded by a token budget, generation loop,
+  finished-request retirement, interactive step/sequence_start/end.
+- LlamaV2::internalThreadEntry: one engine thread owning the device state;
+  frontends enqueue EngineRequests and read streamed EngineOutputs.
+
+TPU-native differences: no per-GPU threads or NCCL ranks — a single
+compiled SPMD program spans the mesh; the scheduler mutates fixed-shape
+device state through small jitted surgery functions with buffer donation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, ModelConfig
+from ..kvcache.manager import NoFreePages, PageAllocator, SequenceManager
+from ..kvcache.paged import init_cache
+from ..messages import (EngineOutput, EngineRequest, GenerationConfig,
+                        ResponseType)
+from ..models.llama import vocab_padded
+from ..ops.sampling import SamplingState
+from .step import CompiledStepFns, init_decode_state
+
+log = logging.getLogger('lmdeploy_tpu')
+
+
+def _bucket_for(length: int, buckets) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclasses.dataclass
+class _Slot:
+    """Host mirror of one running batch slot."""
+    request: EngineRequest
+    seq: Any
+    out_q: queue.Queue
+    context_len: int            # host shadow of device context_len
+    prompt_len: int             # tokens in history when generation started
+    generated: int = 0
+    emitted: int = 0
+    stop_sequences: List[List[int]] = dataclasses.field(default_factory=list)
+    tail: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class TPUEngine:
+    """Owns device state + the engine thread. Thread-safe frontends attach
+    via :meth:`create_instance`."""
+
+    def __init__(self, model_cfg: ModelConfig, engine_cfg: EngineConfig,
+                 params: Dict[str, Any], tokenizer=None, stop_words=None,
+                 kv_scales=None):
+        self.cfg = model_cfg
+        self.ecfg = engine_cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.default_stop_words = list(stop_words or [])
+
+        b = engine_cfg.max_batch_size
+        page = engine_cfg.page_size
+        self.session_len = min(engine_cfg.session_len, model_cfg.session_len) \
+            if model_cfg.session_len else engine_cfg.session_len
+        self.max_pages_per_seq = -(-self.session_len // page)
+        num_pages = engine_cfg.num_pages or self._derive_num_pages()
+        self.num_pages = num_pages
+
+        kv_dtype = jnp.int8 if engine_cfg.kv_dtype == 'int8' else jnp.bfloat16
+        self.cache = init_cache(
+            model_cfg.num_layer, num_pages, page, model_cfg.kv_head_num,
+            model_cfg.size_per_head, kv_dtype,
+            kv_scales if kv_dtype == jnp.int8 else None)
+        self.state = init_decode_state(b, self.max_pages_per_seq,
+                                       self.session_len,
+                                       eos_id=model_cfg.end_id)
+        self.fns = CompiledStepFns(model_cfg,
+                                   use_pallas_attn=self._pallas_enabled())
+
+        self.allocator = PageAllocator(num_pages)
+        self.seqs = SequenceManager(self.allocator, page,
+                                    engine_cfg.cache_max_entry_count)
+
+        self.slots: List[Optional[_Slot]] = [None] * b
+        self._requests: queue.Queue = queue.Queue()
+        self._pending: List = []  # requests waiting for a free slot
+        self._shutdown = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name='tpu-engine')
+        self._thread.start()
+
+    # -- construction helpers ------------------------------------------------
+    def _pallas_enabled(self) -> bool:
+        if not self.ecfg.use_pallas:
+            return False
+        from ..ops import pallas as pallas_ops
+        return getattr(pallas_ops, 'PAGED_ATTENTION_AVAILABLE', False)
+
+    def _derive_num_pages(self) -> int:
+        """Size the page pool from a fraction of free device memory
+        (reference sizes by cache_max_entry_count slabs)."""
+        page = self.ecfg.page_size
+        bytes_per_tok = (self.cfg.num_layer * 2 * self.cfg.kv_head_num
+                         * self.cfg.size_per_head
+                         * (1 if self.ecfg.kv_dtype == 'int8' else 2))
+        budget = None
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats:
+                limit = stats.get('bytes_limit')
+                in_use = stats.get('bytes_in_use', 0)
+                if limit:
+                    budget = (limit - in_use) * self.ecfg.hbm_utilization
+        except Exception:
+            pass
+        if budget is None:
+            # fall back to enough pages for max_batch full sessions
+            return self.ecfg.max_batch_size * self.max_pages_per_seq
+        pages = int(budget // (bytes_per_tok * page))
+        floor = 2 * self.max_pages_per_seq
+        return max(pages, floor)
+
+    # -- public API ----------------------------------------------------------
+    def create_instance(self) -> 'EngineInstance':
+        return EngineInstance(self)
+
+    def submit(self, request: EngineRequest) -> queue.Queue:
+        out_q: queue.Queue = queue.Queue()
+        self._requests.put((request, out_q))
+        return out_q
+
+    def shutdown(self):
+        self._shutdown = True
+        self._thread.join(timeout=10)
+
+    def end_session(self, session_id: int):
+        """Free a session's cache (sequence_end)."""
+        req = EngineRequest(session_id=session_id, input_ids=[],
+                            gen_config=GenerationConfig(), stop=True,
+                            sequence_end=True)
+        self.submit(req)
+
+    def cancel(self, session_id: int):
+        req = EngineRequest(session_id=session_id, input_ids=[],
+                            gen_config=GenerationConfig(), stop=True)
+        self.submit(req)
+
+    # -- engine loop ----------------------------------------------------------
+    def _loop(self):
+        while not self._shutdown:
+            busy = any(s is not None for s in self.slots) or self._pending
+            try:
+                timeout = 0.0 if busy else 0.05
+                item = self._requests.get(timeout=timeout)
+                self._handle_request(*item)
+                while True:  # drain whatever else queued
+                    try:
+                        self._handle_request(*self._requests.get_nowait())
+                    except queue.Empty:
+                        break
+            except queue.Empty:
+                pass
+            except Exception:
+                log.exception('request handling failed')
+            # retry deferred admissions once slots freed up
+            if self._pending and self._free_slot_index() is not None:
+                pending, self._pending = self._pending, []
+                for item in pending:
+                    try:
+                        self._handle_request(*item)
+                    except Exception:
+                        log.exception('pending request failed')
+            if any(s is not None and not s.done for s in self.slots):
+                try:
+                    self._decode_round(self.ecfg.step_length)
+                except Exception:
+                    log.exception('decode round failed')
+                    self._fail_all()
+
+    def _fail_all(self):
+        for i, slot in enumerate(self.slots):
+            if slot is not None:
+                slot.out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [],
+                                            slot.generated, finished=True))
+                self.slots[i] = None
+
+    # -- request handling ------------------------------------------------------
+    def _handle_request(self, req: EngineRequest, out_q: queue.Queue):
+        if req.stop:
+            self._handle_stop(req, out_q)
+            return
+        # verification (reference: LlamaBatch::verifyRequests)
+        for slot in self.slots:
+            if slot is not None and slot.request.session_id == req.session_id \
+                    and not slot.done:
+                out_q.put(EngineOutput(ResponseType.SESSION_BUSY, [], 0,
+                                       finished=True))
+                return
+        if not req.sequence_start and req.session_id not in self.seqs:
+            out_q.put(EngineOutput(ResponseType.SESSION_NOT_EXIST, [], 0,
+                                   finished=True))
+            return
+        try:
+            self._admit(req, out_q)
+        except NoFreePages:
+            out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [], 0,
+                                   finished=True))
+
+    def _handle_stop(self, req: EngineRequest, out_q: queue.Queue):
+        for i, slot in enumerate(self.slots):
+            if slot is not None and slot.request.session_id == req.session_id:
+                self.state = self.fns.set_finished(self.state, i)
+                slot.done = True
+                slot.out_q.put(EngineOutput(
+                    ResponseType.CANCELED,
+                    slot.seq.token_ids[slot.prompt_len:],
+                    slot.generated, finished=True))
+                self._retire(i, ResponseType.CANCELED)
+                break
+        if req.sequence_end:
+            self.seqs.erase(req.session_id)
+        out_q.put(EngineOutput(ResponseType.SUCCESS, [], 0, finished=True))
+
+    def _free_slot_index(self) -> Optional[int]:
+        for i, s in enumerate(self.slots):
+            if s is None:
+                return i
+        return None
+
+    def _admit(self, req: EngineRequest, out_q: queue.Queue):
+        slot_idx = self._free_slot_index()
+        if slot_idx is None:
+            # Busy engine: defer until a slot frees up — the continuous-
+            # batching wait (reference blocks in its RequestQueue).
+            self._pending.append((req, out_q))
+            return
+
+        # sessions (reference: LlamaBatch::initialize fetch/create)
+        if req.sequence_start:
+            seq = self.seqs.create(req.session_id)
+        else:
+            seq = self.seqs.fetch(req.session_id)
+            if req.step and req.step < len(seq.token_ids):
+                # rewind KV to an earlier step (interactive API)
+                seq.token_ids = seq.token_ids[:req.step]
+                seq.cache_len = min(seq.cache_len, req.step)
+
+        new_ids = list(map(int, req.input_ids))
+        # cache-miss re-decode: evicted sequences lost pages, so everything
+        # after cache_len must be prefilled again (LlamaBatch.cc:680-699)
+        all_ids = seq.token_ids + new_ids
+        total_len = len(all_ids)
+        if total_len + 1 > self.session_len:
+            out_q.put(EngineOutput(ResponseType.INPUT_TOO_LONG, [], 0,
+                                   finished=True))
+            return
+        gen = req.gen_config.clip(self.cfg.vocab_size)
+        # truncate output to session_len (reference LlamaBatch.cc:703-719)
+        max_new = min(gen.max_new_tokens,
+                      self.session_len - total_len)
+        if max_new <= 0:
+            out_q.put(EngineOutput(ResponseType.INPUT_TOO_LONG, [], 0,
+                                   finished=True))
+            return
+
+        seq.active = True
+        self.seqs.grow(seq, total_len)  # pages for the prompt
+        prefill_ids = all_ids[seq.cache_len:-1] if total_len > 1 else []
+        start_pos = seq.cache_len
+
+        # page table row
+        page_row = np.full((self.max_pages_per_seq,), -1, np.int32)
+        page_row[:len(seq.pages)] = seq.pages
+
+        # history row = full token history
+        hist = np.zeros((self.session_len,), np.int32)
+        hist[:total_len] = all_ids
+
+        # sampling row
+        srow = self._sampling_row(gen, seq, max_new)
+
+        self.state = self.fns.install_slot(
+            self.state, slot_idx,
+            jnp.int32(all_ids[-1]), jnp.int32(total_len - 1),
+            jnp.asarray(hist), jnp.int32(total_len),
+            jnp.asarray(page_row), srow)
+
+        slot = _Slot(request=req, seq=seq, out_q=out_q,
+                     context_len=total_len - 1, prompt_len=total_len,
+                     stop_sequences=[sw for sw in
+                                     self._stop_sequences(gen)
+                                     if len(sw) > 1])
+        self.slots[slot_idx] = slot
+        seq.token_ids = all_ids
+
+        # chunked prefill (reference LlamaBatch.cc:795-858)
+        if prefill_ids:
+            self._prefill(slot_idx, prefill_ids, start_pos)
+        slot.context_len = total_len - 1
+
+    def _stop_sequences(self, gen: GenerationConfig) -> List[List[int]]:
+        out = []
+        for w in (gen.stop_words or self.default_stop_words):
+            out.append([int(x) for x in w] if isinstance(w, (list, tuple))
+                       else [int(w)])
+        return out
+
+    def _sampling_row(self, gen: GenerationConfig, seq, max_new) -> SamplingState:
+        stop_flat = [w[0] for w in self._stop_sequences(gen) if len(w) == 1]
+        stop = np.full((8,), -1, np.int32)
+        stop[:min(8, len(stop_flat))] = stop_flat[:8]
+        bad = np.full((8,), -1, np.int32)
+        bw = [int(x) for x in (gen.bad_words or [])]
+        bad[:min(8, len(bw))] = bw[:8]
+        if seq.rng_key is not None and gen.random_seed is None:
+            key = jnp.asarray(seq.rng_key, jnp.uint32)
+        else:
+            seed = gen.random_seed if gen.random_seed is not None \
+                else np.random.randint(0, 2 ** 31 - 1)
+            key = jax.random.key_data(jax.random.PRNGKey(int(seed)))
+        return SamplingState(
+            top_k=jnp.int32(gen.top_k or 0),
+            top_p=jnp.float32(gen.top_p),
+            min_p=jnp.float32(gen.min_p),
+            temperature=jnp.float32(gen.temperature),
+            repetition_penalty=jnp.float32(gen.repetition_penalty),
+            rng_key=key.astype(jnp.uint32),
+            bad_words=jnp.asarray(bad),
+            stop_words=jnp.asarray(stop),
+            eos_id=jnp.int32(self.cfg.end_id),
+            ignore_eos=jnp.asarray(gen.ignore_eos),
+            min_new_tokens=jnp.int32(gen.min_new_tokens),
+            max_new_tokens=jnp.int32(max_new),
+        )
+
+    # -- prefill ----------------------------------------------------------------
+    def _prefill(self, slot_idx: int, ids: List[int], start_pos: int):
+        budget = self.ecfg.max_context_token_num
+        buckets = list(self.ecfg.prefill_buckets)
+        pos = start_pos
+        remaining = list(ids)
+        while remaining:
+            chunk = remaining[:budget]
+            remaining = remaining[budget:]
+            bucket = _bucket_for(len(chunk), buckets)
+            padded = np.zeros((bucket,), np.int32)
+            padded[:len(chunk)] = chunk
+            self.cache, _ = self.fns.prefill_chunk(
+                self.params, self.cache, self.state, slot_idx,
+                jnp.asarray(padded), jnp.int32(pos), jnp.int32(len(chunk)))
+            pos += len(chunk)
+        slot = self.slots[slot_idx]
+        slot.seq.cache_len = pos
+
+    # -- decode ------------------------------------------------------------------
+    def _grow_pages(self):
+        """Allocate the next page for slots about to cross a boundary."""
+        page = self.ecfg.page_size
+        for i, slot in enumerate(self.slots):
+            if slot is None or slot.done:
+                continue
+            need_tokens = slot.context_len + 1
+            if need_tokens > len(slot.seq.pages) * page:
+                self.seqs.grow(slot.seq, need_tokens)
+                row = np.full((self.max_pages_per_seq,), -1, np.int32)
+                row[:len(slot.seq.pages)] = slot.seq.pages
+                self.state = self.fns.set_page_row(self.state, i,
+                                                   jnp.asarray(row))
+
+    def _decode_round(self, steps: int):
+        for _ in range(max(1, steps)):
+            if not any(s is not None and not s.done for s in self.slots):
+                return
+            self._grow_pages()
+            self.cache, self.state, toks, fin, logprob = \
+                self.fns.decode_step(self.params, self.cache, self.state)
+            toks_np = np.asarray(toks)
+            fin_np = np.asarray(fin)
+            self._emit(toks_np, fin_np)
+
+    def _emit(self, toks_np: np.ndarray, fin_np: np.ndarray):
+        for i, slot in enumerate(self.slots):
+            if slot is None or slot.done:
+                continue
+            tok = int(toks_np[i])
+            slot.generated += 1
+            slot.context_len += 1
+            slot.seq.token_ids.append(tok)
+            slot.seq.cache_len = slot.context_len
+            slot.tail.append(tok)
+            finished = bool(fin_np[i])
+            # host-side multi-token stop sequences
+            hit_stop = None
+            for sw in slot.stop_sequences:
+                if len(slot.tail) >= len(sw) and slot.tail[-len(sw):] == sw:
+                    hit_stop = sw
+                    break
+            if hit_stop and not finished:
+                self.state = self.fns.set_finished(self.state, i)
+                finished = True
+            new_tokens = slot.seq.token_ids[slot.prompt_len:]
+            slot.out_q.put(EngineOutput(
+                ResponseType.FINISH if finished else ResponseType.SUCCESS,
+                list(new_tokens), len(new_tokens), finished=finished))
+            if finished:
+                slot.done = True
+                self._retire(i, ResponseType.FINISH)
+
+    def _retire(self, slot_idx: int, status: ResponseType):
+        """Release the slot; keep or drop the session per sequence_end
+        (reference: LlamaBatch::finishRequest)."""
+        slot = self.slots[slot_idx]
+        if slot is None:
+            return
+        # snapshot RNG key for reproducible continuation
+        key_row = np.asarray(self.state.sampling.rng_key[slot_idx])
+        slot.seq.rng_key = key_row
+        self.state = self.fns.clear_slot(self.state, slot_idx)
+        if slot.request.sequence_end:
+            self.seqs.erase(slot.request.session_id)
+        else:
+            self.seqs.release(slot.seq)
+        self.slots[slot_idx] = None
+
+
+class EngineInstance:
+    """Per-frontend handle (reference: TurboMindInstance)."""
+
+    def __init__(self, engine: TPUEngine):
+        self.engine = engine
+
+    def stream_infer(self, session_id: int, input_ids,
+                     gen_config: Optional[GenerationConfig] = None,
+                     sequence_start: bool = True, sequence_end: bool = False,
+                     step: int = 0):
+        """Blocking generator of EngineOutput (incremental token lists)."""
+        req = EngineRequest(
+            session_id=session_id, input_ids=list(map(int, input_ids)),
+            gen_config=gen_config or GenerationConfig(),
+            sequence_start=sequence_start, sequence_end=sequence_end,
+            step=step)
+        out_q = self.engine.submit(req)
+        while True:
+            out: EngineOutput = out_q.get()
+            yield out
+            if out.finished:
+                return
+
+    def infer(self, session_id: int, input_ids, **kw) -> EngineOutput:
+        last = None
+        for last in self.stream_infer(session_id, input_ids, **kw):
+            pass
+        return last
+
+    def cancel(self, session_id: int):
+        self.engine.cancel(session_id)
+
+    def end(self, session_id: int):
+        self.engine.end_session(session_id)
+
+    def decode(self, input_ids) -> np.ndarray:
+        """Prompt logits for PPL evaluation (reference:
+        TurboMindInstance.decode, turbomind.py:364-411). Synchronous;
+        uses a scratch slot-0 state so it must run on an idle engine."""
+        eng = self.engine
+        ids = list(map(int, input_ids))
+        buckets = list(eng.ecfg.prefill_buckets)
+        seq = eng.seqs.create(-1)
+        try:
+            eng.seqs.grow(seq, len(ids))
+            row = np.full((eng.max_pages_per_seq,), -1, np.int32)
+            row[:len(seq.pages)] = seq.pages
+            eng.state = eng.fns.set_page_row(eng.state, 0, jnp.asarray(row))
+            out = []
+            pos = 0
+            remaining = ids
+            while remaining:
+                chunk = remaining[:eng.ecfg.max_context_token_num]
+                remaining = remaining[eng.ecfg.max_context_token_num:]
+                bucket = _bucket_for(len(chunk), buckets)
+                padded = np.zeros((bucket,), np.int32)
+                padded[:len(chunk)] = chunk
+                eng.cache, logits = eng.fns.prefill_logits(
+                    eng.params, eng.cache, eng.state, 0,
+                    jnp.asarray(padded), jnp.int32(pos),
+                    jnp.int32(len(chunk)))
+                out.append(np.asarray(logits[:len(chunk),
+                                             :eng.cfg.vocab_size]))
+                pos += len(chunk)
+            return np.concatenate(out, axis=0)
+        finally:
+            eng.seqs.erase(-1)
+
+
+__all__ = ['TPUEngine', 'EngineInstance']

@@ -1,0 +1,232 @@
+"""Device-side engine state and compiled step functions.
+
+The generation hot loop of the reference (LlamaBatch::generate,
+LlamaBatch.cc:470-559 — embedding lookup, decoder forward, lm_head,
+dynamicDecode, finished-flag D2H) compiled into ONE jitted function over
+fixed [B] batch slots.  Slot admission / retirement are small jitted
+state-surgery functions (the reference's initialize/finish host code,
+LlamaBatch.cc:561-762,929-1020) — XLA donation keeps the big buffers
+in place.
+
+Design note (SURVEY.md §7 hard parts): the batch is a fixed-shape ring of
+slots; finished or empty slots keep running fully masked (valid=False so
+their KV writes drop, sampling ignored) exactly like the reference keeps
+retired slots in the batch until compaction.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..kvcache.paged import KVCache
+from ..models.llama import StepBatch, forward, mask_vocab_padding
+from ..ops.sampling import SamplingState, check_stop, sample_step
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DecodeState:
+    """Per-slot device state. Invariants for a running slot:
+    history[:history_len] holds prompt+generated tokens;
+    tokens == history[history_len-1] (next token to feed);
+    context_len == history_len - 1 == tokens whose KV is cached."""
+    tokens: jnp.ndarray        # int32 [B]
+    context_len: jnp.ndarray   # int32 [B]
+    history: jnp.ndarray       # int32 [B, S_hist]
+    history_len: jnp.ndarray   # int32 [B]
+    generated: jnp.ndarray     # int32 [B]
+    active: jnp.ndarray        # bool  [B]
+    finished: jnp.ndarray      # bool  [B]
+    page_table: jnp.ndarray    # int32 [B, MAXP]
+    sampling: SamplingState
+
+
+def init_decode_state(batch: int, max_pages: int, hist_len: int,
+                      eos_id: int = 2) -> DecodeState:
+    return DecodeState(
+        tokens=jnp.zeros((batch,), jnp.int32),
+        context_len=jnp.zeros((batch,), jnp.int32),
+        history=jnp.zeros((batch, hist_len), jnp.int32),
+        history_len=jnp.zeros((batch,), jnp.int32),
+        generated=jnp.zeros((batch,), jnp.int32),
+        active=jnp.zeros((batch,), bool),
+        finished=jnp.zeros((batch,), bool),
+        page_table=jnp.full((batch, max_pages), -1, jnp.int32),
+        sampling=SamplingState.init(batch, eos_id=eos_id),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hot loop
+# ---------------------------------------------------------------------------
+
+def decode_step(params: Dict[str, Any], cache: KVCache, state: DecodeState,
+                cfg: ModelConfig, *, use_pallas_attn: bool = False,
+                axis: str = None):
+    """One generation step for every running slot.
+
+    Returns (new_cache, new_state, sampled_tokens [B], finished [B],
+    token_logprob [B]).
+    """
+    b = state.tokens.shape[0]
+    run = state.active & ~state.finished
+    batch = StepBatch(
+        ids=state.tokens[:, None],
+        positions=state.context_len[:, None],
+        valid=run[:, None],
+        context_len=state.context_len + 1,
+        page_table=state.page_table,
+    )
+    logits, cache = forward(params, cache, batch, cfg, axis=axis,
+                            use_pallas_attn=use_pallas_attn)
+    logits = mask_vocab_padding(logits, cfg.vocab_size)
+    new_tok, new_keys, logprob = sample_step(
+        logits, state.sampling, state.history, state.history_len,
+        state.generated)
+    new_tok = jnp.where(run, new_tok, state.tokens)
+    generated = state.generated + run.astype(jnp.int32)
+    fin_now = check_stop(new_tok, state.sampling, generated) & run
+    finished = state.finished | fin_now
+    hist_idx = jnp.where(run, state.history_len,
+                         jnp.int32(state.history.shape[1]))
+    history = state.history.at[jnp.arange(b), hist_idx].set(
+        new_tok, mode='drop')
+    inc = run.astype(jnp.int32)
+    sampling = dataclasses.replace(
+        state.sampling,
+        rng_key=jnp.where(run[:, None], new_keys, state.sampling.rng_key))
+    new_state = dataclasses.replace(
+        state, tokens=new_tok, context_len=state.context_len + inc,
+        history=history, history_len=state.history_len + inc,
+        generated=generated, finished=finished, sampling=sampling)
+    return cache, new_state, new_tok, finished, logprob
+
+
+# ---------------------------------------------------------------------------
+# prefill
+# ---------------------------------------------------------------------------
+
+def prefill_chunk(params, cache: KVCache, state: DecodeState, slot,
+                  ids, start_pos, length, cfg: ModelConfig, *,
+                  use_pallas_attn: bool = False, axis: str = None):
+    """Append one padded prompt chunk of a single slot into the KV cache.
+
+    Args:
+      slot: int32 scalar batch-slot index.
+      ids: int32 [T_bucket] (padded) chunk token ids.
+      start_pos: int32 scalar absolute position of ids[0].
+      length: int32 scalar number of valid tokens in the chunk.
+    Returns (cache, last_logits [V]) — logits of the last valid token,
+    used only by the logits/PPL path.
+    """
+    t = ids.shape[0]
+    pos = start_pos + jnp.arange(t, dtype=jnp.int32)
+    valid = jnp.arange(t) < length
+    batch = StepBatch(
+        ids=ids[None],
+        positions=pos[None],
+        valid=valid[None],
+        context_len=(start_pos + length)[None],
+        page_table=state.page_table[slot][None],
+    )
+    logits, cache = forward(params, cache, batch, cfg, axis=axis,
+                            use_pallas_attn=use_pallas_attn)
+    return cache, logits[0]
+
+
+def prefill_logits(params, cache: KVCache, state: DecodeState, slot,
+                   ids, start_pos, length, cfg: ModelConfig, *,
+                   axis: str = None):
+    """Like prefill_chunk but returns logits for ALL positions of the chunk
+    (the reference's is_return_logits path, LlamaBatch::outputContextLogits).
+    """
+    t = ids.shape[0]
+    pos = start_pos + jnp.arange(t, dtype=jnp.int32)
+    valid = jnp.arange(t) < length
+    batch = StepBatch(
+        ids=ids[None],
+        positions=pos[None],
+        valid=valid[None],
+        context_len=(start_pos + length)[None],
+        page_table=state.page_table[slot][None],
+    )
+    logits, cache = forward(params, cache, batch, cfg,
+                            return_all_logits=True, axis=axis)
+    return cache, logits[0]
+
+
+# ---------------------------------------------------------------------------
+# slot surgery (admission / retirement / control)
+# ---------------------------------------------------------------------------
+
+def install_slot(state: DecodeState, slot, token, context_len, history_row,
+                 history_len, page_row, sampling_row: SamplingState
+                 ) -> DecodeState:
+    """Bind a request to batch slot ``slot`` (reference:
+    LlamaBatch::initialize + initializeSampling for one index)."""
+    sampling = jax.tree.map(lambda full, row: full.at[slot].set(row),
+                            state.sampling, sampling_row)
+    return dataclasses.replace(
+        state,
+        tokens=state.tokens.at[slot].set(token),
+        context_len=state.context_len.at[slot].set(context_len),
+        history=state.history.at[slot].set(history_row),
+        history_len=state.history_len.at[slot].set(history_len),
+        generated=state.generated.at[slot].set(0),
+        active=state.active.at[slot].set(True),
+        finished=state.finished.at[slot].set(False),
+        page_table=state.page_table.at[slot].set(page_row),
+        sampling=sampling,
+    )
+
+
+def clear_slot(state: DecodeState, slot) -> DecodeState:
+    return dataclasses.replace(
+        state,
+        active=state.active.at[slot].set(False),
+        finished=state.finished.at[slot].set(True),
+    )
+
+
+def set_finished(state: DecodeState, slot) -> DecodeState:
+    """Host-initiated stop (cancel / multi-token stop word hit)."""
+    return dataclasses.replace(
+        state, finished=state.finished.at[slot].set(True))
+
+
+def set_page_row(state: DecodeState, slot, page_row) -> DecodeState:
+    return dataclasses.replace(
+        state, page_table=state.page_table.at[slot].set(page_row))
+
+
+class CompiledStepFns:
+    """Holds jit-compiled step functions for one (cfg, shapes) setup.
+
+    Buffer donation keeps cache/state updates in-place on device; bucketed
+    prefill avoids recompiles across prompt lengths.
+    """
+
+    def __init__(self, cfg: ModelConfig, *, use_pallas_attn: bool = False,
+                 axis: str = None):
+        self.cfg = cfg
+        kw = dict(cfg=cfg, use_pallas_attn=use_pallas_attn, axis=axis)
+        self.decode_step = jax.jit(
+            partial(decode_step, **kw), donate_argnums=(1, 2))
+        self.prefill_chunk = jax.jit(
+            partial(prefill_chunk, **kw), donate_argnums=(1,))
+        self.prefill_logits = jax.jit(
+            partial(prefill_logits, cfg=cfg, axis=axis), donate_argnums=(1,))
+        self.install_slot = jax.jit(install_slot, donate_argnums=(0,))
+        self.clear_slot = jax.jit(clear_slot, donate_argnums=(0,))
+        self.set_finished = jax.jit(set_finished, donate_argnums=(0,))
+        self.set_page_row = jax.jit(set_page_row, donate_argnums=(0,))
+
+
+__all__ = ['DecodeState', 'init_decode_state', 'decode_step', 'prefill_chunk',
+           'prefill_logits', 'install_slot', 'clear_slot', 'set_finished',
+           'set_page_row', 'CompiledStepFns']

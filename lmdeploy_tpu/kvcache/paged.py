@@ -55,10 +55,12 @@ def init_cache(num_layers: int, num_pages: int, page_size: int,
                kv_heads: int, head_dim: int, dtype=jnp.bfloat16,
                kv_scales=None) -> KVCache:
     shape = (num_layers, num_pages, page_size, kv_heads, head_dim)
-    ones = jnp.ones((num_layers,), jnp.float32)
-    zeros = jnp.zeros((num_layers,), jnp.float32)
     if kv_scales is None:
-        ks, kz, vs, vz = ones, zeros, ones, zeros
+        # NB: four distinct arrays — sharing one buffer breaks jit donation
+        ks = jnp.ones((num_layers,), jnp.float32)
+        kz = jnp.zeros((num_layers,), jnp.float32)
+        vs = jnp.ones((num_layers,), jnp.float32)
+        vz = jnp.zeros((num_layers,), jnp.float32)
     else:
         ks, kz, vs, vz = (jnp.asarray(x, jnp.float32) for x in kv_scales)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),

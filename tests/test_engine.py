@@ -1,0 +1,193 @@
+"""End-to-end engine tests: continuous batching, sessions, cancel, stop
+criteria, eviction — the rebuild of the reference's LlamaBatch semantics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lmdeploy_tpu.config import EngineConfig, ModelConfig
+from lmdeploy_tpu.engine.engine import TPUEngine
+from lmdeploy_tpu.messages import GenerationConfig, ResponseType
+from lmdeploy_tpu.models.llama import init_params
+
+CFG = ModelConfig(head_num=2, kv_head_num=2, size_per_head=16, inter_size=64,
+                  num_layer=2, vocab_size=128, rotary_embedding=16,
+                  max_position_embeddings=128, session_len=128, end_id=2)
+
+
+@pytest.fixture(scope='module')
+def engine():
+    ecfg = EngineConfig(max_batch_size=4, session_len=64, page_size=8,
+                        num_pages=40, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False)
+    params = init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    eng = TPUEngine(CFG, ecfg, params)
+    yield eng
+    eng.shutdown()
+
+
+def greedy(max_new=8, **kw):
+    kw.setdefault('ignore_eos', True)
+    return GenerationConfig(max_new_tokens=max_new, top_k=1, **kw)
+
+
+def collect(gen):
+    outs = list(gen)
+    assert outs[-1].finished
+    return outs
+
+
+def test_single_request_deterministic(engine):
+    inst = engine.create_instance()
+    prompt = [1, 5, 9, 13, 21]
+    o1 = collect(inst.stream_infer(1, prompt, greedy(), sequence_end=True))
+    o2 = collect(inst.stream_infer(1, prompt, greedy(), sequence_end=True))
+    assert o1[-1].token_ids == o2[-1].token_ids
+    assert len(o1[-1].token_ids) == 8
+    assert o1[-1].status == ResponseType.FINISH
+
+
+def test_streaming_is_incremental(engine):
+    inst = engine.create_instance()
+    outs = collect(inst.stream_infer(2, [3, 7, 11], greedy(5),
+                                     sequence_end=True))
+    lens = [o.num_generated for o in outs]
+    assert lens == sorted(lens)
+    for prev, cur in zip(outs, outs[1:]):
+        assert cur.token_ids[:len(prev.token_ids)] == prev.token_ids
+
+
+def test_concurrent_requests_match_solo_runs(engine):
+    inst = engine.create_instance()
+    prompts = [[1, 4, 7], [9, 8, 7, 6], [20, 30]]
+    solo = [collect(inst.stream_infer(10 + i, p, greedy(6),
+                                      sequence_end=True))[-1].token_ids
+            for i, p in enumerate(prompts)]
+    # now submit all at once on separate sessions via threads
+    import threading
+    results = {}
+
+    def run(i, p):
+        results[i] = collect(inst.stream_infer(20 + i, p, greedy(6),
+                                               sequence_end=True))[-1].token_ids
+
+    ts = [threading.Thread(target=run, args=(i, p))
+          for i, p in enumerate(prompts)]
+    [t.start() for t in ts]
+    [t.join(timeout=120) for t in ts]
+    assert [results[i] for i in range(3)] == solo
+
+
+def test_interactive_session_kv_reuse(engine):
+    """Two-turn session == single concatenated prompt (KV reuse path)."""
+    inst = engine.create_instance()
+    p1 = [1, 5, 9]
+    out1 = collect(inst.stream_infer(40, p1, greedy(4)))[-1].token_ids
+    p2 = [33, 44]
+    out2 = collect(inst.stream_infer(40, p2, greedy(4),
+                                     sequence_start=False))[-1].token_ids
+    # oracle: one shot over full history
+    full_prompt = p1 + out1 + p2
+    want = collect(inst.stream_infer(41, full_prompt, greedy(4),
+                                     sequence_end=True))[-1].token_ids
+    assert out2 == want
+    inst.end(40)
+
+
+def test_session_busy_and_not_exist(engine):
+    inst = engine.create_instance()
+    outs = collect(inst.stream_infer(50, [1, 2, 3], greedy(2),
+                                     sequence_start=False))
+    assert outs[-1].status == ResponseType.SESSION_NOT_EXIST
+
+
+def test_stop_word_single_token(engine):
+    inst = engine.create_instance()
+    # First find what greedy generates, then stop at its 3rd token.
+    base = collect(inst.stream_infer(60, [2, 4, 6], greedy(6),
+                                     sequence_end=True))[-1].token_ids
+    stop_tok = base[2]
+    cfg = GenerationConfig(max_new_tokens=6, top_k=1, ignore_eos=True,
+                           stop_words=[stop_tok])
+    got = collect(inst.stream_infer(61, [2, 4, 6], cfg,
+                                    sequence_end=True))[-1].token_ids
+    assert got == base[:3]  # stop word included, generation halted
+
+
+def test_stop_sequence_multi_token(engine):
+    inst = engine.create_instance()
+    base = collect(inst.stream_infer(62, [2, 4, 6], greedy(6),
+                                     sequence_end=True))[-1].token_ids
+    stop_seq = base[1:3]
+    cfg = GenerationConfig(max_new_tokens=6, top_k=1, ignore_eos=True,
+                           stop_words=[list(stop_seq)])
+    got = collect(inst.stream_infer(63, [2, 4, 6], cfg,
+                                    sequence_end=True))[-1].token_ids
+    assert got == base[:3]
+
+
+def test_max_new_tokens(engine):
+    inst = engine.create_instance()
+    outs = collect(inst.stream_infer(70, [1, 2], greedy(3),
+                                     sequence_end=True))
+    assert len(outs[-1].token_ids) == 3
+
+
+def test_long_prompt_chunked_prefill(engine):
+    """Prompt longer than max_context_token_num forces chunking; result
+    must match an unchunked run via a second engine config oracle —
+    here we check self-consistency: decode() logits vs generation path."""
+    inst = engine.create_instance()
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(3, 120, size=40).tolist()  # > 16 budget -> 3 chunks
+    out = collect(inst.stream_infer(80, prompt, greedy(2),
+                                    sequence_end=True))[-1].token_ids
+    logits = inst.decode(prompt + out[:1])
+    assert logits.shape == (41, CFG.vocab_size)
+    # the engine's first generated token must equal argmax of prompt logits
+    assert out[0] == int(np.argmax(logits[39]))
+    assert out[1] == int(np.argmax(logits[40]))
+
+
+def test_eviction_and_recompute(engine):
+    """Fill the page pool with parked sessions, force eviction, then
+    continue the evicted session — must re-decode and match."""
+    inst = engine.create_instance()
+    p1 = [11, 22, 33]
+    out1 = collect(inst.stream_infer(90, p1, greedy(4)))[-1].token_ids
+    # park session 90; now burn pages with other sessions (10 sessions x
+    # 32 tokens = 40 pages > pool, forcing LRU eviction of session 90)
+    for i in range(10):
+        collect(inst.stream_infer(91 + i, list(range(3, 31)), greedy(4)))
+    seq = engine.seqs.get(90)
+    assert seq is not None and seq.cache_len == 0 and not seq.pages, \
+        'session 90 should have been LRU-evicted'
+    # continue session 90: engine must re-prefill from retained token ids
+    p2 = [44, 55]
+    out2 = collect(inst.stream_infer(90, p2, greedy(4),
+                                     sequence_start=False))[-1].token_ids
+    want = collect(inst.stream_infer(100, p1 + out1 + p2, greedy(4),
+                                     sequence_end=True))[-1].token_ids
+    assert out2 == want
+    for i in range(10):
+        inst.end(91 + i)
+    inst.end(90)
+
+
+def test_input_too_long(engine):
+    inst = engine.create_instance()
+    outs = collect(inst.stream_infer(110, list(range(3, 3 + 70)), greedy(4),
+                                     sequence_end=True))
+    assert outs[-1].status == ResponseType.INPUT_TOO_LONG
+
+
+def test_random_seed_reproducible(engine):
+    inst = engine.create_instance()
+    cfg = GenerationConfig(max_new_tokens=6, top_k=40, temperature=1.0,
+                           random_seed=1234, ignore_eos=True)
+    a = collect(inst.stream_infer(120, [5, 6, 7], cfg,
+                                  sequence_end=True))[-1].token_ids
+    b = collect(inst.stream_infer(121, [5, 6, 7], cfg,
+                                  sequence_end=True))[-1].token_ids
+    assert a == b
