@@ -204,6 +204,9 @@ class TPUEngine:
         if req.stop:
             self._handle_stop(req, out_q)
             return
+        if req.return_logits:
+            self._handle_logits(req, out_q)
+            return
         # verification (reference: LlamaBatch::verifyRequests)
         for slot in self.slots:
             if slot is not None and slot.request.session_id == req.session_id \
@@ -235,6 +238,50 @@ class TPUEngine:
         if req.sequence_end:
             self.seqs.erase(req.session_id)
         out_q.put(EngineOutput(ResponseType.SUCCESS, [], 0, finished=True))
+
+    def _handle_logits(self, req: EngineRequest, out_q: queue.Queue):
+        """Prompt-logits path (reference: TurboMindInstance.decode,
+        turbomind.py:364-411 + LlamaBatch::outputContextLogits). Runs on
+        the engine thread so the state surgery can't race decode rounds;
+        uses a scratch session that never enters the decode batch."""
+        ids = list(map(int, req.input_ids))
+        if not ids or len(ids) > self.session_len:
+            out_q.put(EngineOutput(ResponseType.INPUT_TOO_LONG, [], 0,
+                                   finished=True))
+            return
+        buckets = list(self.ecfg.prefill_buckets)
+        scratch_id = object()  # unique key, can't collide with sessions
+        seq = self.seqs.create(scratch_id)
+        seq.active = True  # shield from LRU eviction / trim
+        try:
+            self.seqs.grow(seq, len(ids))
+            row = np.full((self.max_pages_per_seq,), -1, np.int32)
+            row[:len(seq.pages)] = seq.pages
+            row_dev = jnp.asarray(row)
+            out = []
+            pos = 0
+            remaining = ids
+            while remaining:
+                chunk = remaining[:self.ecfg.max_context_token_num]
+                remaining = remaining[self.ecfg.max_context_token_num:]
+                bucket = _bucket_for(len(chunk), buckets)
+                padded = np.zeros((bucket,), np.int32)
+                padded[:len(chunk)] = chunk
+                self.cache, logits = self.fns.prefill_logits_row(
+                    self.params, self.cache, row_dev,
+                    jnp.asarray(padded), jnp.int32(pos),
+                    jnp.int32(len(chunk)))
+                out.append(np.asarray(logits[:len(chunk),
+                                             :self.cfg.vocab_size]))
+                pos += len(chunk)
+            logits = np.concatenate(out, axis=0)
+            out_q.put(EngineOutput(ResponseType.FINISH, [], 0, finished=True,
+                                   logits=logits))
+        except NoFreePages:
+            out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [], 0,
+                                   finished=True))
+        finally:
+            self.seqs.erase(scratch_id)
 
     def _free_slot_index(self) -> Optional[int]:
         for i, s in enumerate(self.slots):
@@ -475,36 +522,14 @@ class EngineInstance:
 
     def decode(self, input_ids) -> np.ndarray:
         """Prompt logits for PPL evaluation (reference:
-        TurboMindInstance.decode, turbomind.py:364-411). Synchronous;
-        uses a scratch slot-0 state so it must run on an idle engine."""
-        eng = self.engine
-        ids = list(map(int, input_ids))
-        buckets = list(eng.ecfg.prefill_buckets)
-        seq = eng.seqs.create(-1)
-        try:
-            eng.seqs.grow(seq, len(ids))
-            row = np.full((eng.max_pages_per_seq,), -1, np.int32)
-            row[:len(seq.pages)] = seq.pages
-            eng.state = eng.fns.set_page_row(eng.state, 0, jnp.asarray(row))
-            out = []
-            pos = 0
-            remaining = ids
-            while remaining:
-                chunk = remaining[:eng.ecfg.max_context_token_num]
-                remaining = remaining[eng.ecfg.max_context_token_num:]
-                bucket = _bucket_for(len(chunk), buckets)
-                padded = np.zeros((bucket,), np.int32)
-                padded[:len(chunk)] = chunk
-                eng.cache, logits = eng.fns.prefill_logits(
-                    eng.params, eng.cache, eng.state, 0,
-                    jnp.asarray(padded), jnp.int32(pos),
-                    jnp.int32(len(chunk)))
-                out.append(np.asarray(logits[:len(chunk),
-                                             :eng.cfg.vocab_size]))
-                pos += len(chunk)
-            return np.concatenate(out, axis=0)
-        finally:
-            eng.seqs.erase(-1)
+        TurboMindInstance.decode, turbomind.py:364-411). Runs on the
+        engine thread to serialize with decode rounds."""
+        req = EngineRequest(session_id=-1, input_ids=list(map(int, input_ids)),
+                            gen_config=GenerationConfig(), return_logits=True)
+        out: EngineOutput = self.engine.submit(req).get()
+        if out.logits is None:
+            raise RuntimeError(f'decode failed: {out.status!r}')
+        return out.logits
 
 
 __all__ = ['TPUEngine', 'EngineInstance']

@@ -139,11 +139,11 @@ def prefill_chunk(params, cache: KVCache, state: DecodeState, slot,
     return cache, logits[0]
 
 
-def prefill_logits(params, cache: KVCache, state: DecodeState, slot,
-                   ids, start_pos, length, cfg: ModelConfig, *,
-                   axis: str = None):
+def prefill_logits(params, cache: KVCache, page_row, ids, start_pos, length,
+                   cfg: ModelConfig, *, axis: str = None):
     """Like prefill_chunk but returns logits for ALL positions of the chunk
     (the reference's is_return_logits path, LlamaBatch::outputContextLogits).
+    Takes a standalone page-table row so it never touches DecodeState.
     """
     t = ids.shape[0]
     pos = start_pos + jnp.arange(t, dtype=jnp.int32)
@@ -153,7 +153,7 @@ def prefill_logits(params, cache: KVCache, state: DecodeState, slot,
         positions=pos[None],
         valid=valid[None],
         context_len=(start_pos + length)[None],
-        page_table=state.page_table[slot][None],
+        page_table=page_row[None],
     )
     logits, cache = forward(params, cache, batch, cfg,
                             return_all_logits=True, axis=axis)
@@ -219,7 +219,7 @@ class CompiledStepFns:
             partial(decode_step, **kw), donate_argnums=(1, 2))
         self.prefill_chunk = jax.jit(
             partial(prefill_chunk, **kw), donate_argnums=(1,))
-        self.prefill_logits = jax.jit(
+        self.prefill_logits_row = jax.jit(
             partial(prefill_logits, cfg=cfg, axis=axis), donate_argnums=(1,))
         self.install_slot = jax.jit(install_slot, donate_argnums=(0,))
         self.clear_slot = jax.jit(clear_slot, donate_argnums=(0,))
