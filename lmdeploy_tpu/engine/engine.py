@@ -89,8 +89,26 @@ class TPUEngine:
         self.state = init_decode_state(b, self.max_pages_per_seq,
                                        self.session_len,
                                        eos_id=model_cfg.end_id)
-        self.fns = CompiledStepFns(model_cfg,
-                                   use_pallas_attn=self._pallas_enabled())
+        if engine_cfg.tp > 1:
+            # One SPMD program over the mesh replaces the reference's
+            # per-GPU threads + NCCL ranks (turbomind.py:125-136).
+            from ..parallel.tp import (ShardedStepFns, cache_pspecs,
+                                       make_mesh, param_pspecs,
+                                       prepare_params_for_tp, replicate_tree,
+                                       shard_tree)
+            self.mesh = make_mesh(engine_cfg.tp)
+            self.params = prepare_params_for_tp(params, model_cfg,
+                                                engine_cfg.tp)
+            self.params = shard_tree(self.params,
+                                     param_pspecs(self.params), self.mesh)
+            self.cache = shard_tree(self.cache, cache_pspecs(), self.mesh)
+            self.state = replicate_tree(self.state, self.mesh)
+            self.fns = ShardedStepFns(model_cfg, self.mesh,
+                                      use_pallas_attn=self._pallas_enabled())
+        else:
+            self.mesh = None
+            self.fns = CompiledStepFns(model_cfg,
+                                       use_pallas_attn=self._pallas_enabled())
 
         self.allocator = PageAllocator(num_pages)
         self.seqs = SequenceManager(self.allocator, page,
@@ -115,9 +133,11 @@ class TPUEngine:
         """Size the page pool from a fraction of free device memory
         (reference sizes by cache_max_entry_count slabs)."""
         page = self.ecfg.page_size
+        # KV heads shard across tp devices, so per-device bytes shrink by tp.
         bytes_per_tok = (self.cfg.num_layer * 2 * self.cfg.kv_head_num
                          * self.cfg.size_per_head
-                         * (1 if self.ecfg.kv_dtype == 'int8' else 2))
+                         * (1 if self.ecfg.kv_dtype == 'int8' else 2)
+                         // max(1, self.ecfg.tp))
         budget = None
         try:
             stats = jax.devices()[0].memory_stats()

@@ -1,0 +1,292 @@
+"""Tensor parallelism over a TPU device mesh.
+
+TPU-native rebuild of the reference's NCCL tensor parallelism
+(SURVEY.md §2.3: column-split QKV/gate/up + row-split O/down with
+all-reduce after attn-out and ffn-down, LlamaContextAttentionLayer.cc:
+244-248; vocab-split lm_head + all-gather, LlamaV2.cc:338-369; KV heads
+split, LlamaV2.cc:111).  Instead of one host thread + one NCCL rank per
+device, ONE jitted SPMD program spans the mesh: ``jax.shard_map`` gives
+each shard its local weight blocks and the model inserts ``psum`` /
+``all_gather`` exactly where the reference places NCCL calls — XLA's
+latency-hiding scheduler overlaps the ICI collectives with compute.
+
+Weight layout work the reference does offline per rank (deploy.py
+merge_qkv:251, tp_m_s4:668 — interleaved per-rank files) happens here at
+load time as a host-side column permutation / int4 repack, so workspaces
+stay TP-agnostic.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..ops.linear import QuantizedWeight, pack_int4
+
+TP_AXIS = 'tp'
+DP_AXIS = 'dp'
+
+
+def make_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, tp) mesh; tp rides the fastest-varying (ICI-adjacent)
+    axis so TP collectives stay on-chip interconnect."""
+    devices = devices if devices is not None else jax.devices()
+    n = dp * tp
+    if len(devices) < n:
+        raise ValueError(f'need {n} devices, have {len(devices)}')
+    arr = np.asarray(devices[:n]).reshape(dp, tp)
+    return Mesh(arr, (DP_AXIS, TP_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# host-side weight preparation (load-time equivalent of deploy.py's per-rank
+# interleave)
+# ---------------------------------------------------------------------------
+
+def _qkv_column_perm(cfg: ModelConfig, tp: int) -> np.ndarray:
+    """Permutation of the fused-QKV output dim from [Q|K|V] global layout to
+    concat-per-rank [q_r|k_r|v_r] so a plain contiguous shard of the last
+    dim hands every rank its own q/k/v block (reference: merge_qkv)."""
+    h, kh, dh = cfg.head_num, cfg.kv_head_num, cfg.size_per_head
+    assert h % tp == 0 and kh % tp == 0, (h, kh, tp)
+    q_cols = np.arange(h * dh).reshape(tp, h // tp * dh)
+    k_cols = h * dh + np.arange(kh * dh).reshape(tp, kh // tp * dh)
+    v_cols = (h + kh) * dh + np.arange(kh * dh).reshape(tp, kh // tp * dh)
+    return np.concatenate([q_cols, k_cols, v_cols], axis=1).reshape(-1)
+
+
+def _permute_cols(arr: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(arr[..., perm])
+
+
+def _repack_rowsplit_int4(qw: QuantizedWeight, tp: int) -> QuantizedWeight:
+    """Repack a row-parallel (K-split) int4 weight so a contiguous shard of
+    the packed dim is a valid rank-local nibble-split-K packing.
+
+    Global packed row r holds original K rows (r, r + K/2); after a K-split
+    each rank needs rows packed within ITS contiguous K/tp block.  We unpack
+    on host and re-pack per rank (load-time analogue of deploy.py tp_m_s4).
+    """
+    packed = np.asarray(qw.packed)
+    lo = packed & 0xF
+    hi = packed >> 4
+    q = np.concatenate([lo, hi], axis=-2)  # [.., K, N] values 0..15
+    k = q.shape[-2]
+    assert k % tp == 0 and (k // tp) % 2 == 0
+    chunks = np.split(q, tp, axis=-2)
+    repacked = np.concatenate([pack_int4(c) for c in chunks], axis=-2)
+    return QuantizedWeight(packed=jnp.asarray(repacked),
+                           scales=qw.scales, zeros=qw.zeros)
+
+
+def _perm_colsplit_int4(qw: QuantizedWeight, perm: np.ndarray
+                        ) -> QuantizedWeight:
+    return QuantizedWeight(
+        packed=jnp.asarray(_permute_cols(np.asarray(qw.packed), perm)),
+        scales=jnp.asarray(_permute_cols(np.asarray(qw.scales), perm)),
+        zeros=jnp.asarray(_permute_cols(np.asarray(qw.zeros), perm)))
+
+
+def prepare_params_for_tp(params: Dict[str, Any], cfg: ModelConfig,
+                          tp: int) -> Dict[str, Any]:
+    """Reorder/repack weights so contiguous TP shards are rank-correct.
+
+    - wqkv / bqkv: column permutation to per-rank [q_r|k_r|v_r].
+    - int4 wo / w2 (row-parallel): rank-local nibble repack.
+    - tied embeddings: materialize an explicit lm_head so the vocab-split
+      logits all-gather is uniform.
+    Everything else shards contiguously as-is.
+    """
+    if tp == 1:
+        return params
+    perm = _qkv_column_perm(cfg, tp)
+    layers = dict(params['layers'])
+    wqkv = layers['wqkv']
+    if isinstance(wqkv, QuantizedWeight):
+        layers['wqkv'] = _perm_colsplit_int4(wqkv, perm)
+        layers['wo'] = _repack_rowsplit_int4(layers['wo'], tp)
+        layers['w2'] = _repack_rowsplit_int4(layers['w2'], tp)
+    else:
+        layers['wqkv'] = jnp.asarray(_permute_cols(np.asarray(wqkv), perm))
+    if 'bqkv' in layers:
+        layers['bqkv'] = jnp.asarray(
+            _permute_cols(np.asarray(layers['bqkv']), perm))
+    out = dict(params)
+    out['layers'] = layers
+    if 'lm_head' not in out:
+        emb = np.asarray(params['tok_embedding'])
+        out['lm_head'] = jnp.asarray(np.ascontiguousarray(emb.T))
+    vp = out['lm_head'].shape[-1]
+    assert vp % tp == 0, f'padded vocab {vp} not divisible by tp={tp}'
+    return out
+
+
+# ---------------------------------------------------------------------------
+# partition specs
+# ---------------------------------------------------------------------------
+
+# Column-parallel (output dim sharded) / row-parallel (input dim sharded)
+# assignment per weight family, mirroring §2.3's table.
+_COL_SPLIT = {'wqkv', 'w1', 'w3'}
+_ROW_SPLIT = {'wo', 'w2'}
+
+
+def param_pspecs(params: Dict[str, Any], axis: str = TP_AXIS):
+    """PartitionSpec pytree matching ``params`` (post prepare_params_for_tp).
+
+    Layer weights are stacked [L, K, N]: column-split shards N, row-split
+    shards K.  QuantizedWeight shards its packed/scales/zeros consistently
+    (their K-like dims are K/2 and K/group).
+    """
+    def spec(path, leaf):
+        names = [getattr(k, 'key', getattr(k, 'name', '')) for k in path]
+        field = names[-1]
+        wname = next((n for n in names if n in _COL_SPLIT | _ROW_SPLIT
+                      or n in ('bqkv', 'bo', 'lm_head', 'tok_embedding')),
+                     None)
+        ndim = np.ndim(leaf)
+        if wname == 'lm_head':
+            return P(None, axis)                      # [D, Vp] vocab-split
+        if wname == 'tok_embedding':
+            return P()                                # replicated lookup
+        if wname == 'bqkv':
+            return P(None, axis)                      # [L, (h+2kh)dh]
+        if wname in _COL_SPLIT:
+            return P(*([None] * (ndim - 1)), axis)    # shard last (N-like)
+        if wname in _ROW_SPLIT:
+            if field in ('scales', 'zeros'):
+                return P(None, axis, None)            # [L, K/group, N]
+            return P(None, axis, None)                # [L, K(/2), N]
+        return P()                                    # norms, bo: replicated
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def cache_pspecs(axis: str = TP_AXIS):
+    """KVCache spec: KV heads sharded (reference: LlamaV2.cc:111)."""
+    from ..kvcache.paged import KVCache
+    return KVCache(k=P(None, None, None, axis, None),
+                   v=P(None, None, None, axis, None),
+                   k_scale=P(), k_zp=P(), v_scale=P(), v_zp=P())
+
+
+def shard_tree(tree, pspecs, mesh: Mesh):
+    """device_put every leaf with its NamedSharding."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, pspecs)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+# ---------------------------------------------------------------------------
+# sharded step functions
+# ---------------------------------------------------------------------------
+
+class ShardedStepFns:
+    """Drop-in replacement for engine.step.CompiledStepFns running the hot
+    functions as ONE SPMD program over the mesh via jax.shard_map.
+
+    State / batch inputs are replicated; params and the KV pool are sharded
+    per §2.3; sampling runs identically on every shard from the gathered
+    logits so outputs stay replicated without extra collectives.
+    """
+
+    def __init__(self, cfg: ModelConfig, mesh: Mesh, *,
+                 use_pallas_attn: bool = False, dp_shard_batch: bool = False):
+        """With ``dp_shard_batch`` the batch dim of decode state AND the
+        page-pool dim of the KV cache shard over the 'dp' mesh axis — each
+        dp group runs an independent continuous batch with its own page
+        pool (the multi-host scale-out design, SURVEY.md §7 step 9);
+        page-table entries are pool-local so no cross-dp traffic exists."""
+        from ..engine import step as _step
+
+        self.cfg = cfg
+        self.mesh = mesh
+
+        if dp_shard_batch:
+            pspecs_cache = jax.tree.map(
+                lambda s: P(s[0], DP_AXIS, *s[2:]) if len(s) == 5 else s,
+                cache_pspecs(), is_leaf=lambda x: isinstance(x, P))
+            rep = P(DP_AXIS)   # batch-leading state/batch tensors
+        else:
+            pspecs_cache = cache_pspecs()
+            rep = P()
+
+        def smap(fn, in_specs, out_specs):
+            return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False)
+
+        def _params_spec(params):
+            return param_pspecs(params)
+
+        # decode_step(params, cache, state) -> (cache, state, tok, fin, lp)
+        def make_decode(params_spec):
+            fn = partial(_step.decode_step, cfg=cfg, axis=TP_AXIS,
+                         use_pallas_attn=use_pallas_attn)
+            return jax.jit(
+                smap(fn, in_specs=(params_spec, pspecs_cache, rep),
+                     out_specs=(pspecs_cache, rep, rep, rep, rep)),
+                donate_argnums=(1, 2))
+
+        def make_prefill(params_spec):
+            if dp_shard_batch:
+                return None  # prefill routes per dp group at a higher level
+            fn = partial(_step.prefill_chunk, cfg=cfg, axis=TP_AXIS,
+                         use_pallas_attn=use_pallas_attn)
+            return jax.jit(
+                smap(fn, in_specs=(params_spec, pspecs_cache, rep, P(), P(),
+                                   P(), P()),
+                     out_specs=(pspecs_cache, P())),
+                donate_argnums=(1,))
+
+        def make_prefill_logits(params_spec):
+            if dp_shard_batch:
+                return None
+            fn = partial(_step.prefill_logits, cfg=cfg, axis=TP_AXIS)
+            return jax.jit(
+                smap(fn, in_specs=(params_spec, pspecs_cache, P(), P(), P(),
+                                   P()),
+                     out_specs=(pspecs_cache, P())),
+                donate_argnums=(1,))
+
+        self._make = (make_decode, make_prefill, make_prefill_logits)
+        self._built = None
+
+        # state surgery stays plain jit: state is replicated, XLA keeps it so
+        self.install_slot = jax.jit(_step.install_slot, donate_argnums=(0,))
+        self.clear_slot = jax.jit(_step.clear_slot, donate_argnums=(0,))
+        self.set_finished = jax.jit(_step.set_finished, donate_argnums=(0,))
+        self.set_page_row = jax.jit(_step.set_page_row, donate_argnums=(0,))
+
+    def _build(self, params):
+        if self._built is None:
+            spec = param_pspecs(params)
+            mk_d, mk_p, mk_pl = self._make
+            self._built = (mk_d(spec), mk_p(spec), mk_pl(spec))
+        return self._built
+
+    def decode_step(self, params, cache, state):
+        return self._build(params)[0](params, cache, state)
+
+    def prefill_chunk(self, params, cache, state, slot, ids, start_pos,
+                      length):
+        return self._build(params)[1](params, cache, state, slot, ids,
+                                      start_pos, length)
+
+    def prefill_logits_row(self, params, cache, page_row, ids, start_pos,
+                           length):
+        return self._build(params)[2](params, cache, page_row, ids,
+                                      start_pos, length)
+
+
+__all__ = ['make_mesh', 'prepare_params_for_tp', 'param_pspecs',
+           'cache_pspecs', 'shard_tree', 'replicate_tree', 'ShardedStepFns',
+           'TP_AXIS', 'DP_AXIS']

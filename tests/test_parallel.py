@@ -1,0 +1,161 @@
+"""Tensor-parallel parity: the shard_map SPMD program over a virtual
+8-device CPU mesh must reproduce single-device numerics (the reference has
+no such test — NCCL TP is only checkable on real GPUs; SURVEY.md §4 calls
+out fake-backend mesh tests as the rebuild's advantage)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lmdeploy_tpu.config import EngineConfig, ModelConfig
+from lmdeploy_tpu.engine.step import (CompiledStepFns, init_decode_state,
+                                      install_slot)
+from lmdeploy_tpu.kvcache.paged import init_cache
+from lmdeploy_tpu.models.llama import init_params, quantize_params
+from lmdeploy_tpu.ops.sampling import SamplingState
+from lmdeploy_tpu.parallel.tp import (ShardedStepFns, cache_pspecs,
+                                      make_mesh, param_pspecs,
+                                      prepare_params_for_tp, replicate_tree,
+                                      shard_tree)
+
+CFG = ModelConfig(head_num=8, kv_head_num=4, size_per_head=16, inter_size=64,
+                  num_layer=2, vocab_size=128, rotary_embedding=16,
+                  max_position_embeddings=128, session_len=64, end_id=2)
+
+B, MAXP, PAGE, NPAGES = 2, 8, 8, 32
+
+
+def build_state(params, fns):
+    state = init_decode_state(B, MAXP, CFG.session_len, eos_id=CFG.end_id)
+    cache = init_cache(CFG.num_layer, NPAGES, PAGE, CFG.kv_head_num,
+                       CFG.size_per_head, jnp.float32)
+    prompt = [3, 17, 42, 99, 5]
+    hist = np.zeros((CFG.session_len,), np.int32)
+    hist[:len(prompt)] = prompt
+    pages = np.full((MAXP,), -1, np.int32)
+    pages[:4] = [0, 1, 2, 3]
+    srow = SamplingState(
+        top_k=jnp.int32(1), top_p=jnp.float32(1.0), min_p=jnp.float32(0.0),
+        temperature=jnp.float32(1.0), repetition_penalty=jnp.float32(1.0),
+        rng_key=jax.random.key_data(jax.random.PRNGKey(0)).astype(jnp.uint32),
+        bad_words=jnp.full((8,), -1, jnp.int32),
+        stop_words=jnp.full((8,), -1, jnp.int32),
+        eos_id=jnp.int32(CFG.end_id), ignore_eos=jnp.asarray(True),
+        min_new_tokens=jnp.int32(0), max_new_tokens=jnp.int32(16))
+    state = install_slot(state, 0, jnp.int32(prompt[-1]),
+                         jnp.int32(len(prompt) - 1), jnp.asarray(hist),
+                         jnp.int32(len(prompt)), jnp.asarray(pages), srow)
+    # prefill the prompt minus the last token
+    ids = np.zeros((8,), np.int32)
+    ids[:len(prompt) - 1] = prompt[:-1]
+    cache, _ = fns.prefill_chunk(params, cache, state, jnp.int32(0),
+                                 jnp.asarray(ids), jnp.int32(0),
+                                 jnp.int32(len(prompt) - 1))
+    return cache, state
+
+
+def run_steps(fns, params, cache, state, n=6):
+    toks = []
+    for _ in range(n):
+        cache, state, tok, fin, _ = fns.decode_step(params, cache, state)
+        toks.append(int(np.asarray(tok)[0]))
+    return toks
+
+
+@pytest.mark.parametrize('tp', [2, 4])
+def test_tp_decode_matches_single_device(tp):
+    params = init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+
+    ref_fns = CompiledStepFns(CFG)
+    cache, state = build_state(params, ref_fns)
+    want = run_steps(ref_fns, params, cache, state)
+
+    mesh = make_mesh(tp)
+    tparams = prepare_params_for_tp(params, CFG, tp)
+    tparams = shard_tree(tparams, param_pspecs(tparams), mesh)
+    tp_fns = ShardedStepFns(CFG, mesh)
+    cache2, state2 = build_state(params, ref_fns)
+    cache2 = shard_tree(cache2, cache_pspecs(), mesh)
+    state2 = replicate_tree(state2, mesh)
+    got = run_steps(tp_fns, tparams, cache2, state2)
+    assert got == want
+
+
+def test_tp_prefill_logits_match(tp=4):
+    params = init_params(CFG, jax.random.PRNGKey(1), jnp.float32)
+    cache = init_cache(CFG.num_layer, NPAGES, PAGE, CFG.kv_head_num,
+                       CFG.size_per_head, jnp.float32)
+    row = np.full((MAXP,), -1, np.int32)
+    row[:2] = [0, 1]
+    ids = np.asarray([5, 9, 113, 77, 3, 0, 0, 0], np.int32)
+
+    ref = CompiledStepFns(CFG)
+    _, want = ref.prefill_logits_row(params, cache, jnp.asarray(row),
+                                     jnp.asarray(ids), jnp.int32(0),
+                                     jnp.int32(5))
+    mesh = make_mesh(tp)
+    tparams = prepare_params_for_tp(params, CFG, tp)
+    tparams = shard_tree(tparams, param_pspecs(tparams), mesh)
+    fns = ShardedStepFns(CFG, mesh)
+    cache2 = shard_tree(init_cache(CFG.num_layer, NPAGES, PAGE,
+                                   CFG.kv_head_num, CFG.size_per_head,
+                                   jnp.float32), cache_pspecs(), mesh)
+    _, got = fns.prefill_logits_row(tparams, cache2, jnp.asarray(row),
+                                    jnp.asarray(ids), jnp.int32(0),
+                                    jnp.int32(5))
+    v = CFG.vocab_size
+    np.testing.assert_allclose(np.asarray(got)[:5, :v],
+                               np.asarray(want)[:5, :v], rtol=2e-4, atol=2e-4)
+
+
+def test_tp_int4_weights(tp=2):
+    """W4A16 weights survive the TP repack: column-permuted qkv and
+    rank-local nibble repack of row-parallel weights."""
+    params = init_params(CFG, jax.random.PRNGKey(2), jnp.float32)
+    qparams = quantize_params(params, CFG, group_size=16)
+
+    ref = CompiledStepFns(CFG)
+    cache, state = build_state(qparams, ref)
+    want = run_steps(ref, qparams, cache, state)
+
+    mesh = make_mesh(tp)
+    tparams = prepare_params_for_tp(qparams, CFG, tp)
+    tparams = shard_tree(tparams, param_pspecs(tparams), mesh)
+    fns = ShardedStepFns(CFG, mesh)
+    cache2, state2 = build_state(qparams, ref)
+    cache2 = shard_tree(cache2, cache_pspecs(), mesh)
+    state2 = replicate_tree(state2, mesh)
+    got = run_steps(fns, tparams, cache2, state2)
+    assert got == want
+
+
+def test_engine_tp_end_to_end():
+    """Full engine with tp=2 mesh produces identical streams to tp=1."""
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(3), jnp.float32)
+    ecfg1 = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                         num_pages=32, max_context_token_num=16,
+                         prefill_buckets=(8, 16), use_pallas=False, tp=1)
+    ecfg2 = dataclasses.replace(ecfg1, tp=2)
+    gen = GenerationConfig(max_new_tokens=6, top_k=1, ignore_eos=True)
+
+    def run(ecfg):
+        eng = TPUEngine(CFG, ecfg, params)
+        try:
+            inst = eng.create_instance()
+            out = inst.infer(1, [3, 17, 42, 99, 5], gen_config=gen,
+                             sequence_end=True)
+            logits = inst.decode([3, 17, 42])
+            return out.token_ids, logits
+        finally:
+            eng.shutdown()
+
+    toks1, logits1 = run(ecfg1)
+    toks2, logits2 = run(ecfg2)
+    assert toks1 == toks2
+    np.testing.assert_allclose(logits1, logits2, rtol=2e-4, atol=2e-4)
