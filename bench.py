@@ -1,0 +1,106 @@
+"""Headline benchmark: Llama-2-7B W4A16 batch-1 decode tokens/s on one chip.
+
+Reference baseline: 206.4 tok/s (Llama-2-7B-chat, batch 1, 1 in / 512 out,
+RTX 4090 — /root/reference/docs/en/w4a16.md "Inference Performance").
+
+Runs the REAL engine end-to-end (scheduler + sampling + detok-free stream),
+like the reference's benchmark/profile_generation.py. Weights are random
+(no checkpoints in this environment) — throughput is weight-content
+independent. Prints ONE JSON line.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_TOKS = 206.4
+OUT_TOKENS = 512
+
+
+def random_int4_params(cfg, key):
+    """Random W4A16 params built on-device (fast on 1-core hosts)."""
+    import jax
+    import jax.numpy as jnp
+    from lmdeploy_tpu.models.llama import init_params, vocab_padded
+    from lmdeploy_tpu.ops.linear import QuantizedWeight
+
+    d, dh = cfg.hidden_size, cfg.size_per_head
+    h, kh, inter, nl, g = (cfg.head_num, cfg.kv_head_num, cfg.inter_size,
+                           cfg.num_layer, cfg.group_size or 128)
+    vp = vocab_padded(cfg)
+    keys = iter(jax.random.split(key, 16))
+
+    def qw(k_dim, n_dim):
+        return QuantizedWeight(
+            packed=jax.random.randint(next(keys), (nl, k_dim // 2, n_dim),
+                                      0, 255, jnp.int32).astype(jnp.uint8),
+            scales=jnp.full((nl, k_dim // g, n_dim), 0.002, jnp.bfloat16),
+            zeros=jnp.full((nl, k_dim // g, n_dim), 8.0, jnp.bfloat16))
+
+    emb = (jax.random.normal(next(keys), (vp, d), jnp.bfloat16) * 0.02)
+    head = (jax.random.normal(next(keys), (d, vp), jnp.bfloat16) * 0.02)
+    return {
+        'tok_embedding': emb,
+        'norm': jnp.ones((d,), jnp.bfloat16),
+        'lm_head': head,
+        'layers': {
+            'attn_norm': jnp.ones((nl, d), jnp.bfloat16),
+            'ffn_norm': jnp.ones((nl, d), jnp.bfloat16),
+            'wqkv': qw(d, (h + 2 * kh) * dh),
+            'wo': qw(h * dh, d),
+            'w1': qw(d, inter),
+            'w3': qw(d, inter),
+            'w2': qw(inter, d),
+        },
+    }
+
+
+def main():
+    import jax
+    from lmdeploy_tpu.config import EngineConfig, ModelConfig
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    cfg = ModelConfig(head_num=32, kv_head_num=32, size_per_head=128,
+                      inter_size=11008, num_layer=32, vocab_size=32000,
+                      rotary_embedding=128, max_position_embeddings=4096,
+                      session_len=2048, weight_type='int4', group_size=128)
+    ecfg = EngineConfig(max_batch_size=4, session_len=2048, page_size=64,
+                        num_pages=4 * 32 + 8, max_context_token_num=512,
+                        prefill_buckets=(64, 512))
+    params = random_int4_params(cfg, jax.random.PRNGKey(0))
+    eng = TPUEngine(cfg, ecfg, params)
+    inst = eng.create_instance()
+    gen = GenerationConfig(max_new_tokens=OUT_TOKENS, top_k=1,
+                           ignore_eos=True)
+
+    # warmup: compile prefill bucket + decode step
+    inst.infer(0, [1], gen_config=GenerationConfig(
+        max_new_tokens=8, top_k=1, ignore_eos=True), sequence_end=True)
+
+    t0 = time.perf_counter()
+    t_first = None
+    n = 0
+    for out in inst.stream_infer(1, [1], gen, sequence_end=True):
+        if t_first is None and out.num_generated > 0:
+            t_first = time.perf_counter()
+        n = out.num_generated
+    t_end = time.perf_counter()
+    eng.shutdown()
+
+    toks = n / (t_end - t0)
+    print(json.dumps({
+        'metric': 'llama2-7b w4a16 decode tok/s (bs1, 1 in / 512 out)',
+        'value': round(toks, 1),
+        'unit': 'tok/s',
+        'vs_baseline': round(toks / BASELINE_TOKS, 3),
+        'detail': {
+            'ttft_ms': round((t_first - t0) * 1e3, 1) if t_first else None,
+            'out_tokens': n,
+            'device': str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == '__main__':
+    main()
