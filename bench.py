@@ -32,8 +32,8 @@ def random_int4_params(cfg, key):
 
     def qw(k_dim, n_dim):
         return QuantizedWeight(
-            packed=jax.random.randint(next(keys), (nl, k_dim // 2, n_dim),
-                                      0, 255, jnp.int32).astype(jnp.uint8),
+            qvals=jax.random.randint(next(keys), (nl, k_dim, n_dim),
+                                     0, 16, jnp.int32).astype(jnp.uint8),
             scales=jnp.full((nl, k_dim // g, n_dim), 0.002, jnp.bfloat16),
             zeros=jnp.full((nl, k_dim // g, n_dim), 8.0, jnp.bfloat16))
 
@@ -67,7 +67,7 @@ def main():
                       session_len=2048, weight_type='int4', group_size=128)
     ecfg = EngineConfig(max_batch_size=4, session_len=2048, page_size=64,
                         num_pages=4 * 32 + 8, max_context_token_num=512,
-                        prefill_buckets=(64, 512))
+                        prefill_buckets=(64, 512), step_length=32)
     params = random_int4_params(cfg, jax.random.PRNGKey(0))
     eng = TPUEngine(cfg, ecfg, params)
     inst = eng.create_instance()

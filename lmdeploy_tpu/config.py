@@ -82,7 +82,7 @@ class EngineConfig:
     cache_chunk_size: int = 1            # pages allocated per growth step
     quant_policy: int = 0                # 4 == int8 KV cache (QuantPolicy bitmask)
     kv_dtype: str = 'bf16'               # 'bf16' | 'int8'
-    step_length: int = 1                 # decode steps between host syncs
+    step_length: int = 8                 # decode steps per device dispatch
     use_pallas: bool = True              # pallas kernels vs pure-XLA reference path
     hbm_utilization: float = 0.9         # fraction of free HBM for KV pages
     prefill_buckets: tuple = (128, 256, 512, 1024, 2048, 4096)

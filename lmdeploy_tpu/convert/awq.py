@@ -36,15 +36,15 @@ def unpack_awq_int32(packed: np.ndarray) -> np.ndarray:
 
 def awq_to_quantized_weight(qweight: np.ndarray, qzeros: np.ndarray,
                             scales: np.ndarray):
-    """AWQ GEMM tensors -> (QuantizedWeight) in nibble-split-K layout."""
+    """AWQ GEMM tensors -> QuantizedWeight (byte-per-value runtime layout)."""
     import jax.numpy as jnp
-    from ..ops.linear import QuantizedWeight, pack_int4
+    from ..ops.linear import QuantizedWeight
     q = unpack_awq_int32(qweight)           # [K, N] uint8 0..15
     z = unpack_awq_int32(qzeros)            # [K/g, N]
     s = np.asarray(scales, np.float32)      # [K/g, N]
     import ml_dtypes
     return QuantizedWeight(
-        packed=jnp.asarray(pack_int4(q)),
+        qvals=jnp.asarray(q),
         scales=jnp.asarray(s.astype(ml_dtypes.bfloat16)),
         zeros=jnp.asarray(z.astype(np.float32).astype(ml_dtypes.bfloat16)),
     )
@@ -90,13 +90,13 @@ def convert_awq(model_path: str, dst: str, model_name: str = '',
     def cat_q(*qws: 'QuantizedWeight') -> 'QuantizedWeight':
         """Column-concat quantized weights (fuse q,k,v)."""
         return QuantizedWeight(
-            packed=jnp.concatenate([q.packed for q in qws], axis=-1),
+            qvals=jnp.concatenate([q.qvals for q in qws], axis=-1),
             scales=jnp.concatenate([q.scales for q in qws], axis=-1),
             zeros=jnp.concatenate([q.zeros for q in qws], axis=-1))
 
     def stack_q(qws):
         return QuantizedWeight(
-            packed=jnp.stack([q.packed for q in qws]),
+            qvals=jnp.stack([q.qvals for q in qws]),
             scales=jnp.stack([q.scales for q in qws]),
             zeros=jnp.stack([q.zeros for q in qws]))
 

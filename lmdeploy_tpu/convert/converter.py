@@ -65,7 +65,9 @@ def _flatten(params: Dict[str, Any], prefix: str = '') -> Dict[str, np.ndarray]:
         if isinstance(v, dict):
             out.update(_flatten(v, key + '/'))
         elif isinstance(v, QuantizedWeight):
-            out[key + '.packed'] = np.asarray(v.packed)
+            # disk format is truly 4-bit packed; HBM format is byte-per-value
+            from ..ops.linear import pack_int4
+            out[key + '.packed'] = pack_int4(np.asarray(v.qvals))
             out[key + '.scales'] = np.asarray(v.scales).astype(BF16)
             out[key + '.zeros'] = np.asarray(v.zeros).astype(BF16)
         else:
@@ -95,8 +97,9 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
         node = tree
         for p in path[:-1]:
             node = node.setdefault(p, {})
+        from ..ops.linear import unpack_int4
         node[path[-1]] = QuantizedWeight(
-            packed=jnp.asarray(parts_d['packed']),
+            qvals=jnp.asarray(unpack_int4(parts_d['packed'])),
             scales=jnp.asarray(parts_d['scales']),
             zeros=jnp.asarray(parts_d['zeros']))
     return tree

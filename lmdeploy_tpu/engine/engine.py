@@ -435,13 +435,15 @@ class TPUEngine:
         slot.seq.cache_len = pos
 
     # -- decode ------------------------------------------------------------------
-    def _grow_pages(self):
-        """Allocate the next page for slots about to cross a boundary."""
+    def _grow_pages(self, steps: int = 1):
+        """Allocate pages for the next ``steps`` tokens of every running
+        slot (pre-growth so a multi-step device round never crosses an
+        unmapped page boundary)."""
         page = self.ecfg.page_size
         for i, slot in enumerate(self.slots):
             if slot is None or slot.done:
                 continue
-            need_tokens = slot.context_len + 1
+            need_tokens = min(slot.context_len + steps, self.session_len)
             if need_tokens > len(slot.seq.pages) * page:
                 self.seqs.grow(slot.seq, need_tokens)
                 row = np.full((self.max_pages_per_seq,), -1, np.int32)
@@ -450,15 +452,20 @@ class TPUEngine:
                                                    jnp.asarray(row))
 
     def _decode_round(self, steps: int):
-        for _ in range(max(1, steps)):
+        """One device round of ``steps`` decode steps with a single
+        dispatch + a single [2, k, B] readback (reference: step_length;
+        here it also amortizes host<->device link latency)."""
+        if not any(s is not None and not s.done for s in self.slots):
+            return
+        k = max(1, steps)
+        self._grow_pages(k)
+        self.cache, self.state, packed, logprob = self.fns.decode_steps(
+            self.params, self.cache, self.state, num_steps=k)
+        arr = np.asarray(packed)  # [2, k, B]
+        for t in range(k):
+            self._emit(arr[0, t], arr[1, t])
             if not any(s is not None and not s.done for s in self.slots):
                 return
-            self._grow_pages()
-            self.cache, self.state, toks, fin, logprob = \
-                self.fns.decode_step(self.params, self.cache, self.state)
-            toks_np = np.asarray(toks)
-            fin_np = np.asarray(fin)
-            self._emit(toks_np, fin_np)
 
     def _emit(self, toks_np: np.ndarray, fin_np: np.ndarray):
         for i, slot in enumerate(self.slots):

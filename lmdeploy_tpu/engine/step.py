@@ -107,6 +107,31 @@ def decode_step(params: Dict[str, Any], cache: KVCache, state: DecodeState,
     return cache, new_state, new_tok, finished, logprob
 
 
+def decode_steps(params, cache: KVCache, state: DecodeState,
+                 cfg: ModelConfig, *, num_steps: int,
+                 use_pallas_attn: bool = False, axis: str = None):
+    """``num_steps`` generation steps in ONE device program (the reference's
+    step_length knob, LlamaV2.cc internal loop).  Amortizes the host
+    dispatch + readback round-trip — critical when the host↔device link
+    is high-latency.  Finished slots keep running masked; the host sees
+    per-substep tokens/finished flags packed into one [2, k, B] transfer.
+
+    Returns (cache, state, packed int32 [2, k, B] = (tokens; finished),
+    logprobs f32 [k, B]).
+    """
+    def body(carry, _):
+        cache, state = carry
+        cache, state, tok, fin, logprob = decode_step(
+            params, cache, state, cfg, use_pallas_attn=use_pallas_attn,
+            axis=axis)
+        return (cache, state), (tok, fin, logprob)
+
+    (cache, state), (toks, fins, logprobs) = jax.lax.scan(
+        body, (cache, state), length=num_steps)
+    packed = jnp.stack([toks, fins.astype(jnp.int32)])  # [2, k, B]
+    return cache, state, packed, logprobs
+
+
 # ---------------------------------------------------------------------------
 # prefill
 # ---------------------------------------------------------------------------
@@ -217,6 +242,9 @@ class CompiledStepFns:
         kw = dict(cfg=cfg, use_pallas_attn=use_pallas_attn, axis=axis)
         self.decode_step = jax.jit(
             partial(decode_step, **kw), donate_argnums=(1, 2))
+        self.decode_steps = jax.jit(
+            partial(decode_steps, **kw), donate_argnums=(1, 2),
+            static_argnames=('num_steps',))
         self.prefill_chunk = jax.jit(
             partial(prefill_chunk, **kw), donate_argnums=(1,))
         self.prefill_logits_row = jax.jit(

@@ -111,6 +111,31 @@ def write_kv_layer(cache_k_l: jnp.ndarray, cache_v_l: jnp.ndarray,
     return cache_k_l, cache_v_l
 
 
+def write_kv(cache_k: jnp.ndarray, cache_v: jnp.ndarray, layer,
+             k_new: jnp.ndarray, v_new: jnp.ndarray,
+             positions: jnp.ndarray, page_table: jnp.ndarray,
+             valid: jnp.ndarray, qparams=None):
+    """Scatter new tokens' K/V into the FULL pool [L, P, page, KH, Dh] at
+    ``layer`` — scattering into the full array (instead of slice-modify-
+    writeback) lets XLA alias the update in place inside the layer loop,
+    avoiding a whole-pool copy per layer."""
+    p, page_size = cache_k.shape[1], cache_k.shape[2]
+    page_of = positions // page_size
+    slot_of = positions % page_size
+    phys = jnp.take_along_axis(page_table, page_of, axis=1)
+    phys = jnp.where(valid & (phys >= 0), phys, p)
+    if qparams is not None:
+        ks, kz, vs, vz = qparams
+        k_new = quantize_kv(k_new, ks, kz)
+        v_new = quantize_kv(v_new, vs, vz)
+    else:
+        k_new = k_new.astype(cache_k.dtype)
+        v_new = v_new.astype(cache_v.dtype)
+    cache_k = cache_k.at[layer, phys, slot_of].set(k_new, mode='drop')
+    cache_v = cache_v.at[layer, phys, slot_of].set(v_new, mode='drop')
+    return cache_k, cache_v
+
+
 def gather_kv_layer(cache_k_l: jnp.ndarray, cache_v_l: jnp.ndarray,
                     page_table: jnp.ndarray, qparams=None,
                     dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -135,5 +160,5 @@ def gather_kv_layer(cache_k_l: jnp.ndarray, cache_v_l: jnp.ndarray,
     return k, v
 
 
-__all__ = ['KVCache', 'init_cache', 'write_kv_layer', 'gather_kv_layer',
-           'quantize_kv', 'dequantize_kv']
+__all__ = ['KVCache', 'init_cache', 'write_kv', 'write_kv_layer',
+           'gather_kv_layer', 'quantize_kv', 'dequantize_kv']

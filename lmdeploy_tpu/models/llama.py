@@ -29,9 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
-from ..kvcache.paged import KVCache, gather_kv_layer, write_kv_layer
+from ..kvcache.paged import KVCache, gather_kv_layer, write_kv
 from ..ops.attention import gqa_attention
-from ..ops import pallas as pallas_ops
 from ..ops.linear import QuantizedWeight, linear, quantize_weight_int4
 from ..ops.norms import rms_norm
 from ..ops.rope import rope_qk
@@ -107,7 +106,7 @@ def quantize_params(params: Dict[str, Any], cfg: ModelConfig,
         qws = [quantize_weight_int4(stacked[i], group_size)
                for i in range(stacked.shape[0])]
         layers[name] = QuantizedWeight(
-            packed=jnp.stack([q.packed for q in qws]),
+            qvals=jnp.stack([q.qvals for q in qws]),
             scales=jnp.stack([q.scales for q in qws]),
             zeros=jnp.stack([q.zeros for q in qws]),
         )
@@ -150,8 +149,13 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
 
     kq = (cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)
 
-    def layer_fn(h, xs):
-        lw, ck, cv, k_scale, k_zp, v_scale, v_zp = xs
+    def layer_fn(carry, xs):
+        # The cache rides the CARRY; KV writes scatter into the full pool
+        # (aliased in place by XLA inside the loop) and attention reads it
+        # layer-indexed — scan xs/ys or slice-modify-writeback would copy
+        # the multi-GB pool every step.
+        h, cache_k, cache_v, layer = carry
+        lw, k_scale, k_zp, v_scale, v_zp = xs
         qparams = ((k_scale, k_zp, v_scale, v_zp)
                    if cache.quantized else None)
         x = rms_norm(h, lw['attn_norm'], cfg.norm_eps)
@@ -162,13 +166,21 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
                        max_position_embeddings=cfg.max_position_embeddings,
                        use_dynamic_ntk=cfg.use_dynamic_ntk,
                        use_logn_attn=cfg.use_logn_attn)
-        ck, cv = write_kv_layer(ck, cv, k, v, batch.positions,
-                                batch.page_table, batch.valid, qparams)
-        if use_pallas_attn:
-            o = pallas_ops.paged_attention(
-                q, ck, cv, batch.page_table, batch.context_len,
-                batch.positions, qparams=qparams, is_decode=is_decode)
+        cache_k, cache_v = write_kv(cache_k, cache_v, layer, k, v,
+                                    batch.positions, batch.page_table,
+                                    batch.valid, qparams)
+        if use_pallas_attn and is_decode:
+            from ..ops.pallas.paged_attention import paged_decode_attention
+            qp4 = jnp.stack([k_scale, k_zp, v_scale, v_zp])
+            o = paged_decode_attention(
+                q[:, 0], cache_k, cache_v, layer, batch.page_table,
+                batch.context_len, qp4,
+                quantized=cache.quantized)[:, None]
         else:
+            ck = jax.lax.dynamic_index_in_dim(cache_k, layer, 0,
+                                              keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cache_v, layer, 0,
+                                              keepdims=False)
             kk, vv = gather_kv_layer(ck, cv, batch.page_table, qparams,
                                      dtype=q.dtype)
             o = gqa_attention(q, kk, vv, batch.positions, batch.context_len)
@@ -187,12 +199,12 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
         if axis:
             f = jax.lax.psum(f, axis)
         h = h + f
-        return h, (ck, cv)
+        return (h, cache_k, cache_v, layer + 1), None
 
     lw_stacked = dict(params['layers'])
-    xs = (lw_stacked, cache.k, cache.v, cache.k_scale, cache.k_zp,
-          cache.v_scale, cache.v_zp)
-    h_out, (new_k, new_v) = jax.lax.scan(layer_fn, h_res, xs)
+    xs = (lw_stacked, cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)
+    (h_out, new_k, new_v, _), _ = jax.lax.scan(
+        layer_fn, (h_res, cache.k, cache.v, jnp.int32(0)), xs)
     new_cache = dataclasses.replace(cache, k=new_k, v=new_v)
 
     h_out = rms_norm(h_out, params['norm'], cfg.norm_eps)

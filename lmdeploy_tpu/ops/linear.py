@@ -2,24 +2,38 @@
 
 TPU-native replacement for the reference's LlamaLinear dispatch
 (src/turbomind/models/llama/LlamaLinear.h:29-81: fp16 -> cublas,
-kINT4 -> GemmS4F16 fused dequant GEMM).  Here:
+kINT4 -> GemmS4F16 fused dequant GEMM, gemm_s4_f16.cu).
 
-- bf16/fp32 weights -> ``jnp.dot`` (XLA drives the MXU directly).
-- int4 weights -> a Pallas grouped-dequant matmul kernel
-  (ops/pallas/quant_matmul.py) with an XLA dequant+dot fallback.
+The reference needs a hand-written kernel zoo because CUDA tensor cores
+cannot consume int4 directly.  On this TPU stack the design space was
+measured exhaustively (v5e, serialized in-jit timing):
 
-Packed int4 format ("nibble-split-K"): a [K, N] uint4 weight is stored as
-uint8 [K//2, N] where byte row r packs original rows r (low nibble) and
-r + K//2 (high nibble).  Both nibble planes then correspond to *contiguous*
-halves of the activation's K axis, so the kernel computes
-``A[:, :K/2] @ deq(lo) + A[:, K/2:] @ deq(hi)`` with no strided loads.
-Dequant is AWQ-style asymmetric: w = (q - z) * s with per-(group, N)
-scale/zero, group along K (reference group_size=128, gemm_s4_f16.cu:243).
+- bf16 dot:                      900 GB/s of weight traffic (HBM peak)
+- uint8 -> bf16 convert fused into dot:  623 GB/s of u8 traffic
+- uint4 via bitcast_convert_type: 34 GB/s (XLA materializes + relayouts
+  the sub-byte buffer), u4 jit args/constants: broken/UNIMPLEMENTED in
+  this jax build, Pallas/Mosaic nibble unpack: 58 GB/s (no native
+  sub-byte converts).
+
+So W4A16 weights live in HBM as ONE int4 VALUE PER uint8 BYTE (`qvals`)
+— 2x the bytes of ideal int4 packing but the fastest quantized path the
+hardware stack exposes (1.45x bf16 per-weight).  The on-disk workspace
+format stays truly 4-bit packed (pack_int4/unpack_int4 at save/load).
+
+Per-group asymmetric dequant w = (q - z) * s is algebraically moved OUT
+of the weight path:  x @ w = sum_g (x_g @ q_g) * s_g - rowsum_g(x)@(s*z)
+The zero-point term is one tiny [M,G]@[G,N] dot.  The scale term uses
+one of two regimes picked by static M:
+  * decode (small M): block-diagonal activations [M*G, K] turn the
+    per-group partial sums into ONE convert-fused dot; the per-group
+    rescale touches only [M, G, N].
+  * prefill (large M): dequantize to bf16 once (broadcast scales, no
+    repeat materialization) and run a plain MXU dot — compute-bound at
+    large M anyway.
 """
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -30,18 +44,19 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QuantizedWeight:
-    """W4A16 weight: logical [K, N] uint4 + per-group asymmetric qparams."""
-    packed: jnp.ndarray   # uint8 [K//2, N] (or [L, K//2, N] when stacked)
+    """W4A16 weight: [K, N] int4 values stored one-per-byte + per-group
+    asymmetric qparams (see module docstring for why not bit-packed)."""
+    qvals: jnp.ndarray    # uint8 [K, N] values 0..15 ([L, K, N] stacked)
     scales: jnp.ndarray   # [K//group, N] float
     zeros: jnp.ndarray    # [K//group, N] float (zero-point in q domain)
 
     @property
     def k(self) -> int:
-        return self.packed.shape[-2] * 2
+        return self.qvals.shape[-2]
 
     @property
     def n(self) -> int:
-        return self.packed.shape[-1]
+        return self.qvals.shape[-1]
 
     @property
     def group_size(self) -> int:
@@ -49,19 +64,22 @@ class QuantizedWeight:
 
 
 def pack_int4(q: np.ndarray) -> np.ndarray:
-    """Pack [K, N] uint4 values (0..15) into uint8 [K//2, N] nibble-split-K."""
-    k = q.shape[-2]
-    assert k % 2 == 0
-    lo = q[..., : k // 2, :].astype(np.uint8)
-    hi = q[..., k // 2:, :].astype(np.uint8)
+    """Pack [K, N] uint4 values (0..15) into uint8 [K, N//2] for the
+    on-disk workspace format; byte [k, n'] holds columns 2n' (low nibble)
+    and 2n'+1 (high)."""
+    assert q.shape[-1] % 2 == 0
+    lo = q[..., 0::2].astype(np.uint8)
+    hi = q[..., 1::2].astype(np.uint8)
     return (lo | (hi << 4)).astype(np.uint8)
 
 
-def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+def unpack_int4(packed: np.ndarray) -> np.ndarray:
     """Inverse of :func:`pack_int4` -> uint8 values 0..15, shape [K, N]."""
-    lo = packed & jnp.uint8(0xF)
-    hi = packed >> jnp.uint8(4)
-    return jnp.concatenate([lo, hi], axis=-2)
+    packed = np.asarray(packed)
+    out = np.empty((*packed.shape[:-1], packed.shape[-1] * 2), np.uint8)
+    out[..., 0::2] = packed & 0xF
+    out[..., 1::2] = packed >> 4
+    return out
 
 
 def quantize_weight_int4(w, group_size: int = 128) -> QuantizedWeight:
@@ -82,33 +100,56 @@ def quantize_weight_int4(w, group_size: int = 128) -> QuantizedWeight:
     q = np.clip(np.round(g / scales[:, None, :]) + zeros[:, None, :], 0, 15)
     q = q.reshape(k, n).astype(np.uint8)
     return QuantizedWeight(
-        packed=jnp.asarray(pack_int4(q)),
+        qvals=jnp.asarray(q),
         scales=jnp.asarray(scales, jnp.bfloat16),
         zeros=jnp.asarray(zeros, jnp.bfloat16),
     )
 
 
 def dequantize(qw: QuantizedWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Materialize the bf16 weight (testing / XLA fallback path)."""
-    q = unpack_int4(qw.packed).astype(jnp.float32)
-    g = qw.group_size
-    s = jnp.repeat(qw.scales.astype(jnp.float32), g, axis=-2)
-    z = jnp.repeat(qw.zeros.astype(jnp.float32), g, axis=-2)
-    return ((q - z) * s).astype(dtype)
+    """Materialize the bf16 weight (testing / prefill path). Broadcast via
+    the [G, group, N] view — no repeat materialization."""
+    qb = qw.qvals.astype(jnp.bfloat16)
+    k, n = qb.shape
+    g = qw.scales.shape[-2]
+    s = qw.scales.astype(jnp.float32)[:, None, :]
+    z = qw.zeros.astype(jnp.float32)[:, None, :]
+    w = (qb.reshape(g, k // g, n).astype(jnp.float32) - z) * s
+    return w.reshape(k, n).astype(dtype)
 
 
-# Set by ops/pallas/quant_matmul.py when the Pallas path is enabled; takes
-# (x, qw, fuse_silu) and returns the matmul output.
-_PALLAS_QMM = None
+# M*G budget below which the block-diagonal segmented dot beats
+# dequantize-then-dot: extra MXU work (M*G-M)*K*N trades against ~2 extra
+# HBM passes over the bf16 weight; break-even ~500 rows on v5e.
+_BLOCKDIAG_MAX_ROWS = 512
 
 
-def register_pallas_qmm(fn) -> None:
-    global _PALLAS_QMM
-    _PALLAS_QMM = fn
+def quant_matmul(x2: jnp.ndarray, qw: QuantizedWeight) -> jnp.ndarray:
+    """x2 [M, K] @ dequant(qw) -> [M, N] f32."""
+    m, k = x2.shape
+    g = qw.scales.shape[-2]
+    group = k // g
+    x2 = x2.astype(jnp.bfloat16)
+    s = qw.scales.astype(jnp.float32)
+    sz = s * qw.zeros.astype(jnp.float32)
 
-
-def use_pallas() -> bool:
-    return _PALLAS_QMM is not None
+    if m * g <= _BLOCKDIAG_MAX_ROWS:
+        qb = qw.qvals.astype(jnp.bfloat16)
+        # block-diagonal lift: row (i, gi) keeps only group gi's columns
+        gmask = (jax.lax.broadcasted_iota(jnp.int32, (g, k), 1) // group
+                 == jax.lax.broadcasted_iota(jnp.int32, (g, k), 0)
+                 ).astype(jnp.bfloat16)
+        xbd = (x2[:, None, :] * gmask[None]).reshape(m * g, k)
+        partials = jnp.dot(xbd, qb, preferred_element_type=jnp.float32)
+        out = jnp.sum(partials.reshape(m, g, -1) * s[None], axis=1)
+    else:
+        out = jnp.dot(x2, dequantize(qw, jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        return out
+    # zero-point term: rowsum per group @ (s * z)
+    sums = jnp.sum(x2.reshape(m, g, group).astype(jnp.float32), axis=2)
+    out = out - jnp.dot(sums, sz, preferred_element_type=jnp.float32)
+    return out
 
 
 def linear(x: jnp.ndarray, w, bias: Optional[jnp.ndarray] = None,
@@ -119,17 +160,13 @@ def linear(x: jnp.ndarray, w, bias: Optional[jnp.ndarray] = None,
     output is silu(x@w_gate) * (x@w_up) — the reference's kFusedSiluFfn
     epilogue (LlamaLinear.h:73).
     """
+    lead = x.shape[:-1]
     if isinstance(w, QuantizedWeight):
-        if _PALLAS_QMM is not None:
-            out = _PALLAS_QMM(x, w, fuse_silu_gate)
-            if bias is not None:
-                out = out + bias
-            return out
-        wd = dequantize(w, jnp.bfloat16)
+        out = quant_matmul(x.reshape(-1, x.shape[-1]), w)
+        out = out.reshape(*lead, -1)
     else:
-        wd = w
-    out = jnp.dot(x.astype(wd.dtype), wd,
-                  preferred_element_type=jnp.float32)
+        out = jnp.dot(x.astype(w.dtype), w,
+                      preferred_element_type=jnp.float32)
     if fuse_silu_gate:
         gate, up = jnp.split(out, 2, axis=-1)
         out = jax.nn.silu(gate) * up
@@ -140,5 +177,4 @@ def linear(x: jnp.ndarray, w, bias: Optional[jnp.ndarray] = None,
 
 
 __all__ = ['QuantizedWeight', 'pack_int4', 'unpack_int4',
-           'quantize_weight_int4', 'dequantize', 'linear',
-           'register_pallas_qmm', 'use_pallas']
+           'quantize_weight_int4', 'dequantize', 'quant_matmul', 'linear']

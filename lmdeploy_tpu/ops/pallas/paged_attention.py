@@ -1,0 +1,157 @@
+"""Pallas paged decode attention — the TPU rebuild of the reference's
+decoder_masked_multihead_attention kernel (src/turbomind/kernels/
+decoder_masked_multihead_attention_template.cuh: one CTA per (batch,
+head), per-sample cache pointers, inline INT8 dequant, FP32-accum online
+softmax, 1933 lines of CUDA).
+
+Design here: one grid program per batch slot; the page table and
+context lengths ride scalar prefetch (SMEM) so the kernel walks ONLY the
+pages that actually hold context — the XLA fallback must gather the full
+max_pages extent, which costs ~2x the whole weight-read time per decode
+token.  The KV pool stays in HBM as the full [L, P, page, KH, Dh] array
+(the layer index is a scalar operand — slicing the pool per layer in XLA
+would copy ~GBs per step); pages stream HBM->VMEM with double-buffered
+async DMA so the next page loads while the current one computes.  GQA
+folds the q-head group into leading-batch [KH, G, page] matmuls.  INT8
+KV dequantizes in-register from per-layer scales read out of SMEM
+(reference QUANT_POLICY=4, cuh:976-1105).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _decode_kernel(page_tables_ref, ctx_len_ref, layer_ref,  # scalar prefetch
+                   q_ref, k_hbm, v_hbm, qp_ref,              # inputs
+                   o_ref,                                    # output
+                   k_buf, v_buf, sem,                        # scratch
+                   *, page_size: int, kh: int, g: int, dh: int,
+                   quantized: bool, scale: float):
+    b = pl.program_id(0)
+    ctx = ctx_len_ref[b]
+    layer = layer_ref[0]
+    num_pages = jax.lax.div(ctx + page_size - 1, page_size)
+
+    q = q_ref[:].astype(jnp.float32) * scale             # [KH*G, Dh]
+
+    def dma(slot, page_idx):
+        phys = page_tables_ref[b, page_idx]
+        return (pltpu.make_async_copy(k_hbm.at[layer, phys], k_buf.at[slot],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[layer, phys], v_buf.at[slot],
+                                      sem.at[slot, 1]))
+
+    for c in dma(0, 0):
+        c.start()
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < num_pages)
+        def _():
+            for c in dma(jax.lax.rem(i + 1, 2), i + 1):
+                c.start()
+
+        for c in dma(slot, i):
+            c.wait()
+        k = k_buf[slot]                                   # [page, KH, Dh]
+        v = v_buf[slot]
+        if quantized:
+            k = (k.astype(jnp.float32) - qp_ref[1]) * qp_ref[0]
+            v = (v.astype(jnp.float32) - qp_ref[3]) * qp_ref[2]
+        else:
+            k = k.astype(jnp.float32)
+            v = v.astype(jnp.float32)
+        k_t = k.transpose(1, 2, 0)                        # [KH, Dh, page]
+        v_t = v.transpose(1, 0, 2)                        # [KH, page, Dh]
+        qh = q.reshape(kh, g, dh)
+        s = jax.lax.dot_general(                          # [KH, G, page]
+            qh, k_t, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        pos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, page_size), 2)
+        s = jnp.where(pos < ctx, s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))       # [KH, G]
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(                         # [KH, G, Dh]
+            p, v_t, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        acc = acc * alpha[..., None] + pv
+        return m_new, l_new, acc
+
+    m0 = jnp.full((kh, g), -1e30, jnp.float32)
+    l0 = jnp.zeros((kh, g), jnp.float32)
+    acc0 = jnp.zeros((kh, g, dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-20)[..., None]
+    o_ref[:] = out.reshape(kh * g, dh).astype(o_ref.dtype)
+
+
+def paged_decode_attention(q, k_cache, v_cache, layer, page_table,
+                           context_len, qparams4, *, quantized: bool,
+                           interpret: bool = False):
+    """Decode-step attention over the paged pool, one layer.
+
+    Args:
+      q: [B, KH*G, Dh] current-token queries, rope already applied, q heads
+        grouped kv-major (head h belongs to kv head h // G).
+      k_cache/v_cache: FULL pool [L, P, page, KH, Dh] (bf16 or int8).
+      layer: int32 scalar — which layer to attend in.
+      page_table: int32 [B, max_pages] (-1 = unmapped; never dereferenced
+        past context_len).
+      context_len: int32 [B] valid context INCLUDING the current token,
+        whose K/V must already be written.
+      qparams4: f32 [4] = (k_scale, k_zp, v_scale, v_zp) for this layer.
+      quantized: static — whether the pool is int8.
+    Returns [B, KH*G, Dh] in q.dtype.
+    """
+    b, h, dh = q.shape
+    kh = k_cache.shape[-2]
+    g = h // kh
+    page_size = k_cache.shape[-3]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, page_size, kh, dh), k_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dh), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
+        quantized=quantized, scale=dh ** -0.5)
+
+    def kern(pt, cl, lyr, q_ref, k_hbm, v_hbm, qp_ref, o_ref,
+             k_buf, v_buf, sem):
+        kernel(pt, cl, lyr, q_ref.at[0], k_hbm, v_hbm, qp_ref, o_ref.at[0],
+               k_buf, v_buf, sem)
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        interpret=interpret,
+    )(jnp.maximum(page_table, 0), context_len,
+      jnp.reshape(layer, (1,)).astype(jnp.int32), q, k_cache, v_cache,
+      jnp.asarray(qparams4, jnp.float32))
+
+
+__all__ = ['paged_decode_attention']

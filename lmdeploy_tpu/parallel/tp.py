@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
-from ..ops.linear import QuantizedWeight, pack_int4
+from ..ops.linear import QuantizedWeight
 
 TP_AXIS = 'tp'
 DP_AXIS = 'dp'
@@ -65,30 +65,13 @@ def _permute_cols(arr: np.ndarray, perm: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(arr[..., perm])
 
 
-def _repack_rowsplit_int4(qw: QuantizedWeight, tp: int) -> QuantizedWeight:
-    """Repack a row-parallel (K-split) int4 weight so a contiguous shard of
-    the packed dim is a valid rank-local nibble-split-K packing.
-
-    Global packed row r holds original K rows (r, r + K/2); after a K-split
-    each rank needs rows packed within ITS contiguous K/tp block.  We unpack
-    on host and re-pack per rank (load-time analogue of deploy.py tp_m_s4).
-    """
-    packed = np.asarray(qw.packed)
-    lo = packed & 0xF
-    hi = packed >> 4
-    q = np.concatenate([lo, hi], axis=-2)  # [.., K, N] values 0..15
-    k = q.shape[-2]
-    assert k % tp == 0 and (k // tp) % 2 == 0
-    chunks = np.split(q, tp, axis=-2)
-    repacked = np.concatenate([pack_int4(c) for c in chunks], axis=-2)
-    return QuantizedWeight(packed=jnp.asarray(repacked),
-                           scales=qw.scales, zeros=qw.zeros)
-
-
 def _perm_colsplit_int4(qw: QuantizedWeight, perm: np.ndarray
                         ) -> QuantizedWeight:
+    """Apply an N-permutation to a byte-per-value int4 weight.  Row-
+    parallel (K-split) int4 weights need NO repack — the K dim shards
+    contiguously."""
     return QuantizedWeight(
-        packed=jnp.asarray(_permute_cols(np.asarray(qw.packed), perm)),
+        qvals=jnp.asarray(_permute_cols(np.asarray(qw.qvals), perm)),
         scales=jnp.asarray(_permute_cols(np.asarray(qw.scales), perm)),
         zeros=jnp.asarray(_permute_cols(np.asarray(qw.zeros), perm)))
 
@@ -110,8 +93,6 @@ def prepare_params_for_tp(params: Dict[str, Any], cfg: ModelConfig,
     wqkv = layers['wqkv']
     if isinstance(wqkv, QuantizedWeight):
         layers['wqkv'] = _perm_colsplit_int4(wqkv, perm)
-        layers['wo'] = _repack_rowsplit_int4(layers['wo'], tp)
-        layers['w2'] = _repack_rowsplit_int4(layers['w2'], tp)
     else:
         layers['wqkv'] = jnp.asarray(_permute_cols(np.asarray(wqkv), perm))
     if 'bqkv' in layers:
@@ -236,6 +217,17 @@ class ShardedStepFns:
                      out_specs=(pspecs_cache, rep, rep, rep, rep)),
                 donate_argnums=(1, 2))
 
+        def make_decode_steps(params_spec, num_steps):
+            fn = partial(_step.decode_steps, cfg=cfg, axis=TP_AXIS,
+                         num_steps=num_steps,
+                         use_pallas_attn=use_pallas_attn)
+            return jax.jit(
+                smap(fn, in_specs=(params_spec, pspecs_cache, rep),
+                     out_specs=(pspecs_cache, rep, rep, rep)),
+                donate_argnums=(1, 2))
+        self._make_decode_steps = make_decode_steps
+        self._decode_steps_cache = {}
+
         def make_prefill(params_spec):
             if dp_shard_batch:
                 return None  # prefill routes per dp group at a higher level
@@ -275,6 +267,13 @@ class ShardedStepFns:
 
     def decode_step(self, params, cache, state):
         return self._build(params)[0](params, cache, state)
+
+    def decode_steps(self, params, cache, state, num_steps: int):
+        fn = self._decode_steps_cache.get(num_steps)
+        if fn is None:
+            fn = self._make_decode_steps(param_pspecs(params), num_steps)
+            self._decode_steps_cache[num_steps] = fn
+        return fn(params, cache, state)
 
     def prefill_chunk(self, params, cache, state, slot, ids, start_pos,
                       length):

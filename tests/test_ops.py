@@ -98,7 +98,7 @@ def test_pack_unpack_roundtrip():
     rng = np.random.default_rng(4)
     q = rng.integers(0, 16, size=(256, 64)).astype(np.uint8)
     packed = pack_int4(q)
-    assert packed.shape == (128, 64)
+    assert packed.shape == (256, 32)
     got = np.asarray(unpack_int4(jnp.asarray(packed)))
     np.testing.assert_array_equal(got, q)
 

@@ -1,0 +1,108 @@
+"""Pallas kernel golden tests (interpret mode on CPU) — the reference's
+kernel-vs-naive pattern (tests/csrc/unittests/test_attention_kernels.cu)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lmdeploy_tpu.kvcache.paged import gather_kv_layer, quantize_kv
+from lmdeploy_tpu.ops.attention import gqa_attention
+from lmdeploy_tpu.ops.pallas.paged_attention import paged_decode_attention
+
+
+def build_case(rng, B, KH, G, DH, PAGE, MAXP, P, L=3, dtype=jnp.float32):
+    k_cache = jnp.asarray(rng.normal(size=(L, P, PAGE, KH, DH)), dtype)
+    v_cache = jnp.asarray(rng.normal(size=(L, P, PAGE, KH, DH)), dtype)
+    pt = np.full((B, MAXP), -1, np.int32)
+    ctx = rng.integers(1, MAXP * PAGE, size=B).astype(np.int32)
+    for i in range(B):
+        need = -(-int(ctx[i]) // PAGE)
+        pt[i, :need] = rng.choice(P, size=need, replace=False)
+    q = jnp.asarray(rng.normal(size=(B, KH * G, DH)), dtype)
+    return q, k_cache, v_cache, jnp.asarray(pt), jnp.asarray(ctx)
+
+
+@pytest.mark.parametrize('kh,g', [(8, 1), (4, 2)])
+def test_paged_decode_attention_matches_gather(kh, g):
+    rng = np.random.default_rng(0)
+    B, DH, PAGE, MAXP, P, L = 3, 64, 16, 6, 32, 3
+    q, kc, vc, pt, ctx = build_case(rng, B, kh, g, DH, PAGE, MAXP, P, L)
+    layer = 1
+    got = paged_decode_attention(q, kc, vc, jnp.int32(layer), pt, ctx,
+                                 jnp.ones((4,), jnp.float32),
+                                 quantized=False, interpret=True)
+    kk, vv = gather_kv_layer(kc[layer], vc[layer], pt, None,
+                             dtype=jnp.float32)
+    want = gqa_attention(q[:, None], kk, vv, (ctx - 1)[:, None], ctx)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_paged_decode_attention_int8_kv():
+    rng = np.random.default_rng(1)
+    B, KH, G, DH, PAGE, MAXP, P, L = 2, 4, 2, 64, 16, 4, 16, 2
+    q, kc_f, vc_f, pt, ctx = build_case(rng, B, KH, G, DH, PAGE, MAXP, P, L)
+    ks, kz, vs, vz = 0.05, 1.0, 0.04, -2.0
+    kc = quantize_kv(kc_f, ks, kz)
+    vc = quantize_kv(vc_f, vs, vz)
+    layer = 0
+    got = paged_decode_attention(
+        q, kc, vc, jnp.int32(layer), pt, ctx,
+        jnp.asarray([ks, kz, vs, vz], jnp.float32),
+        quantized=True, interpret=True)
+    kk, vv = gather_kv_layer(kc[layer], vc[layer], pt, (ks, kz, vs, vz),
+                             dtype=jnp.float32)
+    want = gqa_attention(q[:, None], kk, vv, (ctx - 1)[:, None], ctx)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_forward_pallas_matches_gather_interpret(monkeypatch):
+    """Full decode step with the Pallas path (interpret) == gather path."""
+    import dataclasses
+    from lmdeploy_tpu.config import ModelConfig
+    from lmdeploy_tpu.engine.step import decode_step, init_decode_state
+    from lmdeploy_tpu.kvcache.paged import init_cache
+    from lmdeploy_tpu.models.llama import init_params
+    from lmdeploy_tpu.ops.pallas import paged_attention as pa
+
+    orig = pa.paged_decode_attention
+    monkeypatch.setattr(
+        pa, 'paged_decode_attention',
+        lambda *a, **kw: orig(*a, **{**kw, 'interpret': True}))
+
+    cfg = ModelConfig(head_num=4, kv_head_num=2, size_per_head=16,
+                      inter_size=64, num_layer=2, vocab_size=128,
+                      rotary_embedding=16, max_position_embeddings=128,
+                      session_len=64, end_id=2)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, MAXP, PAGE, NP = 2, 4, 8, 16
+    state = init_decode_state(B, MAXP, 64, eos_id=2)
+    pt = np.full((B, MAXP), -1, np.int32)
+    pt[0, :2] = [3, 7]
+    pt[1, :1] = [1]
+    hist = np.zeros((B, 64), np.int32)
+    state = dataclasses.replace(
+        state, tokens=jnp.asarray([5, 9], jnp.int32),
+        context_len=jnp.asarray([9, 3], jnp.int32),
+        history_len=jnp.asarray([10, 4], jnp.int32),
+        active=jnp.ones((B,), bool), page_table=jnp.asarray(pt),
+        history=jnp.asarray(hist),
+        sampling=dataclasses.replace(state.sampling,
+                                     top_k=jnp.ones((B,), jnp.int32)))
+    cache = init_cache(cfg.num_layer, NP, PAGE, cfg.kv_head_num,
+                       cfg.size_per_head, jnp.float32)
+    # seed cache with random prior KV so attention has real history
+    key = jax.random.PRNGKey(3)
+    cache = dataclasses.replace(
+        cache, k=jax.random.normal(key, cache.k.shape, jnp.float32),
+        v=jax.random.normal(key, cache.v.shape, jnp.float32))
+
+    _, _, tok_ref, _, lp_ref = decode_step(params, cache, state, cfg,
+                                           use_pallas_attn=False)
+    _, _, tok_pal, _, lp_pal = decode_step(params, cache, state, cfg,
+                                           use_pallas_attn=True)
+    assert np.asarray(tok_ref).tolist() == np.asarray(tok_pal).tolist()
+    np.testing.assert_allclose(np.asarray(lp_ref), np.asarray(lp_pal),
+                               rtol=1e-3, atol=1e-3)
