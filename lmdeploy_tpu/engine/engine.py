@@ -535,6 +535,26 @@ class EngineInstance:
             if out.finished:
                 return
 
+    async def async_stream_infer(self, session_id: int, input_ids,
+                                 gen_config: Optional[GenerationConfig] = None,
+                                 sequence_start: bool = True,
+                                 sequence_end: bool = False, step: int = 0):
+        """Async generator over EngineOutput (reference:
+        TurboMindInstance.async_stream_infer, turbomind.py:211)."""
+        import asyncio
+        req = EngineRequest(
+            session_id=session_id, input_ids=list(map(int, input_ids)),
+            gen_config=gen_config or GenerationConfig(),
+            sequence_start=sequence_start, sequence_end=sequence_end,
+            step=step)
+        out_q = self.engine.submit(req)
+        loop = asyncio.get_running_loop()
+        while True:
+            out: EngineOutput = await loop.run_in_executor(None, out_q.get)
+            yield out
+            if out.finished:
+                return
+
     def infer(self, session_id: int, input_ids, **kw) -> EngineOutput:
         last = None
         for last in self.stream_infer(session_id, input_ids, **kw):

@@ -143,6 +143,9 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
     dh = cfg.size_per_head
     b, t = batch.ids.shape
     is_decode = t == 1
+    # Mosaic tiling requires lane-aligned head_dim; small test models fall
+    # back to the XLA gather path.
+    use_pallas_attn = use_pallas_attn and dh % 128 == 0
 
     emb = params['tok_embedding']
     h_res = emb[batch.ids]  # [B, T, D] (vocab padding rows never indexed)

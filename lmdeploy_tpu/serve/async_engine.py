@@ -1,0 +1,172 @@
+"""AsyncEngine — the serving-layer engine wrapper.
+
+Reference: lmdeploy/serve/async_engine.py:22 — maintains per-session step
+(KV offset) bookkeeping, applies the chat template, tokenizes, and
+streams ``GenOut`` with incremental detokenization.
+
+TPU-native difference: the reference multiplexes requests over a pool of
+``instance_num`` TurboMindInstance generators with an availability bitmap
+because each instance owns a request slot; here ONE continuous-batching
+TPUEngine schedules every request, so instances are free handles and the
+pool exists only for API parity.
+"""
+from __future__ import annotations
+
+import random
+from typing import List, Optional, Union
+
+from ..api import build_engine
+from ..config import EngineConfig
+from ..messages import GenOut, GenerationConfig, ResponseType
+
+
+class AsyncEngine:
+    """Async inference engine over one TPUEngine.
+
+    Args:
+        model_path: workspace or HF dir.
+        instance_num: kept for reference API parity (handles are free).
+        tp: tensor-parallel degree (devices on the mesh).
+    """
+
+    def __init__(self, model_path: str, instance_num: int = 32, tp: int = 1,
+                 engine_config: Optional[EngineConfig] = None, **kw) -> None:
+        if engine_config is None and tp > 1:
+            engine_config = EngineConfig(tp=tp)
+        elif engine_config is not None:
+            engine_config.tp = max(engine_config.tp, tp)
+        self.engine = build_engine(model_path, engine_config=engine_config,
+                                   **kw)
+        self.tokenizer = self.engine.tokenizer
+        self.model = self.engine.chat_template
+        self.tm_model = self.engine  # reference-compatible alias
+        self.instance_num = instance_num
+        self.generators = [self.engine.create_instance()
+                           for _ in range(instance_num)]
+        self.steps = {}
+        self.session_len = self.engine.session_len
+
+    def stop_session(self, session_id: int):
+        self.engine.cancel(session_id)
+
+    def end_session(self, session_id: int):
+        self.engine.end_session(session_id)
+        self.steps[str(session_id)] = 0
+
+    async def get_embeddings(self, prompt: str) -> List[int]:
+        """Token ids of the templated prompt (the reference's
+        /v1/embeddings returns token ids, api_server.py:230)."""
+        prompt = self.model.get_prompt(prompt)
+        return self.tokenizer.encode(prompt)
+
+    def _gen_config(self, request_output_len, top_k, top_p, temperature,
+                    repetition_penalty, ignore_eos, seed) -> GenerationConfig:
+        stop_words = [w for w in (self.model.stop_words or [])]
+        return GenerationConfig(
+            max_new_tokens=request_output_len, top_k=top_k, top_p=top_p,
+            temperature=temperature, repetition_penalty=repetition_penalty,
+            ignore_eos=ignore_eos, random_seed=seed,
+            stop_words=stop_words or None)
+
+    async def generate(
+        self,
+        messages: Union[str, List],
+        session_id: int,
+        stream_response: bool = True,
+        sequence_start: bool = True,
+        sequence_end: bool = False,
+        step: int = 0,
+        request_output_len: int = 512,
+        stop: bool = False,
+        top_k: int = 40,
+        top_p: float = 0.8,
+        temperature: float = 0.8,
+        repetition_penalty: float = 1.0,
+        ignore_eos: bool = False,
+    ):
+        """Stream GenOut for one request (reference: async_engine.py:68)."""
+        instance = self.generators[session_id % self.instance_num]
+        key = str(session_id)
+        if key not in self.steps:
+            self.steps[key] = 0
+        if step != 0:
+            self.steps[key] = step
+        if stop:
+            self.stop_session(session_id)
+            yield GenOut('', self.steps[key], 0, 0, 'cancel')
+            return
+        seed = random.getrandbits(63)
+        prompt = self.model.messages2prompt(messages, sequence_start)
+        input_ids = self.tokenizer.encode(prompt)
+        if self.steps[key] + len(input_ids) >= self.session_len:
+            yield GenOut('', self.steps[key], len(input_ids), 0, 'length')
+            return
+        gen_config = self._gen_config(request_output_len, top_k, top_p,
+                                      temperature, repetition_penalty,
+                                      ignore_eos, seed)
+        response_size = 0
+        tokens = 0
+        finish_reason = None
+        # step != 0 explicitly rewinds the session KV (interactive API);
+        # the engine is stateful about histories so 0 means "append".
+        async for out in instance.async_stream_infer(
+                session_id=session_id, input_ids=input_ids,
+                gen_config=gen_config, sequence_start=sequence_start,
+                sequence_end=sequence_end, step=step):
+            if out.status not in (ResponseType.SUCCESS, ResponseType.FINISH,
+                                  ResponseType.CANCELED):
+                yield GenOut(f'error: {out.status.name}', self.steps[key],
+                             len(input_ids), 0, 'stop')
+                return
+            tokens = out.num_generated
+            if not stream_response and not out.finished:
+                continue
+            text = self.tokenizer.decode(out.token_ids, offset=response_size)
+            response_size = tokens
+            if out.finished:
+                finish_reason = ('stop' if out.status == ResponseType.FINISH
+                                 and tokens < request_output_len
+                                 else 'length'
+                                 if tokens >= request_output_len else 'cancel')
+            yield GenOut(text, self.steps[key], len(input_ids), tokens,
+                         finish_reason)
+        self.steps[key] += len(input_ids) + tokens
+        if sequence_end:
+            self.steps[key] = 0
+
+    async def generate_openai(
+        self,
+        messages: Union[str, List],
+        session_id: int,
+        stream_response: bool = True,
+        renew_session: bool = False,
+        request_output_len: int = 512,
+        stop: bool = False,
+        top_k: int = 40,
+        top_p: float = 0.8,
+        temperature: float = 0.8,
+        repetition_penalty: float = 1.0,
+        ignore_eos: bool = False,
+    ):
+        """OpenAI-flavored generate: session continues until renew_session
+        (reference: async_engine.py:154)."""
+        key = str(session_id)
+        if renew_session:
+            self.end_session(session_id)
+        if key not in self.steps:
+            self.steps[key] = 0
+        sequence_start = self.steps[key] == 0
+        async for out in self.generate(
+                messages, session_id, stream_response=stream_response,
+                sequence_start=sequence_start, sequence_end=False,
+                request_output_len=request_output_len, stop=stop,
+                top_k=top_k, top_p=top_p, temperature=temperature,
+                repetition_penalty=repetition_penalty,
+                ignore_eos=ignore_eos):
+            yield out
+
+    def shutdown(self):
+        self.engine.shutdown()
+
+
+__all__ = ['AsyncEngine']

@@ -1,0 +1,220 @@
+"""OpenAI-compatible HTTP server.
+
+Endpoint-parity with the reference FastAPI server (lmdeploy/serve/openai/
+api_server.py: /v1/models:41, /v1/chat/completions:75, /v1/embeddings:230,
+/generate:253; session id derived from the client host).  Built on aiohttp
+(FastAPI/uvicorn are not available in this environment); responses and SSE
+stream framing match the OpenAI protocol.
+"""
+from __future__ import annotations
+
+import json
+from http import HTTPStatus
+from typing import Optional
+
+from aiohttp import web
+
+from ..async_engine import AsyncEngine
+from .protocol import (ChatCompletionRequest, ChatCompletionResponse,
+                       ChatCompletionResponseChoice,
+                       ChatCompletionResponseStreamChoice,
+                       ChatCompletionStreamResponse, ChatMessage,
+                       DeltaMessage, EmbeddingsRequest, EmbeddingsResponse,
+                       ErrorResponse, GenerateRequest, GenerateResponse,
+                       ModelCard, ModelList, ModelPermission, UsageInfo)
+
+
+class VariableInterface:
+    """Server-global handles (reference: api_server.py:26-30)."""
+    async_engine: Optional[AsyncEngine] = None
+    request_hosts = []
+
+
+def _model_name() -> str:
+    return VariableInterface.async_engine.engine.cfg.model_name
+
+
+def _error(status: HTTPStatus, message: str) -> web.Response:
+    return web.json_response(
+        ErrorResponse(message=message, code=status.value).model_dump(),
+        status=status.value)
+
+
+def _session_id(request: web.Request) -> int:
+    """Session id from client host (reference: api_server.py ip2id)."""
+    host = (request.remote or '127.0.0.1') + str(
+        request.headers.get('X-Session-Id', ''))
+    return abs(hash(host)) % (2 ** 30)
+
+
+async def available_models(request: web.Request) -> web.Response:
+    cards = [ModelCard(id=_model_name(), root=_model_name(),
+                       permission=[ModelPermission()])]
+    return web.json_response(ModelList(data=cards).model_dump())
+
+
+async def _check_model(model: str) -> Optional[web.Response]:
+    if model != _model_name():
+        return _error(
+            HTTPStatus.NOT_FOUND,
+            f'The model `{model}` does not exist.')
+    return None
+
+
+async def chat_completions_v1(raw: web.Request) -> web.StreamResponse:
+    """POST /v1/chat/completions — streaming SSE or full JSON."""
+    try:
+        req = ChatCompletionRequest(**await raw.json())
+    except Exception as e:  # noqa: BLE001
+        return _error(HTTPStatus.BAD_REQUEST, str(e))
+    err = await _check_model(req.model)
+    if err:
+        return err
+    engine = VariableInterface.async_engine
+    session_id = _session_id(raw)
+    gen = engine.generate_openai(
+        req.messages, session_id, stream_response=bool(req.stream),
+        renew_session=bool(req.renew_session),
+        request_output_len=req.max_tokens or 512, stop=bool(req.stop),
+        top_p=req.top_p, temperature=req.temperature,
+        repetition_penalty=req.repetition_penalty,
+        ignore_eos=bool(req.ignore_eos))
+
+    model_name = req.model
+    if req.stream:
+        resp = web.StreamResponse(
+            headers={'Content-Type': 'text/event-stream',
+                     'Cache-Control': 'no-cache'})
+        await resp.prepare(raw)
+        first = ChatCompletionStreamResponse(
+            model=model_name,
+            choices=[ChatCompletionResponseStreamChoice(
+                index=0, delta=DeltaMessage(role='assistant'))])
+        await resp.write(
+            f'data: {first.model_dump_json()}\n\n'.encode())
+        finish = None
+        async for out in gen:
+            finish = out.finish_reason
+            chunk = ChatCompletionStreamResponse(
+                model=model_name,
+                choices=[ChatCompletionResponseStreamChoice(
+                    index=0, delta=DeltaMessage(content=out.response),
+                    finish_reason=None if finish == 'cancel' else finish)])
+            await resp.write(
+                f'data: {chunk.model_dump_json()}\n\n'.encode())
+        await resp.write(b'data: [DONE]\n\n')
+        await resp.write_eof()
+        return resp
+
+    text = ''
+    tokens = 0
+    input_len = 0
+    finish = None
+    async for out in gen:
+        text += out.response
+        tokens = out.generate_token_len
+        input_len = out.input_token_len
+        finish = out.finish_reason
+    payload = ChatCompletionResponse(
+        model=model_name,
+        choices=[ChatCompletionResponseChoice(
+            index=0, message=ChatMessage(role='assistant', content=text),
+            finish_reason=None if finish == 'cancel' else finish)],
+        usage=UsageInfo(prompt_tokens=input_len, completion_tokens=tokens,
+                        total_tokens=input_len + tokens))
+    return web.json_response(payload.model_dump())
+
+
+async def create_embeddings(raw: web.Request) -> web.Response:
+    """POST /v1/embeddings — returns token ids like the reference
+    (api_server.py:230: 'embeddings' are the prompt token ids)."""
+    try:
+        req = EmbeddingsRequest(**await raw.json())
+    except Exception as e:  # noqa: BLE001
+        return _error(HTTPStatus.BAD_REQUEST, str(e))
+    engine = VariableInterface.async_engine
+    inputs = req.input if isinstance(req.input, list) else [req.input]
+    data = []
+    total = 0
+    for i, text in enumerate(inputs):
+        ids = await engine.get_embeddings(text)
+        total += len(ids)
+        data.append({'object': 'embedding', 'embedding': ids, 'index': i})
+    payload = EmbeddingsResponse(
+        data=data, model=req.model or _model_name(),
+        usage=UsageInfo(prompt_tokens=total, total_tokens=total,
+                        completion_tokens=None))
+    return web.json_response(payload.model_dump())
+
+
+async def generate(raw: web.Request) -> web.StreamResponse:
+    """POST /generate — the interactive (non-OpenAI) endpoint with explicit
+    sequence_start/end/stop session control (reference: api_server.py:253)."""
+    try:
+        req = GenerateRequest(**await raw.json())
+    except Exception as e:  # noqa: BLE001
+        return _error(HTTPStatus.BAD_REQUEST, str(e))
+    engine = VariableInterface.async_engine
+    session_id = req.instance_id if req.instance_id >= 0 \
+        else _session_id(raw)
+    gen = engine.generate(
+        req.prompt, session_id, stream_response=req.stream,
+        sequence_start=req.sequence_start, sequence_end=req.sequence_end,
+        request_output_len=req.request_output_len, stop=req.stop,
+        top_p=req.top_p, top_k=req.top_k, temperature=req.temperature,
+        repetition_penalty=req.repetition_penalty,
+        ignore_eos=req.ignore_eos)
+
+    if req.stream:
+        resp = web.StreamResponse(
+            headers={'Content-Type': 'text/event-stream'})
+        await resp.prepare(raw)
+        async for out in gen:
+            item = GenerateResponse(text=out.response,
+                                    tokens=out.generate_token_len,
+                                    finish_reason=out.finish_reason)
+            await resp.write((item.model_dump_json() + '\n').encode())
+        await resp.write_eof()
+        return resp
+
+    text = ''
+    tokens = 0
+    finish = None
+    async for out in gen:
+        text += out.response
+        tokens = out.generate_token_len
+        finish = out.finish_reason
+    return web.json_response(GenerateResponse(
+        text=text, tokens=tokens, finish_reason=finish).model_dump())
+
+
+def build_app(engine: AsyncEngine) -> web.Application:
+    VariableInterface.async_engine = engine
+    app = web.Application()
+    app.router.add_get('/v1/models', available_models)
+    app.router.add_post('/v1/chat/completions', chat_completions_v1)
+    app.router.add_post('/v1/embeddings', create_embeddings)
+    app.router.add_post('/generate', generate)
+    return app
+
+
+def main(model_path: str, server_name: str = '0.0.0.0',
+         server_port: int = 23333, instance_num: int = 32, tp: int = 1,
+         **kw):
+    """Launch the server (reference: api_server.py:320)."""
+    engine = AsyncEngine(model_path, instance_num=instance_num, tp=tp, **kw)
+    app = build_app(engine)
+    web.run_app(app, host=server_name, port=server_port)
+
+
+if __name__ == '__main__':
+    import argparse
+    ap = argparse.ArgumentParser('lmdeploy_tpu api_server')
+    ap.add_argument('model_path')
+    ap.add_argument('--server-name', default='0.0.0.0')
+    ap.add_argument('--server-port', '--port', type=int, default=23333)
+    ap.add_argument('--instance-num', type=int, default=32)
+    ap.add_argument('--tp', type=int, default=1)
+    args = ap.parse_args()
+    main(args.model_path, args.server_name, args.server_port,
+         args.instance_num, args.tp)

@@ -1,0 +1,129 @@
+"""Quantization toolkit tests: AWQ smoothing exactness, calibration
+observers, end-to-end auto_awq -> workspace -> engine, KV qparams export
+(reference test analogue: tests/test_lmdeploy/test_lite/)."""
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+
+@pytest.fixture(scope='module')
+def tiny_hf_llama(tmp_path_factory):
+    """A random tiny HF llama saved to disk (no checkpoints in env)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+    cfg = LlamaConfig(hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=4, vocab_size=256,
+                      max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(cfg).eval()
+    d = tmp_path_factory.mktemp('hf_tiny')
+    model.save_pretrained(d)
+    return str(d), model
+
+
+def test_smoothing_is_exact_reparam(tiny_hf_llama):
+    """Smoothed model must produce identical logits (float64 tolerance)."""
+    from transformers import LlamaForCausalLM
+
+    from lmdeploy_tpu.lite.quantization.awq import smooth_state_dict
+
+    path, model = tiny_hf_llama
+    ids = torch.arange(10)[None] % 256
+    with torch.no_grad():
+        want = model(ids).logits
+
+    sd = {k: v.detach().float().numpy().copy()
+          for k, v in model.state_dict().items()}
+    act = {}
+    for i in range(2):
+        p = f'model.layers.{i}'
+        act[f'{p}.self_attn.q_proj'] = np.abs(
+            np.random.default_rng(i).normal(size=(64,))).astype(np.float32) + 0.1
+        act[f'{p}.mlp.gate_proj'] = np.abs(
+            np.random.default_rng(i + 9).normal(size=(64,))).astype(np.float32) + 0.1
+        act[f'{p}.self_attn.o_proj'] = np.abs(
+            np.random.default_rng(i + 5).normal(size=(64,))).astype(np.float32) + 0.1
+        act[f'{p}.mlp.down_proj'] = np.abs(
+            np.random.default_rng(i + 7).normal(size=(128,))).astype(np.float32) + 0.1
+    smooth_state_dict(sd, 'llama', act, 2, group_size=16)
+
+    model2 = LlamaForCausalLM(model.config).eval()
+    model2.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                            for k, v in sd.items()})
+    with torch.no_grad():
+        got = model2(ids).logits
+    assert torch.allclose(want, got, rtol=1e-3, atol=1e-4)
+
+
+def test_calibrate_and_auto_awq_end_to_end(tiny_hf_llama, tmp_path):
+    from lmdeploy_tpu.api import build_engine
+    from lmdeploy_tpu.config import EngineConfig
+    from lmdeploy_tpu.lite.apis.auto_awq import auto_awq
+    from lmdeploy_tpu.lite.apis.calibrate import calibrate
+    from lmdeploy_tpu.lite.apis.kv_qparams import kv_qparams
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    path, _ = tiny_hf_llama
+    work = str(tmp_path / 'work')
+    dst = str(tmp_path / 'ws')
+    stats = calibrate(path, 'synthetic', calib_samples=2, calib_seqlen=32,
+                      work_dir=work)
+    assert osp.exists(stats)
+    auto_awq(path, work_dir=work, dst=dst, w_group_size=16)
+    assert osp.exists(osp.join(dst, 'weights.safetensors'))
+    with open(osp.join(dst, 'config.json')) as f:
+        cfg = json.load(f)
+    assert cfg['model']['weight_type'] == 'int4'
+
+    # KV-INT8 qparams onto the same workspace
+    kv_qparams(work, dst)
+    with open(osp.join(dst, 'config.json')) as f:
+        cfg = json.load(f)
+    assert cfg['engine']['quant_policy'] == 4
+    assert len(cfg['kv_scales']) == 4
+    assert len(cfg['kv_scales'][0]) == 2  # [L]
+
+    # engine boots from the quantized workspace and generates
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=32, prefill_buckets=(16,),
+                        max_context_token_num=16, use_pallas=False,
+                        step_length=2, quant_policy=4)
+    eng = build_engine(dst, engine_config=ecfg)
+    try:
+        out = eng.create_instance().infer(
+            1, [3, 5, 7], gen_config=GenerationConfig(
+                max_new_tokens=4, top_k=1, ignore_eos=True),
+            sequence_end=True)
+        assert len(out.token_ids) == 4
+    finally:
+        eng.shutdown()
+
+
+def test_quant_error_reduced_by_smoothing(tiny_hf_llama):
+    """AWQ's point: per-channel outlier folding reduces int4 error on the
+    salient channels. Check weight-domain reconstruction error doesn't
+    increase after smoothing for an outlier-heavy synthetic activation."""
+    from lmdeploy_tpu.lite.quantization.awq import smooth_ln_fcs
+    from lmdeploy_tpu.ops.linear import dequantize, quantize_weight_int4
+
+    rng = np.random.default_rng(0)
+    d = 64
+    w = rng.normal(size=(d, d)).astype(np.float32)
+    act = np.ones((d,), np.float32)
+    act[::8] = 50.0  # outlier channels
+    sd = {'ln.weight': np.ones((d,), np.float32), 'fc.weight': w.copy()}
+    s = smooth_ln_fcs(sd, 'ln', ['fc'], act, group_size=16)
+    assert np.all(s > 0)
+
+    def recon_err(weight, x_scale):
+        qw = quantize_weight_int4(weight.T, group_size=16)
+        deq = np.asarray(dequantize(qw, np.float32)).T
+        return np.abs((deq - weight) * x_scale[None, :]).mean()
+
+    base = recon_err(w, act)
+    smoothed = recon_err(sd['fc.weight'], act / s)
+    assert smoothed <= base * 1.05

@@ -1,0 +1,127 @@
+"""Serving-layer tests: AsyncEngine streaming + the OpenAI HTTP server
+(aiohttp TestClient, no sockets) — covers the reference's api_server
+endpoints /v1/models, /v1/chat/completions (stream & non-stream),
+/v1/embeddings, /generate."""
+import asyncio
+import json
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lmdeploy_tpu.config import EngineConfig, ModelConfig
+from lmdeploy_tpu.engine.engine import TPUEngine
+from lmdeploy_tpu.serve.async_engine import AsyncEngine
+
+CFG = ModelConfig(model_name='tiny', head_num=2, kv_head_num=2,
+                  size_per_head=16, inter_size=64, num_layer=2,
+                  vocab_size=512, rotary_embedding=16,
+                  max_position_embeddings=256, session_len=256, end_id=2)
+ECFG = EngineConfig(max_batch_size=4, session_len=128, page_size=8,
+                    num_pages=64, max_context_token_num=32,
+                    prefill_buckets=(16, 32), use_pallas=False,
+                    step_length=4)
+
+
+@pytest.fixture(scope='module')
+def async_engine(tmp_path_factory):
+    from lmdeploy_tpu.convert.converter import save_workspace
+    from lmdeploy_tpu.models.llama import init_params
+    ws = tmp_path_factory.mktemp('ws')
+    params = init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    save_workspace(str(ws), CFG, params, ECFG)
+    eng = AsyncEngine(str(ws), instance_num=2)
+    yield eng
+    eng.shutdown()
+
+
+def drain(agen):
+    async def run():
+        out = []
+        async for item in agen:
+            out.append(item)
+        return out
+    return asyncio.run(run())
+
+
+def test_async_engine_generate_stream(async_engine):
+    outs = drain(async_engine.generate('hello world', 1,
+                                       request_output_len=6,
+                                       ignore_eos=True, top_k=1,
+                                       sequence_end=True))
+    assert outs, 'no outputs'
+    assert outs[-1].finish_reason in ('stop', 'length')
+    assert outs[-1].generate_token_len > 0
+
+
+def test_async_engine_openai_session_resume(async_engine):
+    o1 = drain(async_engine.generate_openai('turn one', 7,
+                                            request_output_len=4,
+                                            ignore_eos=True, top_k=1))
+    assert o1[-1].generate_token_len > 0
+    # continuation should reuse the session (steps > 0 -> not seq start)
+    o2 = drain(async_engine.generate_openai('turn two', 7,
+                                            request_output_len=4,
+                                            ignore_eos=True, top_k=1))
+    assert o2[-1].generate_token_len > 0
+    assert async_engine.steps['7'] > 0
+    drain(async_engine.generate_openai('fresh', 7, renew_session=True,
+                                       request_output_len=2,
+                                       ignore_eos=True, top_k=1))
+
+
+def test_api_server_endpoints(async_engine):
+    from aiohttp.test_utils import TestClient, TestServer
+    from lmdeploy_tpu.serve.openai.api_server import build_app
+
+    async def run():
+        app = build_app(async_engine)
+        async with TestClient(TestServer(app)) as client:
+            r = await client.get('/v1/models')
+            assert r.status == 200
+            models = await r.json()
+            assert models['data'][0]['id'] == 'tiny'
+
+            payload = {'model': 'tiny', 'messages': 'hi there',
+                       'max_tokens': 4, 'ignore_eos': True}
+            r = await client.post('/v1/chat/completions', json=payload)
+            assert r.status == 200
+            body = await r.json()
+            assert body['choices'][0]['message']['role'] == 'assistant'
+            assert body['usage']['completion_tokens'] > 0
+
+            r = await client.post('/v1/chat/completions',
+                                  json={**payload, 'stream': True})
+            assert r.status == 200
+            text = (await r.read()).decode()
+            assert 'data:' in text and '[DONE]' in text
+
+            r = await client.post('/v1/chat/completions',
+                                  json={**payload, 'model': 'nope'})
+            assert r.status == 404
+
+            r = await client.post('/v1/embeddings',
+                                  json={'input': 'abc'})
+            assert r.status == 200
+            emb = await r.json()
+            assert isinstance(emb['data'][0]['embedding'], list)
+
+            r = await client.post('/generate', json={
+                'prompt': 'once upon', 'instance_id': 99,
+                'request_output_len': 4, 'ignore_eos': True,
+                'sequence_end': True})
+            assert r.status == 200
+            gen = await r.json()
+            assert gen['tokens'] > 0
+
+            # streaming /generate
+            r = await client.post('/generate', json={
+                'prompt': 'zap', 'instance_id': 98, 'stream': True,
+                'request_output_len': 4, 'ignore_eos': True,
+                'sequence_end': True})
+            lines = [json.loads(x) for x in (await r.read()).decode()
+                     .strip().splitlines() if x.strip()]
+            assert lines and lines[-1]['tokens'] > 0
+
+    asyncio.run(run())
