@@ -86,9 +86,26 @@ def main():
             t_first = time.perf_counter()
         n = out.num_generated
     t_end = time.perf_counter()
+    toks = n / (t_end - t0)
+
+    # batched decode throughput (continuous batching, 4 concurrent)
+    import threading
+    counts = [0] * 4
+    gen_b = GenerationConfig(max_new_tokens=256, top_k=1, ignore_eos=True)
+
+    def worker(i):
+        for out in inst.stream_infer(10 + i, [1], gen_b, sequence_end=True):
+            counts[i] = out.num_generated
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    tb0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    batch_toks = sum(counts) / (time.perf_counter() - tb0)
     eng.shutdown()
 
-    toks = n / (t_end - t0)
     print(json.dumps({
         'metric': 'llama2-7b w4a16 decode tok/s (bs1, 1 in / 512 out)',
         'value': round(toks, 1),
@@ -96,6 +113,7 @@ def main():
         'vs_baseline': round(toks / BASELINE_TOKS, 3),
         'detail': {
             'ttft_ms': round((t_first - t0) * 1e3, 1) if t_first else None,
+            'bs4_throughput_tok_s': round(batch_toks, 1),
             'out_tokens': n,
             'device': str(jax.devices()[0]),
         },

@@ -115,6 +115,7 @@ class TPUEngine:
                                     engine_cfg.cache_max_entry_count)
 
         self.slots: List[Optional[_Slot]] = [None] * b
+        self._fresh_admission = False
         self._requests: queue.Queue = queue.Queue()
         self._pending: List = []  # requests waiting for a free slot
         self._shutdown = False
@@ -373,6 +374,7 @@ class TPUEngine:
                                      self._stop_sequences(gen)
                                      if len(sw) > 1])
         self.slots[slot_idx] = slot
+        self._fresh_admission = True  # short first round for TTFT
         seq.token_ids = all_ids
 
         # chunked prefill (reference LlamaBatch.cc:795-858)
@@ -454,10 +456,13 @@ class TPUEngine:
     def _decode_round(self, steps: int):
         """One device round of ``steps`` decode steps with a single
         dispatch + a single [2, k, B] readback (reference: step_length;
-        here it also amortizes host<->device link latency)."""
+        here it also amortizes host<->device link latency).  The first
+        round after an admission runs a single step so the first token
+        streams out immediately (TTFT)."""
         if not any(s is not None and not s.done for s in self.slots):
             return
-        k = max(1, steps)
+        k = 1 if self._fresh_admission else max(1, steps)
+        self._fresh_admission = False
         self._grow_pages(k)
         self.cache, self.state, packed, logprob = self.fns.decode_steps(
             self.params, self.cache, self.state, num_steps=k)

@@ -142,6 +142,7 @@ def sample_step(logits, state: SamplingState, history, history_len,
     Returns:
       (tokens int32 [B], new_rng_key uint32 [B,2], token_logprob f32 [B])
     """
+    b, v = logits.shape
     logits = logits.astype(jnp.float32)
     logits = ban_words(logits, state.bad_words)
     logits = mask_eos_below_min_len(logits, state.eos_id, generated,
@@ -149,20 +150,36 @@ def sample_step(logits, state: SamplingState, history, history_len,
     logits = apply_repetition_penalty(logits, history, history_len,
                                       state.repetition_penalty)
     logits = logits / jnp.maximum(state.temperature, 1e-5)[:, None]
-    logits = top_k_mask(logits, state.top_k)
-    logits = top_p_mask(logits, state.top_p)
-    logits = min_p_mask(logits, state.min_p)
 
-    # Greedy when temperature ~ 0 is expressed as top_k == 1 upstream; the
-    # categorical below then has a single finite logit.
+    # Candidate-set pipeline: ONE top_k(MAX_TOPK) replaces the reference's
+    # separate TopK kernel + full-vocab sort in TopP
+    # (sampling_topp_kernels.cu) — top-k masking, nucleus filtering, min-p
+    # and the categorical all run on the sorted [B, 1024] candidates.
+    # (k == 0 with p ~ 1 thus truncates pure temperature sampling to the
+    # top 1024 tokens; beyond-top-1024 mass is negligible in practice.)
+    c = min(MAX_TOPK, v)
+    vals, idx = jax.lax.top_k(logits, c)              # [B, C] desc-sorted
+    pos = jnp.arange(c)[None]
+    kk = jnp.where(state.top_k <= 0, c,
+                   jnp.clip(state.top_k, 1, c))[:, None]
+    vals = jnp.where(pos < kk, vals, NEG_INF)
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    inside = (cum - probs) < state.top_p[:, None]     # keeps >= 1 token
+    vals = jnp.where(inside, vals, NEG_INF)
+    cutoff = probs[:, :1] * state.min_p[:, None]      # max prob is first
+    vals = jnp.where((probs >= cutoff) | (state.min_p[:, None] <= 0.0),
+                     vals, NEG_INF)
+
     keys = jax.vmap(jax.random.wrap_key_data)(state.rng_key)
     split = jax.vmap(jax.random.split)(keys)  # [B, 2] keys
     new_keys = jax.vmap(jax.random.key_data)(split[:, 0])
     sample_keys = split[:, 1]
-    tokens = jax.vmap(lambda k, lg: jax.random.categorical(k, lg))(
-        sample_keys, logits)
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
-    tok_logprob = jnp.take_along_axis(logprobs, tokens[:, None], axis=1)[:, 0]
+    tok_c = jax.vmap(lambda k, lg: jax.random.categorical(k, lg))(
+        sample_keys, vals)                            # [B] candidate index
+    tokens = jnp.take_along_axis(idx, tok_c[:, None], axis=1)[:, 0]
+    logprobs = jax.nn.log_softmax(vals, axis=-1)
+    tok_logprob = jnp.take_along_axis(logprobs, tok_c[:, None], axis=1)[:, 0]
     return tokens.astype(jnp.int32), new_keys, tok_logprob
 
 
