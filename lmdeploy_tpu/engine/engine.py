@@ -110,9 +110,25 @@ class TPUEngine:
             self.fns = CompiledStepFns(model_cfg,
                                        use_pallas_attn=self._pallas_enabled())
 
-        self.allocator = PageAllocator(num_pages)
-        self.seqs = SequenceManager(self.allocator, page,
-                                    engine_cfg.cache_max_entry_count)
+        # Session store: native C++ cache manager (csrc/cache_manager.cpp,
+        # the reference's LlamaCacheManager as a host runtime component)
+        # with the pure-Python manager as fallback.
+        import os
+        self.seqs = None
+        if os.environ.get('LMDEPLOY_TPU_NATIVE', '1') != '0':
+            try:
+                from ..kvcache.native import NativeSequenceManager, load
+                if load() is not None:
+                    self.seqs = NativeSequenceManager(
+                        num_pages, page, engine_cfg.cache_max_entry_count)
+            except Exception:
+                log.exception('native cache manager unavailable; '
+                              'falling back to Python')
+        if self.seqs is None:
+            self.allocator = PageAllocator(num_pages)
+            self.seqs = SequenceManager(self.allocator, page,
+                                        engine_cfg.cache_max_entry_count)
+        self._scratch_id = -(1 << 40)  # logits-path scratch session ids
 
         self.slots: List[Optional[_Slot]] = [None] * b
         self._fresh_admission = False
@@ -271,7 +287,8 @@ class TPUEngine:
                                    finished=True))
             return
         buckets = list(self.ecfg.prefill_buckets)
-        scratch_id = object()  # unique key, can't collide with sessions
+        self._scratch_id -= 1  # unique negative key, can't collide
+        scratch_id = self._scratch_id
         seq = self.seqs.create(scratch_id)
         seq.active = True  # shield from LRU eviction / trim
         try:

@@ -191,3 +191,38 @@ def test_random_seed_reproducible(engine):
     b = collect(inst.stream_infer(121, [5, 6, 7], cfg,
                                   sequence_end=True))[-1].token_ids
     assert a == b
+
+
+def test_native_cache_manager_parity():
+    """The C++ cache manager mirrors the Python SequenceManager semantics
+    (alloc/grow/LRU-evict/token retention/rng snapshot)."""
+    pytest.importorskip('ctypes')
+    from lmdeploy_tpu.kvcache.manager import NoFreePages
+    from lmdeploy_tpu.kvcache.native import NativeSequenceManager, load
+    if load() is None:
+        pytest.skip('libtpucache.so not built')
+    m = NativeSequenceManager(num_pages=4, page_size=8, max_entries=0)
+    a = m.create(1)
+    a.token_ids = [1, 2, 3]
+    m.grow(a, 3)
+    assert len(a.pages) == 1 and m.free_count == 3
+    a.cache_len = 3
+    a.token_ids.append(9)
+    assert list(a.token_ids) == [1, 2, 3, 9]
+    a.rng_key = np.asarray([7, 8], np.uint32)
+    assert a.rng_key.tolist() == [7, 8]
+    m.release(a)
+    # pressure: new sequence needs all pages -> evicts seq 1 (inactive)
+    b = m.create(2)
+    m.grow(b, 32)
+    assert len(b.pages) == 4
+    a2 = m.fetch(1)
+    assert a2 is not None and a2.cache_len == 0 and not a2.pages
+    assert list(a2.token_ids) == [1, 2, 3, 9]  # tokens survive eviction
+    b.active = True
+    c = m.create(3)
+    with pytest.raises(NoFreePages):
+        m.grow(c, 8)  # b active, nothing evictable
+    m.erase(2)
+    m.grow(c, 8)
+    assert len(c.pages) == 1
