@@ -5,7 +5,9 @@ Commands mirror the reference's python -m entrypoints:
   convert   checkpoint -> workspace         (lmdeploy.serve.turbomind.deploy)
   serve     OpenAI-compatible API server    (lmdeploy.serve.openai.api_server)
   lite      quantization toolkit            (lmdeploy.lite)
-  bench     decode throughput benchmark     (benchmark/profile_generation.py)
+  chat-baseline  HF eager baseline chat     (lmdeploy.pytorch.chat)
+
+Benchmarks live in benchmark/ (profile_generation / throughput / serving).
 """
 from __future__ import annotations
 
@@ -26,13 +28,13 @@ def main(argv=None):
         return conv_main(rest)
     if cmd == 'serve':
         from ..serve.openai.api_server import main as serve_main
-        return serve_main(rest)
+        return serve_main(rest[0], **_kw(rest[1:]))
     if cmd == 'lite':
         from ..lite.cli import main as lite_main
         return lite_main(rest)
-    if cmd == 'bench':
-        from benchmark.profile_generation import main as bench_main
-        return bench_main(rest)
+    if cmd == 'chat-baseline':
+        from ..pytorch.chat import main as pt_main
+        return pt_main(rest[0], **_kw(rest[1:]))
     print(f'unknown command: {cmd}\n{__doc__}')
     return 1
 

@@ -16,7 +16,6 @@ device state through small jitted surgery functions with buffer donation.
 from __future__ import annotations
 
 import dataclasses
-import logging
 import queue
 import threading
 import time
@@ -33,9 +32,10 @@ from ..messages import (EngineOutput, EngineRequest, GenerationConfig,
                         ResponseType)
 from ..models.llama import vocab_padded
 from ..ops.sampling import SamplingState
+from ..utils.logger import get_logger
 from .step import CompiledStepFns, init_decode_state
 
-log = logging.getLogger('lmdeploy_tpu')
+log = get_logger()
 
 
 def _bucket_for(length: int, buckets) -> int:

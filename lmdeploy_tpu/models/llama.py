@@ -34,6 +34,7 @@ from ..ops.attention import gqa_attention
 from ..ops.linear import QuantizedWeight, linear, quantize_weight_int4
 from ..ops.norms import rms_norm
 from ..ops.rope import rope_qk
+from ..utils.debug import dbg
 
 
 @jax.tree_util.register_dataclass
@@ -202,6 +203,7 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
         if axis:
             f = jax.lax.psum(f, axis)
         h = h + f
+        dbg('layer_out', h)   # golden-file debugging (utils/debug.py)
         return (h, cache_k, cache_v, layer + 1), None
 
     lw_stacked = dict(params['layers'])
@@ -223,6 +225,7 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
                      preferred_element_type=jnp.float32)
     if axis:
         logits = _all_gather_logits(logits, axis)
+    dbg('logits', logits)
     return logits, new_cache
 
 
