@@ -132,6 +132,7 @@ class TPUEngine:
 
         self.slots: List[Optional[_Slot]] = [None] * b
         self._fresh_admission = False
+        self._last_rng: Optional[np.ndarray] = None  # [B, 2] host rng copy
         self._requests: queue.Queue = queue.Queue()
         self._pending: List = []  # requests waiting for a free slot
         self._shutdown = False
@@ -295,7 +296,7 @@ class TPUEngine:
             self.seqs.grow(seq, len(ids))
             row = np.full((self.max_pages_per_seq,), -1, np.int32)
             row[:len(seq.pages)] = seq.pages
-            row_dev = jnp.asarray(row)
+            row_dev = row
             out = []
             pos = 0
             remaining = ids
@@ -306,9 +307,8 @@ class TPUEngine:
                 padded = np.zeros((bucket,), np.int32)
                 padded[:len(chunk)] = chunk
                 self.cache, logits = self.fns.prefill_logits_row(
-                    self.params, self.cache, row_dev,
-                    jnp.asarray(padded), jnp.int32(pos),
-                    jnp.int32(len(chunk)))
+                    self.params, self.cache, row_dev, padded,
+                    np.int32(pos), np.int32(len(chunk)))
                 out.append(np.asarray(logits[:len(chunk),
                                              :self.cfg.vocab_size]))
                 pos += len(chunk)
@@ -379,11 +379,12 @@ class TPUEngine:
         # sampling row
         srow = self._sampling_row(gen, seq, max_new)
 
+        # numpy/python args transfer inside the ONE jitted dispatch —
+        # eager jnp conversions each cost a host<->device round trip.
         self.state = self.fns.install_slot(
             self.state, slot_idx,
-            jnp.int32(all_ids[-1]), jnp.int32(total_len - 1),
-            jnp.asarray(hist), jnp.int32(total_len),
-            jnp.asarray(page_row), srow)
+            np.int32(all_ids[-1]), np.int32(total_len - 1),
+            hist, np.int32(total_len), page_row, srow)
 
         slot = _Slot(request=req, seq=seq, out_q=out_q,
                      context_len=total_len - 1, prompt_len=total_len,
@@ -414,24 +415,27 @@ class TPUEngine:
         bw = [int(x) for x in (gen.bad_words or [])]
         bad[:min(8, len(bw))] = bw[:8]
         if seq.rng_key is not None and gen.random_seed is None:
-            key = jnp.asarray(seq.rng_key, jnp.uint32)
+            key = np.asarray(seq.rng_key, np.uint32)
         else:
             seed = gen.random_seed if gen.random_seed is not None \
                 else np.random.randint(0, 2 ** 31 - 1)
-            key = jax.random.key_data(jax.random.PRNGKey(int(seed)))
+            # threefry key data on host (what jax.random.PRNGKey builds)
+            seed = int(seed)
+            key = np.array([seed >> 32 & 0xFFFFFFFF, seed & 0xFFFFFFFF],
+                           np.uint32)
         return SamplingState(
-            top_k=jnp.int32(gen.top_k or 0),
-            top_p=jnp.float32(gen.top_p),
-            min_p=jnp.float32(gen.min_p),
-            temperature=jnp.float32(gen.temperature),
-            repetition_penalty=jnp.float32(gen.repetition_penalty),
-            rng_key=key.astype(jnp.uint32),
-            bad_words=jnp.asarray(bad),
-            stop_words=jnp.asarray(stop),
-            eos_id=jnp.int32(self.cfg.end_id),
-            ignore_eos=jnp.asarray(gen.ignore_eos),
-            min_new_tokens=jnp.int32(gen.min_new_tokens),
-            max_new_tokens=jnp.int32(max_new),
+            top_k=np.int32(gen.top_k or 0),
+            top_p=np.float32(gen.top_p),
+            min_p=np.float32(gen.min_p),
+            temperature=np.float32(gen.temperature),
+            repetition_penalty=np.float32(gen.repetition_penalty),
+            rng_key=key,
+            bad_words=bad,
+            stop_words=stop,
+            eos_id=np.int32(self.cfg.end_id),
+            ignore_eos=np.asarray(gen.ignore_eos),
+            min_new_tokens=np.int32(gen.min_new_tokens),
+            max_new_tokens=np.int32(max_new),
         )
 
     # -- prefill ----------------------------------------------------------------
@@ -447,8 +451,8 @@ class TPUEngine:
             padded = np.zeros((bucket,), np.int32)
             padded[:len(chunk)] = chunk
             self.cache, _ = self.fns.prefill_chunk(
-                self.params, self.cache, self.state, slot_idx,
-                jnp.asarray(padded), jnp.int32(pos), jnp.int32(len(chunk)))
+                self.params, self.cache, self.state, np.int32(slot_idx),
+                padded, np.int32(pos), np.int32(len(chunk)))
             pos += len(chunk)
         slot = self.slots[slot_idx]
         slot.seq.cache_len = pos
@@ -467,8 +471,7 @@ class TPUEngine:
                 self.seqs.grow(slot.seq, need_tokens)
                 row = np.full((self.max_pages_per_seq,), -1, np.int32)
                 row[:len(slot.seq.pages)] = slot.seq.pages
-                self.state = self.fns.set_page_row(self.state, i,
-                                                   jnp.asarray(row))
+                self.state = self.fns.set_page_row(self.state, i, row)
 
     def _decode_round(self, steps: int):
         """One device round of ``steps`` decode steps with a single
@@ -483,7 +486,8 @@ class TPUEngine:
         self._grow_pages(k)
         self.cache, self.state, packed, logprob = self.fns.decode_steps(
             self.params, self.cache, self.state, num_steps=k)
-        arr = np.asarray(packed)  # [2, k, B]
+        arr = np.asarray(packed)  # [2, k+1, B]; row k carries rng keys
+        self._last_rng = np.ascontiguousarray(arr[:, k].T).view(np.uint32)
         for t in range(k):
             self._emit(arr[0, t], arr[1, t])
             if not any(s is not None and not s.done for s in self.slots):
@@ -523,9 +527,13 @@ class TPUEngine:
         slot = self.slots[slot_idx]
         if slot is None:
             return
-        # snapshot RNG key for reproducible continuation
-        key_row = np.asarray(self.state.sampling.rng_key[slot_idx])
-        slot.seq.rng_key = key_row
+        # snapshot RNG key for reproducible continuation (host copy from
+        # the last round's readback; device fetch only if no round ran)
+        if self._last_rng is not None:
+            slot.seq.rng_key = self._last_rng[slot_idx]
+        else:
+            slot.seq.rng_key = np.asarray(
+                self.state.sampling.rng_key[slot_idx])
         self.state = self.fns.clear_slot(self.state, slot_idx)
         if slot.request.sequence_end:
             self.seqs.erase(slot.request.session_id)

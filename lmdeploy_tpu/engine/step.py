@@ -129,6 +129,12 @@ def decode_steps(params, cache: KVCache, state: DecodeState,
     (cache, state), (toks, fins, logprobs) = jax.lax.scan(
         body, (cache, state), length=num_steps)
     packed = jnp.stack([toks, fins.astype(jnp.int32)])  # [2, k, B]
+    # Piggyback the RNG snapshot on the same readback: retiring a slot
+    # needs its key (reference: curand state save, LlamaBatch.cc:1097) and
+    # a separate device fetch costs a full host link round trip.
+    rng = jax.lax.bitcast_convert_type(state.sampling.rng_key,
+                                       jnp.int32).T[:, None, :]  # [2,1,B]
+    packed = jnp.concatenate([packed, rng], axis=1)  # [2, k+1, B]
     return cache, state, packed, logprobs
 
 
