@@ -30,10 +30,16 @@ def random_int4_params(cfg, key):
     vp = vocab_padded(cfg)
     keys = iter(jax.random.split(key, 16))
 
+    def _rand_u4(key, shape):
+        # uint32 bits bitcast to u8 (uint8 RNG would materialize 4x u32)
+        w32 = jax.random.bits(key, (*shape[:-1], shape[-1] // 4),
+                              jnp.uint32)
+        u8 = jax.lax.bitcast_convert_type(w32, jnp.uint8).reshape(shape)
+        return u8 & jnp.uint8(0xF)
+
     def qw(k_dim, n_dim):
         return QuantizedWeight(
-            qvals=jax.random.randint(next(keys), (nl, k_dim, n_dim),
-                                     0, 16, jnp.int32).astype(jnp.uint8),
+            qvals=_rand_u4(next(keys), (nl, k_dim, n_dim)),
             scales=jnp.full((nl, k_dim // g, n_dim), 0.002, jnp.bfloat16),
             zeros=jnp.full((nl, k_dim // g, n_dim), 8.0, jnp.bfloat16))
 
