@@ -1,0 +1,164 @@
+"""Pallas paged prefill (context) attention.
+
+The reference's prefill path is a vendored flash-attention-2 fork with
+per-batch KV pointer indirection and mismatched Q/K lengths for history
+reuse (src/turbomind/models/llama/flash_attention2/, flash_api.cpp:167).
+Here: block-wise online-softmax attention for ONE slot's prompt chunk,
+reading K/V straight from the paged pool (the XLA fallback gathers the
+full max_pages extent — ~134MB per layer per chunk).
+
+Grid: one program per 128-token q block; each walks only the pages that
+are causally visible to its block, double-buffering page DMA.  The chunk
+attends over cached history plus itself (causal mask offset by the
+block's absolute positions — the FA2 fork's mismatched-QK capability).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Q_BLOCK = 128
+
+
+def _prefill_kernel(page_table_ref, end_pos_ref, layer_ref,  # prefetch
+                    q_ref, k_hbm, v_hbm, qp_ref,
+                    o_ref,
+                    k_buf, v_buf, sem,
+                    *, page_size: int, kh: int, g: int, dh: int,
+                    start_pos: None, quantized: bool, scale: float):
+    qi = pl.program_id(0)
+    layer = layer_ref[0]
+    start = end_pos_ref[1]          # absolute position of ids[0]
+    ctx_end = end_pos_ref[0]        # start + valid length
+    blk_start = start + qi * Q_BLOCK
+    # pages causally visible to this block's LAST query
+    last_q_pos = jnp.minimum(blk_start + Q_BLOCK - 1, ctx_end - 1)
+    num_pages = jax.lax.div(last_q_pos, page_size) + 1
+
+    q = q_ref[:].astype(jnp.float32) * scale           # [QB, KH*G, Dh]
+    qh = q.reshape(Q_BLOCK, kh, g, dh).transpose(1, 0, 2, 3) \
+          .reshape(kh, Q_BLOCK * g, dh)                # [KH, QB*G, Dh]
+    q_pos = blk_start + jax.lax.broadcasted_iota(
+        jnp.int32, (1, Q_BLOCK, 1, 1), 1)              # [1, QB, 1, 1]
+
+    def dma(slot, page_idx):
+        phys = page_table_ref[page_idx]
+        return (pltpu.make_async_copy(k_hbm.at[layer, phys], k_buf.at[slot],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(v_hbm.at[layer, phys], v_buf.at[slot],
+                                      sem.at[slot, 1]))
+
+    for c in dma(0, 0):
+        c.start()
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < num_pages)
+        def _():
+            for c in dma(jax.lax.rem(i + 1, 2), i + 1):
+                c.start()
+
+        for c in dma(slot, i):
+            c.wait()
+        k = k_buf[slot]                                # [page, KH, Dh]
+        v = v_buf[slot]
+        if quantized:
+            k = (k.astype(jnp.float32) - qp_ref[1]) * qp_ref[0]
+            v = (v.astype(jnp.float32) - qp_ref[3]) * qp_ref[2]
+        else:
+            k = k.astype(jnp.float32)
+            v = v.astype(jnp.float32)
+        k_t = k.transpose(1, 2, 0)                     # [KH, Dh, page]
+        v_t = v.transpose(1, 0, 2)                     # [KH, page, Dh]
+        s = jax.lax.dot_general(                       # [KH, QB*G, page]
+            qh, k_t, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        kv_pos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, 1, page_size), 3)        # [1,1,1,page]
+        ok = (kv_pos <= q_pos) & (kv_pos < ctx_end)    # [1, QB, 1, page]
+        ok = jnp.broadcast_to(ok, (kh, Q_BLOCK, g, page_size)) \
+                .reshape(kh, Q_BLOCK * g, page_size)
+        s = jnp.where(ok, s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(                      # [KH, QB*G, Dh]
+            p, v_t, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        acc = acc * alpha[..., None] + pv
+        return m_new, l_new, acc
+
+    m0 = jnp.full((kh, Q_BLOCK * g), -1e30, jnp.float32)
+    l0 = jnp.zeros((kh, Q_BLOCK * g), jnp.float32)
+    acc0 = jnp.zeros((kh, Q_BLOCK * g, dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-20)[..., None]       # [KH, QB*G, Dh]
+    out = out.reshape(kh, Q_BLOCK, g, dh).transpose(1, 0, 2, 3)
+    o_ref[:] = out.reshape(Q_BLOCK, kh * g, dh).astype(o_ref.dtype)
+
+
+def paged_prefill_attention(q, k_cache, v_cache, layer, page_row,
+                            start_pos, context_end, qparams4, *,
+                            quantized: bool, interpret: bool = False):
+    """Prefill attention of one slot's chunk over the paged pool.
+
+    Args:
+      q: [T, KH*G, Dh] rope'd queries of the chunk (T a multiple of 128,
+        padding tokens allowed — their output is garbage, masked upstream).
+      k_cache/v_cache: FULL pool [L, P, page, KH, Dh]; the chunk's K/V
+        must already be written.
+      layer: int32 scalar.
+      page_row: int32 [max_pages] for this slot.
+      start_pos: int32 scalar absolute position of q[0].
+      context_end: int32 scalar = start_pos + valid chunk length.
+      qparams4: f32 [4] per-layer INT8 qparams.
+    Returns [T, KH*G, Dh] in q.dtype.
+    """
+    t, h, dh = q.shape
+    assert t % Q_BLOCK == 0, t
+    kh = k_cache.shape[-2]
+    g = h // kh
+    page_size = k_cache.shape[-3]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t // Q_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((Q_BLOCK, h, dh), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((Q_BLOCK, h, dh), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, page_size, kh, dh), k_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dh), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
+        start_pos=None, quantized=quantized, scale=dh ** -0.5)
+    end_pos = jnp.stack([jnp.asarray(context_end, jnp.int32),
+                         jnp.asarray(start_pos, jnp.int32)])
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, h, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(jnp.maximum(page_row, 0), end_pos,
+      jnp.reshape(layer, (1,)).astype(jnp.int32), q, k_cache, v_cache,
+      jnp.asarray(qparams4, jnp.float32))
+
+
+__all__ = ['paged_prefill_attention', 'Q_BLOCK']

@@ -106,3 +106,38 @@ def test_forward_pallas_matches_gather_interpret(monkeypatch):
     assert np.asarray(tok_ref).tolist() == np.asarray(tok_pal).tolist()
     np.testing.assert_allclose(np.asarray(lp_ref), np.asarray(lp_pal),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize('kh,g,start', [(2, 1, 0), (2, 2, 37)])
+def test_paged_prefill_attention_matches_gather(kh, g, start):
+    """Chunked prefill attention over pages == gather reference, incl.
+    history offset (mismatched Q/K lengths, the FA2-fork capability)."""
+    from lmdeploy_tpu.ops.pallas.prefill_attention import \
+        paged_prefill_attention
+
+    rng = np.random.default_rng(2)
+    DH, PAGE, MAXP, P, L, T = 128, 64, 8, 24, 2, 256
+    h = kh * g
+    length = 200  # valid tokens in the chunk (rest padding)
+    ctx_end = start + length
+    k_cache = jnp.asarray(rng.normal(size=(L, P, PAGE, kh, DH)), jnp.float32)
+    v_cache = jnp.asarray(rng.normal(size=(L, P, PAGE, kh, DH)), jnp.float32)
+    pt = np.full((MAXP,), -1, np.int32)
+    need = -(-ctx_end // PAGE)
+    pt[:need] = rng.choice(P, size=need, replace=False)
+    q = jnp.asarray(rng.normal(size=(T, h, DH)), jnp.float32)
+    layer = 1
+
+    got = paged_prefill_attention(
+        q, k_cache, v_cache, jnp.int32(layer), jnp.asarray(pt),
+        jnp.int32(start), jnp.int32(ctx_end),
+        jnp.ones((4,), jnp.float32), quantized=False, interpret=True)
+
+    kk, vv = gather_kv_layer(k_cache[layer], v_cache[layer],
+                             jnp.asarray(pt)[None], None, dtype=jnp.float32)
+    q_pos = (start + np.arange(T)).astype(np.int32)
+    want = gqa_attention(q[None], kk, vv, jnp.asarray(q_pos)[None],
+                         jnp.asarray([ctx_end]))[0]
+    np.testing.assert_allclose(np.asarray(got)[:length],
+                               np.asarray(want)[:length],
+                               rtol=2e-3, atol=2e-3)
