@@ -73,7 +73,7 @@ def main():
                       session_len=2048, weight_type='int4', group_size=128)
     ecfg = EngineConfig(max_batch_size=4, session_len=2048, page_size=64,
                         num_pages=4 * 32 + 8, max_context_token_num=512,
-                        prefill_buckets=(64, 512), step_length=32)
+                        prefill_buckets=(64, 512), step_length=64)
     params = random_int4_params(cfg, jax.random.PRNGKey(0))
     eng = TPUEngine(cfg, ecfg, params)
     inst = eng.create_instance()
