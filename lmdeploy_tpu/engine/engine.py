@@ -204,13 +204,13 @@ class TPUEngine:
             busy = any(s is not None for s in self.slots) or self._pending
             try:
                 timeout = 0.0 if busy else 0.05
-                item = self._requests.get(timeout=timeout)
-                self._handle_request(*item)
+                batch = [self._requests.get(timeout=timeout)]
                 while True:  # drain whatever else queued
                     try:
-                        self._handle_request(*self._requests.get_nowait())
+                        batch.append(self._requests.get_nowait())
                     except queue.Empty:
                         break
+                self._handle_batch(batch)
             except queue.Empty:
                 pass
             except Exception:
@@ -238,6 +238,26 @@ class TPUEngine:
                 self.slots[i] = None
 
     # -- request handling ------------------------------------------------------
+    def _handle_batch(self, batch):
+        """Stops first; duplicate session ids among queued inference
+        requests rejected (reference verifyRequests SESSION_REPEAT,
+        Request.h:28-35); admissions sorted by input length so long
+        prompts claim slots first (LlamaBatch.cc:619-627)."""
+        stops = [it for it in batch if it[0].stop or it[0].return_logits]
+        infers = [it for it in batch if not (it[0].stop
+                                             or it[0].return_logits)]
+        for item in stops:
+            self._handle_request(*item)
+        seen = set()
+        for req, out_q in sorted(infers,
+                                 key=lambda it: -len(it[0].input_ids)):
+            if req.session_id in seen:
+                out_q.put(EngineOutput(ResponseType.SESSION_REPEAT, [], 0,
+                                       finished=True))
+                continue
+            seen.add(req.session_id)
+            self._handle_request(req, out_q)
+
     def _handle_request(self, req: EngineRequest, out_q: queue.Queue):
         if req.stop:
             self._handle_stop(req, out_q)

@@ -226,3 +226,29 @@ def test_native_cache_manager_parity():
     m.erase(2)
     m.grow(c, 8)
     assert len(c.pages) == 1
+
+
+def test_session_repeat_rejected(engine):
+    """Duplicate session ids within one drained request batch get
+    SESSION_REPEAT (reference: verifyRequests, Request.h:28-35)."""
+    import queue as _q
+    from lmdeploy_tpu.messages import EngineRequest, GenerationConfig
+    q1, q2 = _q.Queue(), _q.Queue()
+    r1 = EngineRequest(session_id=777, input_ids=[1, 2, 3],
+                       gen_config=greedy(2), sequence_end=True)
+    r2 = EngineRequest(session_id=777, input_ids=[1, 2],
+                       gen_config=greedy(2), sequence_end=True)
+    engine._requests.put((r1, q1))
+    engine._requests.put((r2, q2))
+    # one of the two must be rejected with SESSION_REPEAT (the longer one
+    # wins admission), the other completes
+    outs1, outs2 = [], []
+    for q, outs in ((q1, outs1), (q2, outs2)):
+        while True:
+            out = q.get(timeout=60)
+            outs.append(out)
+            if out.finished:
+                break
+    statuses = {outs1[-1].status, outs2[-1].status}
+    assert ResponseType.SESSION_REPEAT in statuses
+    assert ResponseType.FINISH in statuses
