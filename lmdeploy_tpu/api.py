@@ -27,7 +27,8 @@ def _resolve_tokenizer(model_path: str, vocab_size: int):
 
 def build_engine(model_path: str,
                  engine_config: Optional[EngineConfig] = None,
-                 model_name: str = '', **engine_kw) -> TPUEngine:
+                 model_name: str = '', tp: int = 1,
+                 **engine_kw) -> TPUEngine:
     """Load a workspace (converted) or HF directory and start the engine."""
     from .convert.converter import is_workspace, load_workspace
 
@@ -36,11 +37,16 @@ def build_engine(model_path: str,
         cfg, ws_ecfg, params, kv_scales = load_workspace(model_path)
         engine_config = engine_config or ws_ecfg
     else:
+        import jax.numpy as jnp
         from .convert.hf import load_hf_dir
-        cfg, params = load_hf_dir(model_path)
+        # runtime weights in bf16 — f32 would double HBM and halve the
+        # decode bandwidth the engine is built around
+        cfg, params = load_hf_dir(model_path, jnp.bfloat16)
 
     if engine_config is None:
-        engine_config = EngineConfig(session_len=cfg.session_len)
+        engine_config = EngineConfig(session_len=cfg.session_len, tp=tp)
+    elif tp > 1:
+        engine_config.tp = max(engine_config.tp, tp)
 
     name = model_name or cfg.model_name
     template_name = name if name in MODELS.module_dict else \

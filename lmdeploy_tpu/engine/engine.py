@@ -58,6 +58,7 @@ class _Slot:
     stop_sequences: List[List[int]] = dataclasses.field(default_factory=list)
     tail: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    saw_round: bool = False  # this slot appeared in >=1 decode round
 
 
 class TPUEngine:
@@ -219,10 +220,7 @@ class TPUEngine:
             if self._pending and self._free_slot_index() is not None:
                 pending, self._pending = self._pending, []
                 for item in pending:
-                    try:
-                        self._handle_request(*item)
-                    except Exception:
-                        log.exception('pending request failed')
+                    self._handle_safe(*item)
             if any(s is not None and not s.done for s in self.slots):
                 try:
                     self._decode_round(self.ecfg.step_length)
@@ -231,11 +229,23 @@ class TPUEngine:
                     self._fail_all()
 
     def _fail_all(self):
+        """Fail every running request, releasing sessions and device slots
+        so the engine stays usable (a leaked active session would pin its
+        pages forever — _evict_one skips active sequences)."""
         for i, slot in enumerate(self.slots):
-            if slot is not None:
-                slot.out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [],
-                                            slot.generated, finished=True))
-                self.slots[i] = None
+            if slot is None:
+                continue
+            slot.out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [],
+                                        slot.generated, finished=True))
+            try:
+                self.state = self.fns.clear_slot(self.state, i)
+            except Exception:
+                log.exception('clear_slot failed during _fail_all')
+            try:
+                self.seqs.erase(slot.request.session_id)
+            except Exception:
+                log.exception('session release failed during _fail_all')
+            self.slots[i] = None
 
     # -- request handling ------------------------------------------------------
     def _handle_batch(self, batch):
@@ -247,7 +257,7 @@ class TPUEngine:
         infers = [it for it in batch if not (it[0].stop
                                              or it[0].return_logits)]
         for item in stops:
-            self._handle_request(*item)
+            self._handle_safe(*item)
         seen = set()
         for req, out_q in sorted(infers,
                                  key=lambda it: -len(it[0].input_ids)):
@@ -256,7 +266,18 @@ class TPUEngine:
                                        finished=True))
                 continue
             seen.add(req.session_id)
+            self._handle_safe(req, out_q)
+
+    def _handle_safe(self, req: EngineRequest, out_q: queue.Queue):
+        """Per-request isolation: one failing request must answer ITS
+        client and never abort the rest of the drained batch."""
+        try:
             self._handle_request(req, out_q)
+        except Exception:
+            log.exception('request handling failed (session %s)',
+                          req.session_id)
+            out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [], 0,
+                                   finished=True))
 
     def _handle_request(self, req: EngineRequest, out_q: queue.Queue):
         if req.stop:
@@ -283,6 +304,15 @@ class TPUEngine:
                                    finished=True))
 
     def _handle_stop(self, req: EngineRequest, out_q: queue.Queue):
+        # cancel requests still waiting for a slot
+        kept = []
+        for preq, pq in self._pending:
+            if preq.session_id == req.session_id:
+                pq.put(EngineOutput(ResponseType.CANCELED, [], 0,
+                                    finished=True))
+            else:
+                kept.append((preq, pq))
+        self._pending = kept
         for i, slot in enumerate(self.slots):
             if slot is not None and slot.request.session_id == req.session_id:
                 self.state = self.fns.set_finished(self.state, i)
@@ -307,7 +337,6 @@ class TPUEngine:
             out_q.put(EngineOutput(ResponseType.INPUT_TOO_LONG, [], 0,
                                    finished=True))
             return
-        buckets = list(self.ecfg.prefill_buckets)
         self._scratch_id -= 1  # unique negative key, can't collide
         scratch_id = self._scratch_id
         seq = self.seqs.create(scratch_id)
@@ -316,22 +345,12 @@ class TPUEngine:
             self.seqs.grow(seq, len(ids))
             row = np.full((self.max_pages_per_seq,), -1, np.int32)
             row[:len(seq.pages)] = seq.pages
-            row_dev = row
             out = []
-            pos = 0
-            remaining = ids
-            while remaining:
-                chunk = remaining[:self.ecfg.max_context_token_num]
-                remaining = remaining[self.ecfg.max_context_token_num:]
-                bucket = _bucket_for(len(chunk), buckets)
-                padded = np.zeros((bucket,), np.int32)
-                padded[:len(chunk)] = chunk
+            for padded, pos, n in self._iter_chunks(ids, 0):
                 self.cache, logits = self.fns.prefill_logits_row(
-                    self.params, self.cache, row_dev, padded,
-                    np.int32(pos), np.int32(len(chunk)))
-                out.append(np.asarray(logits[:len(chunk),
-                                             :self.cfg.vocab_size]))
-                pos += len(chunk)
+                    self.params, self.cache, row, padded,
+                    np.int32(pos), np.int32(n))
+                out.append(np.asarray(logits[:n, :self.cfg.vocab_size]))
             logits = np.concatenate(out, axis=0)
             out_q.put(EngineOutput(ResponseType.FINISH, [], 0, finished=True,
                                    logits=logits))
@@ -459,23 +478,29 @@ class TPUEngine:
         )
 
     # -- prefill ----------------------------------------------------------------
-    def _prefill(self, slot_idx: int, ids: List[int], start_pos: int):
-        budget = self.ecfg.max_context_token_num
+    def _iter_chunks(self, ids: List[int], start_pos: int):
+        """Yield (padded int32 [bucket], pos, length) prompt chunks bounded
+        by BOTH max_context_token_num and the largest prefill bucket
+        (reference: chunked context decode, LlamaBatch.cc:795-858)."""
         buckets = list(self.ecfg.prefill_buckets)
+        budget = min(self.ecfg.max_context_token_num, buckets[-1])
         pos = start_pos
         remaining = list(ids)
         while remaining:
             chunk = remaining[:budget]
             remaining = remaining[budget:]
-            bucket = _bucket_for(len(chunk), buckets)
-            padded = np.zeros((bucket,), np.int32)
+            padded = np.zeros((_bucket_for(len(chunk), buckets),), np.int32)
             padded[:len(chunk)] = chunk
+            yield padded, pos, len(chunk)
+            pos += len(chunk)
+
+    def _prefill(self, slot_idx: int, ids: List[int], start_pos: int):
+        for padded, pos, n in self._iter_chunks(ids, start_pos):
             self.cache, _ = self.fns.prefill_chunk(
                 self.params, self.cache, self.state, np.int32(slot_idx),
-                padded, np.int32(pos), np.int32(len(chunk)))
-            pos += len(chunk)
+                padded, np.int32(pos), np.int32(n))
         slot = self.slots[slot_idx]
-        slot.seq.cache_len = pos
+        slot.seq.cache_len = start_pos + len(ids)
 
     # -- decode ------------------------------------------------------------------
     def _grow_pages(self, steps: int = 1):
@@ -517,6 +542,7 @@ class TPUEngine:
         for i, slot in enumerate(self.slots):
             if slot is None or slot.done:
                 continue
+            slot.saw_round = True
             tok = int(toks_np[i])
             slot.generated += 1
             slot.context_len += 1
@@ -548,8 +574,9 @@ class TPUEngine:
         if slot is None:
             return
         # snapshot RNG key for reproducible continuation (host copy from
-        # the last round's readback; device fetch only if no round ran)
-        if self._last_rng is not None:
+        # the last round's readback; device fetch only if this slot never
+        # ran a round — _last_rng's row would belong to a prior occupant)
+        if self._last_rng is not None and slot.saw_round:
             slot.seq.rng_key = self._last_rng[slot_idx]
         else:
             slot.seq.rng_key = np.asarray(

@@ -78,39 +78,6 @@ def dequantize_kv(q: jnp.ndarray, scale, zp, dtype=jnp.bfloat16) -> jnp.ndarray:
     return ((q.astype(jnp.float32) - zp) * scale).astype(dtype)
 
 
-def write_kv_layer(cache_k_l: jnp.ndarray, cache_v_l: jnp.ndarray,
-                   k_new: jnp.ndarray, v_new: jnp.ndarray,
-                   positions: jnp.ndarray, page_table: jnp.ndarray,
-                   valid: jnp.ndarray,
-                   qparams=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Scatter new tokens' K/V into the page pool for one layer.
-
-    Args:
-      cache_k_l/cache_v_l: [P, page, KH, Dh]
-      k_new/v_new: [B, T, KH, Dh]
-      positions: int32 [B, T] absolute positions of the new tokens.
-      page_table: int32 [B, max_pages]; entries < 0 are unmapped.
-      valid: bool [B, T] which tokens are real (padding is dropped).
-      qparams: optional (k_scale, k_zp, v_scale, v_zp) scalars for int8.
-    """
-    p, page_size = cache_k_l.shape[0], cache_k_l.shape[1]
-    page_of = positions // page_size                     # [B, T]
-    slot_of = positions % page_size                      # [B, T]
-    phys = jnp.take_along_axis(page_table, page_of, axis=1)  # [B, T]
-    # Invalid tokens or unmapped pages route out of range and get dropped.
-    phys = jnp.where(valid & (phys >= 0), phys, p)
-    if qparams is not None:
-        ks, kz, vs, vz = qparams
-        k_new = quantize_kv(k_new, ks, kz)
-        v_new = quantize_kv(v_new, vs, vz)
-    else:
-        k_new = k_new.astype(cache_k_l.dtype)
-        v_new = v_new.astype(cache_v_l.dtype)
-    cache_k_l = cache_k_l.at[phys, slot_of].set(k_new, mode='drop')
-    cache_v_l = cache_v_l.at[phys, slot_of].set(v_new, mode='drop')
-    return cache_k_l, cache_v_l
-
-
 def write_kv(cache_k: jnp.ndarray, cache_v: jnp.ndarray, layer,
              k_new: jnp.ndarray, v_new: jnp.ndarray,
              positions: jnp.ndarray, page_table: jnp.ndarray,
@@ -160,5 +127,5 @@ def gather_kv_layer(cache_k_l: jnp.ndarray, cache_v_l: jnp.ndarray,
     return k, v
 
 
-__all__ = ['KVCache', 'init_cache', 'write_kv', 'write_kv_layer',
-           'gather_kv_layer', 'quantize_kv', 'dequantize_kv']
+__all__ = ['KVCache', 'init_cache', 'write_kv', 'gather_kv_layer',
+           'quantize_kv', 'dequantize_kv']

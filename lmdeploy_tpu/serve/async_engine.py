@@ -31,12 +31,8 @@ class AsyncEngine:
 
     def __init__(self, model_path: str, instance_num: int = 32, tp: int = 1,
                  engine_config: Optional[EngineConfig] = None, **kw) -> None:
-        if engine_config is None and tp > 1:
-            engine_config = EngineConfig(tp=tp)
-        elif engine_config is not None:
-            engine_config.tp = max(engine_config.tp, tp)
         self.engine = build_engine(model_path, engine_config=engine_config,
-                                   **kw)
+                                   tp=tp, **kw)
         self.tokenizer = self.engine.tokenizer
         self.model = self.engine.chat_template
         self.tm_model = self.engine  # reference-compatible alias
@@ -95,7 +91,9 @@ class AsyncEngine:
             self.stop_session(session_id)
             yield GenOut('', self.steps[key], 0, 0, 'cancel')
             return
-        seed = random.getrandbits(63)
+        # seed only on sequence start so continuations resume the saved
+        # per-session RNG (reference: random_seed=seed if sequence_start)
+        seed = random.getrandbits(63) if sequence_start else None
         prompt = self.model.messages2prompt(messages, sequence_start)
         input_ids = self.tokenizer.encode(prompt)
         if self.steps[key] + len(input_ids) >= self.session_len:

@@ -252,3 +252,53 @@ def test_session_repeat_rejected(engine):
     statuses = {outs1[-1].status, outs2[-1].status}
     assert ResponseType.SESSION_REPEAT in statuses
     assert ResponseType.FINISH in statuses
+
+
+def test_prompt_longer_than_largest_bucket():
+    """Chunk budget must respect the largest prefill bucket even when
+    max_context_token_num is larger (review finding: >bucket prompts
+    crashed mid-admission and streamed garbage)."""
+    params = init_params(CFG, jax.random.PRNGKey(1), jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, session_len=128, page_size=8,
+                        num_pages=48, max_context_token_num=4096,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=2)
+    eng = TPUEngine(CFG, ecfg, params)
+    try:
+        inst = eng.create_instance()
+        prompt = list(np.random.default_rng(3).integers(3, 120, size=50))
+        out = inst.infer(1, prompt, gen_config=greedy(3), sequence_end=True)
+        assert out.status == ResponseType.FINISH
+        logits = inst.decode(prompt)  # same cap on the logits path
+        assert logits.shape[0] == 50
+        assert out.token_ids[0] == int(np.argmax(logits[-1]))
+    finally:
+        eng.shutdown()
+
+
+def test_cancel_pending_request(engine):
+    """A request parked in _pending (no free slot) must be cancellable."""
+    import queue as _q
+    from lmdeploy_tpu.messages import EngineRequest
+    # fill all 4 slots with long generations
+    qs = []
+    for i in range(4):
+        req = EngineRequest(session_id=300 + i, input_ids=[1, 2, 3],
+                            gen_config=greedy(40), sequence_end=True)
+        qs.append(engine.submit(req))
+    # 5th request has nowhere to go -> pending
+    req5 = EngineRequest(session_id=399, input_ids=[4, 5],
+                         gen_config=greedy(4), sequence_end=True)
+    q5 = engine.submit(req5)
+    import time as _t
+    _t.sleep(0.5)
+    engine.cancel(399)
+    while True:
+        out = q5.get(timeout=60)
+        if out.finished:
+            break
+    assert out.status in (ResponseType.CANCELED, ResponseType.FINISH)
+    for q in qs:  # drain the four runners
+        while True:
+            if q.get(timeout=120).finished:
+                break
