@@ -71,8 +71,8 @@ def main():
                       inter_size=11008, num_layer=32, vocab_size=32000,
                       rotary_embedding=128, max_position_embeddings=4096,
                       session_len=2048, weight_type='int4', group_size=128)
-    ecfg = EngineConfig(max_batch_size=4, session_len=2048, page_size=64,
-                        num_pages=4 * 32 + 8, max_context_token_num=512,
+    ecfg = EngineConfig(max_batch_size=8, session_len=2048, page_size=64,
+                        num_pages=88, max_context_token_num=512,
                         prefill_buckets=(64, 512), step_length=64)
     params = random_int4_params(cfg, jax.random.PRNGKey(0))
     eng = TPUEngine(cfg, ecfg, params)
@@ -96,16 +96,16 @@ def main():
     t_end = time.perf_counter()
     toks = n / (t_end - t0)
 
-    # batched decode throughput (continuous batching, 4 concurrent)
+    # batched decode throughput (continuous batching, 8 concurrent)
     import threading
-    counts = [0] * 4
+    counts = [0] * 8
     gen_b = GenerationConfig(max_new_tokens=256, top_k=1, ignore_eos=True)
 
     def worker(i):
         for out in inst.stream_infer(10 + i, [1], gen_b, sequence_end=True):
             counts[i] = out.num_generated
 
-    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
     tb0 = time.perf_counter()
     for t in ts:
         t.start()
@@ -121,7 +121,7 @@ def main():
         'vs_baseline': round(toks / BASELINE_TOKS, 3),
         'detail': {
             'ttft_ms': round((t_first - t0) * 1e3, 1) if t_first else None,
-            'bs4_throughput_tok_s': round(batch_toks, 1),
+            'bs8_throughput_tok_s': round(batch_toks, 1),
             'out_tokens': n,
             'device': str(jax.devices()[0]),
         },
