@@ -57,6 +57,7 @@ class _Slot:
     emitted: int = 0
     stop_sequences: List[List[int]] = dataclasses.field(default_factory=list)
     tail: List[int] = dataclasses.field(default_factory=list)
+    logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
     saw_round: bool = False  # this slot appeared in >=1 decode round
 
@@ -531,19 +532,24 @@ class TPUEngine:
         self._grow_pages(k)
         self.cache, self.state, packed, logprob = self.fns.decode_steps(
             self.params, self.cache, self.state, num_steps=k)
-        arr = np.asarray(packed)  # [2, k+1, B]; row k carries rng keys
-        self._last_rng = np.ascontiguousarray(arr[:, k].T).view(np.uint32)
+        arr = np.asarray(packed)  # [3, k+1, B]; col k carries rng keys
+        self._last_rng = np.ascontiguousarray(arr[:2, k].T).view(np.uint32)
+        logprobs = arr[2, :k].view(np.float32)
         for t in range(k):
-            self._emit(arr[0, t], arr[1, t])
+            self._emit(arr[0, t], arr[1, t], logprobs[t])
             if not any(s is not None and not s.done for s in self.slots):
                 return
 
-    def _emit(self, toks_np: np.ndarray, fin_np: np.ndarray):
+    def _emit(self, toks_np: np.ndarray, fin_np: np.ndarray,
+              logprobs_np: Optional[np.ndarray] = None):
         for i, slot in enumerate(self.slots):
             if slot is None or slot.done:
                 continue
             slot.saw_round = True
             tok = int(toks_np[i])
+            if logprobs_np is not None and \
+                    slot.request.gen_config.output_logprobs:
+                slot.logprobs.append(float(logprobs_np[i]))
             slot.generated += 1
             slot.context_len += 1
             slot.seq.token_ids.append(tok)
@@ -562,7 +568,9 @@ class TPUEngine:
             new_tokens = slot.seq.token_ids[slot.prompt_len:]
             slot.out_q.put(EngineOutput(
                 ResponseType.FINISH if finished else ResponseType.SUCCESS,
-                list(new_tokens), len(new_tokens), finished=finished))
+                list(new_tokens), len(new_tokens), finished=finished,
+                logprobs=list(slot.logprobs)
+                if slot.request.gen_config.output_logprobs else None))
             if finished:
                 slot.done = True
                 self._retire(i, ResponseType.FINISH)

@@ -135,6 +135,12 @@ def decode_steps(params, cache: KVCache, state: DecodeState,
     rng = jax.lax.bitcast_convert_type(state.sampling.rng_key,
                                        jnp.int32).T[:, None, :]  # [2,1,B]
     packed = jnp.concatenate([packed, rng], axis=1)  # [2, k+1, B]
+    # third plane: per-token logprobs (f32 bits) — reference logprob
+    # kernels' output, logprob_kernels.cu
+    lp = jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32),
+                                      jnp.int32)                 # [k, B]
+    lp = jnp.concatenate([lp, jnp.zeros((1, lp.shape[1]), jnp.int32)])
+    packed = jnp.concatenate([packed, lp[None]], axis=0)  # [3, k+1, B]
     return cache, state, packed, logprobs
 
 

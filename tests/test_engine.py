@@ -302,3 +302,20 @@ def test_cancel_pending_request(engine):
         while True:
             if q.get(timeout=120).finished:
                 break
+
+
+def test_output_logprobs(engine):
+    """Per-token logprobs stream with the tokens (reference:
+    logprob_kernels.cu); greedy over a single candidate is exactly 0."""
+    inst = engine.create_instance()
+    cfg = GenerationConfig(max_new_tokens=4, top_k=1, ignore_eos=True,
+                           output_logprobs=True)
+    out = inst.infer(500, [3, 9, 27], gen_config=cfg, sequence_end=True)
+    assert out.logprobs is not None and len(out.logprobs) == 4
+    assert all(abs(lp) < 1e-5 for lp in out.logprobs)  # top_k=1 => log 1
+    cfg2 = GenerationConfig(max_new_tokens=4, top_k=40, temperature=1.0,
+                            ignore_eos=True, output_logprobs=True,
+                            random_seed=7)
+    out2 = inst.infer(501, [3, 9, 27], gen_config=cfg2, sequence_end=True)
+    assert len(out2.logprobs) == 4
+    assert all(lp <= 0.0 for lp in out2.logprobs)
