@@ -173,7 +173,24 @@ def make_random_workspace(dst: str, preset: str = 'tiny',
                           group_size: int = 128,
                           model_name: str = '') -> ModelConfig:
     """Random-weight workspace for tests and benchmarks (no checkpoints in
-    this environment)."""
+    this environment).  Runs on CPU: an offline converter must not claim
+    accelerator HBM (a 7B bf16 init would fill the chip)."""
+    import jax
+    import jax.numpy as jnp
+    try:
+        cpu = jax.devices('cpu')[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return _make_random_workspace(dst, preset, weight_type, seed,
+                                          group_size, model_name)
+    return _make_random_workspace(dst, preset, weight_type, seed,
+                                  group_size, model_name)
+
+
+def _make_random_workspace(dst, preset, weight_type, seed, group_size,
+                           model_name) -> ModelConfig:
     import jax
     import jax.numpy as jnp
     cfg = ModelConfig(model_name=model_name or preset, **PRESETS[preset])
