@@ -15,4 +15,21 @@ LMDeploy v0.0.9 (TurboMind engine + serving stack), built TPU-first:
 """
 from .version import __version__, version_info  # noqa: F401
 
-__all__ = ['__version__', 'version_info']
+__all__ = ['__version__', 'version_info', 'build_engine', 'AsyncEngine',
+           'GenerationConfig', 'EngineConfig', 'ModelConfig']
+
+
+def __getattr__(name):  # lazy: importing the package must not pull jax
+    if name == 'build_engine':
+        from .api import build_engine
+        return build_engine
+    if name == 'AsyncEngine':
+        from .serve.async_engine import AsyncEngine
+        return AsyncEngine
+    if name == 'GenerationConfig':
+        from .messages import GenerationConfig
+        return GenerationConfig
+    if name in ('EngineConfig', 'ModelConfig'):
+        from . import config
+        return getattr(config, name)
+    raise AttributeError(name)

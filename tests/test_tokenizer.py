@@ -1,0 +1,62 @@
+"""Tokenizer-layer tests (reference: tests/python/test_tokenizer.py —
+encode/decode roundtrip incl. incremental-decode offsets)."""
+import numpy as np
+import pytest
+
+from lmdeploy_tpu.tokenizer import DummyTokenizer
+
+
+def test_dummy_roundtrip():
+    tok = DummyTokenizer(vocab_size=512)
+    ids = tok.encode('hello world')
+    assert all(0 <= i < 512 for i in ids)
+    assert tok.decode(ids) == 'hello world'
+
+
+def test_dummy_bos_marker():
+    tok = DummyTokenizer(vocab_size=512)
+    ids = tok.encode('<BOS>abc')
+    assert ids[0] == tok.bos_token_id
+    assert tok.decode(ids[1:]) == 'abc'
+
+
+def test_incremental_decode_offsets():
+    """Streaming detok: decode(ids, offset) must concatenate to the full
+    decode (the serving layer's contract)."""
+    tok = DummyTokenizer(vocab_size=512)
+    ids = tok.encode('the quick brown fox')
+    pieces = []
+    offset = 0
+    for end in range(1, len(ids) + 1):
+        pieces.append(tok.decode(ids[:end], offset=offset))
+        offset = end
+    assert ''.join(pieces) == tok.decode(ids)
+
+
+def test_hf_tokenizer_when_available(tmp_path):
+    """HuggingFaceTokenizer path with a real fast tokenizer built from a
+    tiny trained vocab (no network)."""
+    tokenizers = pytest.importorskip('tokenizers')
+    from tokenizers import Tokenizer as RawTok
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from tokenizers.trainers import WordLevelTrainer
+
+    raw = RawTok(WordLevel(unk_token='<unk>'))
+    raw.pre_tokenizer = Whitespace()
+    trainer = WordLevelTrainer(
+        special_tokens=['<unk>', '<s>', '</s>'])
+    raw.train_from_iterator(['hello world foo bar baz qux'] * 4, trainer)
+    raw.save(str(tmp_path / 'tokenizer.json'))
+    import json
+    with open(tmp_path / 'tokenizer_config.json', 'w') as f:
+        json.dump({'bos_token': '<s>', 'eos_token': '</s>',
+                   'model_max_length': 512,
+                   'tokenizer_class': 'PreTrainedTokenizerFast'}, f)
+
+    from lmdeploy_tpu.tokenizer import Tokenizer
+    tok = Tokenizer(str(tmp_path))
+    ids = tok.encode('hello world')
+    assert len(ids) == 2
+    out = tok.decode(ids)
+    assert 'hello' in out and 'world' in out
