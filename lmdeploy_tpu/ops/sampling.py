@@ -144,11 +144,19 @@ def sample_step(logits, state: SamplingState, history, history_len,
     """
     b, v = logits.shape
     logits = logits.astype(jnp.float32)
-    logits = ban_words(logits, state.bad_words)
+    # full-vocab scatter passes run only when some slot enables them
+    # (reference: BaseSamplingLayer skip logic) — lax.cond branches at
+    # run time, so the common all-disabled case costs one predicate
+    logits = jax.lax.cond(
+        jnp.any(state.bad_words >= 0),
+        lambda lg: ban_words(lg, state.bad_words), lambda lg: lg, logits)
     logits = mask_eos_below_min_len(logits, state.eos_id, generated,
                                     state.min_new_tokens)
-    logits = apply_repetition_penalty(logits, history, history_len,
-                                      state.repetition_penalty)
+    logits = jax.lax.cond(
+        jnp.any(state.repetition_penalty != 1.0),
+        lambda lg: apply_repetition_penalty(lg, history, history_len,
+                                            state.repetition_penalty),
+        lambda lg: lg, logits)
     logits = logits / jnp.maximum(state.temperature, 1e-5)[:, None]
 
     # Candidate-set pipeline: ONE top_k(MAX_TOPK) replaces the reference's
