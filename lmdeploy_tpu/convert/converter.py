@@ -53,6 +53,11 @@ PRESETS = {
                        inter_size=28672, num_layer=80, vocab_size=32000,
                        rotary_embedding=128, max_position_embeddings=4096,
                        session_len=4096),
+    'qwen-7b': dict(head_num=32, kv_head_num=32, size_per_head=128,
+                    inter_size=11008, num_layer=32, vocab_size=151936,
+                    rotary_embedding=128, max_position_embeddings=8192,
+                    session_len=8192, attn_bias=True, qkv_bias_only=True,
+                    use_dynamic_ntk=True, use_logn_attn=True),
 }
 
 

@@ -319,3 +319,30 @@ def test_output_logprobs(engine):
     out2 = inst.infer(501, [3, 9, 27], gen_config=cfg2, sequence_end=True)
     assert len(out2.logprobs) == 4
     assert all(lp <= 0.0 for lp in out2.logprobs)
+
+
+def test_qwen_style_flags_end_to_end():
+    """Dynamic NTK + logn + qkv bias engine run (qwen family flags)."""
+    cfg = ModelConfig(head_num=2, kv_head_num=2, size_per_head=16,
+                      inter_size=64, num_layer=2, vocab_size=128,
+                      rotary_embedding=16, max_position_embeddings=32,
+                      session_len=128, end_id=2, attn_bias=True,
+                      qkv_bias_only=True, use_dynamic_ntk=True,
+                      use_logn_attn=True)
+    params = init_params(cfg, jax.random.PRNGKey(5), jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, session_len=96, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=4)
+    eng = TPUEngine(cfg, ecfg, params)
+    try:
+        inst = eng.create_instance()
+        # prompt longer than max_position_embeddings exercises the
+        # dynamic-NTK base recompute + logn scaling beyond train length
+        prompt = list(np.random.default_rng(6).integers(3, 120, size=40))
+        out = inst.infer(1, prompt, gen_config=greedy(6), sequence_end=True)
+        assert out.status == ResponseType.FINISH and len(out.token_ids) == 6
+        out2 = inst.infer(2, prompt, gen_config=greedy(6), sequence_end=True)
+        assert out.token_ids == out2.token_ids
+    finally:
+        eng.shutdown()

@@ -127,3 +127,33 @@ def test_quant_error_reduced_by_smoothing(tiny_hf_llama):
     base = recon_err(w, act)
     smoothed = recon_err(sd['fc.weight'], act / s)
     assert smoothed <= base * 1.05
+
+
+def test_w4a16_logits_close_to_fp(tiny_hf_llama, tmp_path):
+    """End-to-end W4A16 numerics: quantized-engine prompt logits stay
+    close to the fp HF oracle (the reference validates AWQ by ppl delta,
+    docs/en/w4a16.md)."""
+    from lmdeploy_tpu.api import build_engine
+    from lmdeploy_tpu.config import EngineConfig
+    from lmdeploy_tpu.convert.converter import convert_hf
+
+    path, model = tiny_hf_llama
+    ws = str(tmp_path / 'ws_q')
+    convert_hf(path, ws, quantize=True, group_size=16)
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=32, prefill_buckets=(16,),
+                        max_context_token_num=16, use_pallas=False,
+                        step_length=2)
+    eng = build_engine(ws, engine_config=ecfg)
+    try:
+        prompt = [1, 5, 9, 13, 21, 30, 7, 3]
+        got = eng.create_instance().decode(prompt)
+        import torch
+        with torch.no_grad():
+            want = model(torch.as_tensor(prompt)[None]).logits[0].numpy()
+        corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+        assert corr > 0.98, corr
+        agree = (got.argmax(-1) == want.argmax(-1)).mean()
+        assert agree >= 0.75, agree
+    finally:
+        eng.shutdown()
