@@ -80,10 +80,10 @@ def main():
     gen = GenerationConfig(max_new_tokens=OUT_TOKENS, top_k=1,
                            ignore_eos=True)
 
-    # warmup: compile prefill bucket + decode step; let the engine thread
-    # and the host<->device link drain before timing
+    # warmup: compile the prefill bucket and every ramp round length
+    # (1 -> 4 -> 16 -> step_length); drain the engine/link before timing
     inst.infer(0, [1], gen_config=GenerationConfig(
-        max_new_tokens=8, top_k=1, ignore_eos=True), sequence_end=True)
+        max_new_tokens=90, top_k=1, ignore_eos=True), sequence_end=True)
     time.sleep(2.0)
 
     t0 = time.perf_counter()
