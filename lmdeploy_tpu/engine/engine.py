@@ -56,6 +56,8 @@ class _Slot:
     generated: int = 0
     emitted: int = 0
     stop_sequences: List[List[int]] = dataclasses.field(default_factory=list)
+    single_stops: frozenset = frozenset()
+    holdback: int = 0           # tokens withheld while a stop prefix may grow
     tail: List[int] = dataclasses.field(default_factory=list)
     logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -84,31 +86,45 @@ class TPUEngine:
         self.num_pages = num_pages
 
         kv_dtype = jnp.int8 if engine_cfg.kv_dtype == 'int8' else jnp.bfloat16
-        self.cache = init_cache(
-            model_cfg.num_layer, num_pages, page, model_cfg.kv_head_num,
-            model_cfg.size_per_head, kv_dtype,
-            kv_scales if kv_dtype == jnp.int8 else None)
-        self.state = init_decode_state(b, self.max_pages_per_seq,
-                                       self.session_len,
-                                       eos_id=model_cfg.end_id)
+        kv_scales = kv_scales if kv_dtype == jnp.int8 else None
         if engine_cfg.tp > 1:
             # One SPMD program over the mesh replaces the reference's
             # per-GPU threads + NCCL ranks (turbomind.py:125-136).
+            from jax.sharding import NamedSharding, PartitionSpec
+
             from ..parallel.tp import (ShardedStepFns, cache_pspecs,
                                        make_mesh, param_pspecs,
                                        prepare_params_for_tp, replicate_tree,
                                        shard_tree)
             self.mesh = make_mesh(engine_cfg.tp)
+            # allocate the KV pool directly with its target sharding —
+            # allocate-then-device_put would transiently hold the full
+            # unsharded pool (tp x per-device budget) and OOM at startup
+            cache_sh = jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s), cache_pspecs(),
+                is_leaf=lambda x: isinstance(x, PartitionSpec))
+            self.cache = init_cache(
+                model_cfg.num_layer, num_pages, page, model_cfg.kv_head_num,
+                model_cfg.size_per_head, kv_dtype, kv_scales,
+                shardings=cache_sh)
+            self.state = init_decode_state(b, self.max_pages_per_seq,
+                                           self.session_len,
+                                           eos_id=model_cfg.end_id)
             self.params = prepare_params_for_tp(params, model_cfg,
                                                 engine_cfg.tp)
             self.params = shard_tree(self.params,
                                      param_pspecs(self.params), self.mesh)
-            self.cache = shard_tree(self.cache, cache_pspecs(), self.mesh)
             self.state = replicate_tree(self.state, self.mesh)
             self.fns = ShardedStepFns(model_cfg, self.mesh,
                                       use_pallas_attn=self._pallas_enabled())
         else:
             self.mesh = None
+            self.cache = init_cache(
+                model_cfg.num_layer, num_pages, page, model_cfg.kv_head_num,
+                model_cfg.size_per_head, kv_dtype, kv_scales)
+            self.state = init_decode_state(b, self.max_pages_per_seq,
+                                           self.session_len,
+                                           eos_id=model_cfg.end_id)
             self.fns = CompiledStepFns(model_cfg,
                                        use_pallas_attn=self._pallas_enabled())
 
@@ -135,7 +151,8 @@ class TPUEngine:
         self.slots: List[Optional[_Slot]] = [None] * b
         self._fresh_admission = False
         self._ramp = 1  # post-admission round-length ramp (1->4->16->k)
-        self._last_rng: Optional[np.ndarray] = None  # [B, 2] host rng copy
+        self._rng_now: Optional[np.ndarray] = None  # [B, 2] rng keys at the
+        # CURRENT substep of the round being emitted (per-substep snapshot)
         self._requests: queue.Queue = queue.Queue()
         self._pending: List = []  # requests waiting for a free slot
         self._shutdown = False
@@ -427,11 +444,14 @@ class TPUEngine:
             np.int32(all_ids[-1]), np.int32(total_len - 1),
             hist, np.int32(total_len), page_row, srow)
 
+        stop_seqs = self._stop_sequences(gen)
+        multi = [sw for sw in stop_seqs if len(sw) > 1]
         slot = _Slot(request=req, seq=seq, out_q=out_q,
                      context_len=total_len - 1, prompt_len=total_len,
-                     stop_sequences=[sw for sw in
-                                     self._stop_sequences(gen)
-                                     if len(sw) > 1])
+                     stop_sequences=multi,
+                     single_stops=frozenset(sw[0] for sw in stop_seqs
+                                            if len(sw) == 1),
+                     holdback=max((len(sw) for sw in multi), default=1) - 1)
         self.slots[slot_idx] = slot
         self._fresh_admission = True  # short first round for TTFT
         seq.token_ids = all_ids
@@ -449,12 +469,19 @@ class TPUEngine:
         return out
 
     def _sampling_row(self, gen: GenerationConfig, seq, max_new) -> SamplingState:
+        from ..ops.sampling import MAX_STOP_BAD_WORDS as CAP
         stop_flat = [w[0] for w in self._stop_sequences(gen) if len(w) == 1]
-        stop = np.full((8,), -1, np.int32)
-        stop[:min(8, len(stop_flat))] = stop_flat[:8]
-        bad = np.full((8,), -1, np.int32)
+        if len(stop_flat) > CAP:
+            log.warning('truncating %d stop words to capacity %d',
+                        len(stop_flat), CAP)
+        stop = np.full((CAP,), -1, np.int32)
+        stop[:min(CAP, len(stop_flat))] = stop_flat[:CAP]
+        bad = np.full((CAP,), -1, np.int32)
         bw = [int(x) for x in (gen.bad_words or [])]
-        bad[:min(8, len(bw))] = bw[:8]
+        if len(bw) > CAP:
+            log.warning('truncating %d bad words to capacity %d',
+                        len(bw), CAP)
+        bad[:min(CAP, len(bw))] = bw[:CAP]
         if seq.rng_key is not None and gen.random_seed is None:
             key = np.asarray(seq.rng_key, np.uint32)
         else:
@@ -522,7 +549,7 @@ class TPUEngine:
 
     def _decode_round(self, steps: int):
         """One device round of ``steps`` decode steps with a single
-        dispatch + a single [3, k+1, B] readback (reference: step_length;
+        dispatch + a single [5, k, B] readback (reference: step_length;
         here it also amortizes host<->device link latency).  After an
         admission the round length ramps 1 -> 4 -> 16 -> step_length so
         the first tokens stream immediately (TTFT) while sustained decode
@@ -540,10 +567,13 @@ class TPUEngine:
         self._grow_pages(k)
         self.cache, self.state, packed, logprob = self.fns.decode_steps(
             self.params, self.cache, self.state, num_steps=k)
-        arr = np.asarray(packed)  # [3, k+1, B]; col k carries rng keys
-        self._last_rng = np.ascontiguousarray(arr[:2, k].T).view(np.uint32)
-        logprobs = arr[2, :k].view(np.float32)
+        arr = np.asarray(packed)  # [5, k, B]: tok/fin/logprob/rng0/rng1
+        logprobs = np.ascontiguousarray(arr[2]).view(np.float32)  # [k, B]
         for t in range(k):
+            # per-substep rng snapshot: a slot retired at substep t (host
+            # stop sequence) must save the key as of t, not round end
+            self._rng_now = np.ascontiguousarray(
+                arr[3:5, t].T).view(np.uint32)
             self._emit(arr[0, t], arr[1, t], logprobs[t])
             if not any(s is not None and not s.done for s in self.slots):
                 return
@@ -574,10 +604,24 @@ class TPUEngine:
                 self.state = self.fns.set_finished(self.state, i)
                 finished = True
             new_tokens = slot.seq.token_ids[slot.prompt_len:]
+            # Stop text never reaches the client (reference: stop words
+            # are excluded from output, stop_criteria_kernels.cu).  While
+            # running, withhold the last holdback tokens — they may be a
+            # stop-sequence prefix; on a stop hit drop the stop tokens.
+            if finished:
+                if hit_stop:
+                    visible = new_tokens[:len(new_tokens) - len(hit_stop)]
+                elif tok in slot.single_stops:
+                    visible = new_tokens[:-1]
+                else:
+                    visible = new_tokens
+            else:
+                visible = new_tokens[:max(0, len(new_tokens)
+                                          - slot.holdback)]
             slot.out_q.put(EngineOutput(
                 ResponseType.FINISH if finished else ResponseType.SUCCESS,
-                list(new_tokens), len(new_tokens), finished=finished,
-                logprobs=list(slot.logprobs)
+                list(visible), len(visible), finished=finished,
+                logprobs=list(slot.logprobs[:len(visible)])
                 if slot.request.gen_config.output_logprobs else None))
             if finished:
                 slot.done = True
@@ -590,10 +634,11 @@ class TPUEngine:
         if slot is None:
             return
         # snapshot RNG key for reproducible continuation (host copy from
-        # the last round's readback; device fetch only if this slot never
-        # ran a round — _last_rng's row would belong to a prior occupant)
-        if self._last_rng is not None and slot.saw_round:
-            slot.seq.rng_key = self._last_rng[slot_idx]
+        # the current substep's readback plane; device fetch only if this
+        # slot never ran a round — _rng_now's row would belong to a prior
+        # occupant)
+        if self._rng_now is not None and slot.saw_round:
+            slot.seq.rng_key = self._rng_now[slot_idx]
         else:
             slot.seq.rng_key = np.asarray(
                 self.state.sampling.rng_key[slot_idx])

@@ -114,33 +114,31 @@ def decode_steps(params, cache: KVCache, state: DecodeState,
     step_length knob, LlamaV2.cc internal loop).  Amortizes the host
     dispatch + readback round-trip — critical when the host↔device link
     is high-latency.  Finished slots keep running masked; the host sees
-    per-substep tokens/finished flags packed into one [2, k, B] transfer.
+    per-substep tokens/finished flags packed into one [5, k, B] transfer.
 
-    Returns (cache, state, packed int32 [2, k, B] = (tokens; finished),
-    logprobs f32 [k, B]).
+    Returns (cache, state, packed int32 [5, k, B] = (tokens; finished;
+    logprob bits; rng word0; rng word1), logprobs f32 [k, B]).  The
+    per-substep RNG planes let the host snapshot a slot's key at the
+    exact substep it stopped (reference: curand state save,
+    LlamaBatch.cc:1097) — a slot retired mid-round by a host-side stop
+    sequence must not save a key that advanced past the stop point.
     """
     def body(carry, _):
         cache, state = carry
         cache, state, tok, fin, logprob = decode_step(
             params, cache, state, cfg, use_pallas_attn=use_pallas_attn,
             axis=axis)
-        return (cache, state), (tok, fin, logprob)
+        return (cache, state), (tok, fin, logprob, state.sampling.rng_key)
 
-    (cache, state), (toks, fins, logprobs) = jax.lax.scan(
+    (cache, state), (toks, fins, logprobs, rngs) = jax.lax.scan(
         body, (cache, state), length=num_steps)
-    packed = jnp.stack([toks, fins.astype(jnp.int32)])  # [2, k, B]
-    # Piggyback the RNG snapshot on the same readback: retiring a slot
-    # needs its key (reference: curand state save, LlamaBatch.cc:1097) and
-    # a separate device fetch costs a full host link round trip.
-    rng = jax.lax.bitcast_convert_type(state.sampling.rng_key,
-                                       jnp.int32).T[:, None, :]  # [2,1,B]
-    packed = jnp.concatenate([packed, rng], axis=1)  # [2, k+1, B]
-    # third plane: per-token logprobs (f32 bits) — reference logprob
-    # kernels' output, logprob_kernels.cu
+    # logprob plane: f32 bits (reference logprob kernels, logprob_kernels.cu)
     lp = jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32),
-                                      jnp.int32)                 # [k, B]
-    lp = jnp.concatenate([lp, jnp.zeros((1, lp.shape[1]), jnp.int32)])
-    packed = jnp.concatenate([packed, lp[None]], axis=0)  # [3, k+1, B]
+                                      jnp.int32)                  # [k, B]
+    # rngs [k, B, 2] uint32 -> two [k, B] int32 planes
+    rng = jax.lax.bitcast_convert_type(rngs, jnp.int32)
+    packed = jnp.stack([toks, fins.astype(jnp.int32), lp,
+                        rng[..., 0], rng[..., 1]])                # [5, k, B]
     return cache, state, packed, logprobs
 
 

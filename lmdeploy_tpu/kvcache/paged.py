@@ -53,18 +53,35 @@ class KVCache:
 
 def init_cache(num_layers: int, num_pages: int, page_size: int,
                kv_heads: int, head_dim: int, dtype=jnp.bfloat16,
-               kv_scales=None) -> KVCache:
+               kv_scales=None, shardings=None) -> KVCache:
+    """Allocate the pool.  With ``shardings`` (a KVCache pytree of
+    NamedSharding) the arrays are created directly sharded — each device
+    materializes only its own shard.  Allocating unsharded and
+    device_put-ing afterwards would transiently hold the FULL pool on the
+    default device (tp x the per-device HBM budget) and OOM at startup on
+    real multi-chip hardware."""
     shape = (num_layers, num_pages, page_size, kv_heads, head_dim)
     if kv_scales is None:
-        # NB: four distinct arrays — sharing one buffer breaks jit donation
-        ks = jnp.ones((num_layers,), jnp.float32)
-        kz = jnp.zeros((num_layers,), jnp.float32)
-        vs = jnp.ones((num_layers,), jnp.float32)
-        vz = jnp.zeros((num_layers,), jnp.float32)
+        scales = None
     else:
-        ks, kz, vs, vz = (jnp.asarray(x, jnp.float32) for x in kv_scales)
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   k_scale=ks, k_zp=kz, v_scale=vs, v_zp=vz)
+        scales = tuple(jnp.asarray(x, jnp.float32) for x in kv_scales)
+
+    def build():
+        if scales is None:
+            # NB: four distinct arrays — sharing one buffer breaks jit
+            # donation
+            ks = jnp.ones((num_layers,), jnp.float32)
+            kz = jnp.zeros((num_layers,), jnp.float32)
+            vs = jnp.ones((num_layers,), jnp.float32)
+            vz = jnp.zeros((num_layers,), jnp.float32)
+        else:
+            ks, kz, vs, vz = scales
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                       k_scale=ks, k_zp=kz, v_scale=vs, v_zp=vz)
+
+    if shardings is None:
+        return build()
+    return jax.jit(build, out_shardings=shardings)()
 
 
 def quantize_kv(x: jnp.ndarray, scale, zp) -> jnp.ndarray:

@@ -39,8 +39,14 @@ def kv_qparams(work_dir: str, dst: str, kv_bits: int = 8,
             vmin, vmax = values[i]['min'].min(), values[i]['max'].max()
             k_scale[i] = (kmax - kmin) / span
             v_scale[i] = (vmax - vmin) / span
-            k_zp[i] = ((kmax + kmin) / 2) / max(k_scale[i], 1e-12)
-            v_zp[i] = ((vmax + vmin) / 2) / max(v_scale[i], 1e-12)
+            # Cache stores zp in the quantized domain and uses
+            # q = f/scale + zp (kvcache/paged.py:70), so mapping the
+            # float midpoint to q=0 needs zp_q = -mid/scale.  The
+            # reference stores the float-domain zp = +mid and computes
+            # q = (f - zp)/scale (lmdeploy/lite/apis/kv_qparams.py) —
+            # same affine map, opposite sign convention.
+            k_zp[i] = -((kmax + kmin) / 2) / max(k_scale[i], 1e-12)
+            v_zp[i] = -((vmax + vmin) / 2) / max(v_scale[i], 1e-12)
         print(f'layer {i}: k_scale={k_scale[i]:.6f} k_zp={k_zp[i]:.3f} '
               f'v_scale={v_scale[i]:.6f} v_zp={v_zp[i]:.3f}')
 

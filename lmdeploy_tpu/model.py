@@ -103,8 +103,14 @@ class BaseModel:
     def messages2prompt(self, messages: Messages, sequence_start: bool = True) -> str:
         if isinstance(messages, str):
             return self.get_prompt(messages, sequence_start)
-        raise NotImplementedError(
-            f'{type(self).__name__} does not implement chat-history prompting')
+        # Generic transcript fallback for templates without a chat-history
+        # format.  (The reference BaseModel returns None here — "chat
+        # history processing in derived classes", lmdeploy/model.py:100-102
+        # — which crashes downstream; degrade gracefully instead so plain
+        # workspaces still serve /v1/chat/completions.)
+        parts = [f"{m['role']}: {m['content']}" for m in messages]
+        return self.get_prompt('\n'.join(parts) + '\nassistant: ',
+                               sequence_start)
 
     # -- metadata -------------------------------------------------------------
     @property

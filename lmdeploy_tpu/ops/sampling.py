@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 MAX_TOPK = 1024  # reference clips top_k to 1024 likewise
+MAX_STOP_BAD_WORDS = 32  # reference kMaxStopBadWordsLen (gpt_kernels.h)
 
 
 @jax.tree_util.register_dataclass
@@ -41,7 +42,8 @@ class SamplingState:
     max_new_tokens: jnp.ndarray     # int32 [B]
 
     @staticmethod
-    def init(batch: int, max_bad: int = 8, max_stop: int = 8,
+    def init(batch: int, max_bad: int = MAX_STOP_BAD_WORDS,
+             max_stop: int = MAX_STOP_BAD_WORDS,
              eos_id: int = 2) -> 'SamplingState':
         return SamplingState(
             top_k=jnp.zeros((batch,), jnp.int32),

@@ -76,12 +76,69 @@ def _perm_colsplit_int4(qw: QuantizedWeight, perm: np.ndarray
         zeros=jnp.asarray(_permute_cols(np.asarray(qw.zeros), perm)))
 
 
+def _pad_axis(arr, axis: int, count: int, value):
+    if count == 0:
+        return arr
+    arr = np.asarray(arr)
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, count)
+    return np.pad(arr, pad, constant_values=value)
+
+
+def _pad_quant_cols(qw: QuantizedWeight, count: int) -> QuantizedWeight:
+    """Pad the N (output) dim of an int4 weight with exact-zero columns:
+    q=0, zero-point 0, scale 1 -> dequant (0-0)*1 = 0."""
+    return QuantizedWeight(
+        qvals=jnp.asarray(_pad_axis(qw.qvals, -1, count, 0)),
+        scales=jnp.asarray(_pad_axis(qw.scales, -1, count, 1)),
+        zeros=jnp.asarray(_pad_axis(qw.zeros, -1, count, 0)))
+
+
+def _pad_quant_rows(qw: QuantizedWeight, count: int) -> QuantizedWeight:
+    """Pad the K (input) dim of an int4 weight with whole zero groups."""
+    group = qw.group_size
+    assert count % group == 0, (count, group)
+    return QuantizedWeight(
+        qvals=jnp.asarray(_pad_axis(qw.qvals, -2, count, 0)),
+        scales=jnp.asarray(_pad_axis(qw.scales, -2, count // group, 1)),
+        zeros=jnp.asarray(_pad_axis(qw.zeros, -2, count // group, 0)))
+
+
+def _pad_inter_for_tp(layers: Dict[str, Any], tp: int) -> Dict[str, Any]:
+    """Row-parallel int4 w2 shards K (= inter_size) over tp with its
+    per-group scales [L, K/group, N] sharded on the group dim — each rank
+    must own whole groups, i.e. inter_size % (group*tp) == 0.  Llama-2-7B
+    (inter 11008, group 128 -> 86 groups) breaks this at tp=4/8, so pad
+    inter_size up to the next group*tp multiple with exact-zero columns in
+    w1/w3 and zero rows in w2 (the reference instead pre-splits per-rank
+    files offline and requires divisibility, deploy.py tp_m_s4)."""
+    w2 = layers['w2']
+    if not isinstance(w2, QuantizedWeight):
+        return layers
+    group = w2.group_size
+    inter = w2.k
+    quantum = group * tp
+    pad = (-inter) % quantum
+    if pad == 0:
+        return layers
+    layers = dict(layers)
+    layers['w2'] = _pad_quant_rows(w2, pad)
+    for name in ('w1', 'w3'):
+        w = layers[name]
+        if isinstance(w, QuantizedWeight):
+            layers[name] = _pad_quant_cols(w, pad)
+        else:
+            layers[name] = jnp.asarray(_pad_axis(w, -1, pad, 0))
+    return layers
+
+
 def prepare_params_for_tp(params: Dict[str, Any], cfg: ModelConfig,
                           tp: int) -> Dict[str, Any]:
     """Reorder/repack weights so contiguous TP shards are rank-correct.
 
     - wqkv / bqkv: column permutation to per-rank [q_r|k_r|v_r].
-    - int4 wo / w2 (row-parallel): rank-local nibble repack.
+    - int4 w1/w3/w2: inter_size padded to a group*tp multiple so row-
+      parallel quant groups never straddle ranks (see _pad_inter_for_tp).
     - tied embeddings: materialize an explicit lm_head so the vocab-split
       logits all-gather is uniform.
     Everything else shards contiguously as-is.
@@ -89,7 +146,15 @@ def prepare_params_for_tp(params: Dict[str, Any], cfg: ModelConfig,
     if tp == 1:
         return params
     perm = _qkv_column_perm(cfg, tp)
-    layers = dict(params['layers'])
+    layers = _pad_inter_for_tp(dict(params['layers']), tp)
+    # row-parallel int4 wo: K = head_num*size_per_head; every head is
+    # whole groups when size_per_head % group == 0 (128/128 for llama),
+    # otherwise sharding would split a quant group across ranks.
+    wo = layers.get('wo')
+    if isinstance(wo, QuantizedWeight):
+        assert wo.k % (wo.group_size * tp) == 0, (
+            f'wo K={wo.k} not divisible by group*tp='
+            f'{wo.group_size * tp}; quant groups would straddle TP ranks')
     wqkv = layers['wqkv']
     if isinstance(wqkv, QuantizedWeight):
         layers['wqkv'] = _perm_colsplit_int4(wqkv, perm)

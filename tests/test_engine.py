@@ -112,7 +112,7 @@ def test_stop_word_single_token(engine):
                            stop_words=[stop_tok])
     got = collect(inst.stream_infer(61, [2, 4, 6], cfg,
                                     sequence_end=True))[-1].token_ids
-    assert got == base[:3]  # stop word included, generation halted
+    assert got == base[:2]  # stop word excluded from output, gen halted
 
 
 def test_stop_sequence_multi_token(engine):
@@ -122,9 +122,15 @@ def test_stop_sequence_multi_token(engine):
     stop_seq = base[1:3]
     cfg = GenerationConfig(max_new_tokens=6, top_k=1, ignore_eos=True,
                            stop_words=[list(stop_seq)])
-    got = collect(inst.stream_infer(63, [2, 4, 6], cfg,
-                                    sequence_end=True))[-1].token_ids
-    assert got == base[:3]
+    outs = collect(inst.stream_infer(63, [2, 4, 6], cfg,
+                                     sequence_end=True))
+    # stop sequence excluded from the final output...
+    assert outs[-1].token_ids == base[:1]
+    # ...and its prefix never streamed (holdback): no intermediate frame
+    # may show a token that later turns out to be stop text
+    for o in outs:
+        assert o.token_ids == base[:len(o.token_ids)]
+        assert len(o.token_ids) <= 1
 
 
 def test_max_new_tokens(engine):

@@ -2,6 +2,7 @@
 observers, end-to-end auto_awq -> workspace -> engine, KV qparams export
 (reference test analogue: tests/test_lmdeploy/test_lite/)."""
 import json
+import os
 import os.path as osp
 
 import numpy as np
@@ -101,6 +102,43 @@ def test_calibrate_and_auto_awq_end_to_end(tiny_hf_llama, tmp_path):
         assert len(out.token_ids) == 4
     finally:
         eng.shutdown()
+
+
+def test_kv_qparams_roundtrip_accuracy(tiny_hf_llama, tmp_path):
+    """Asym KV-INT8 qparams must reconstruct values, not clip them.
+
+    Regression test for the zero-point sign: with zp stored in the
+    quantized domain and q = f/scale + zp, data in a one-sided range
+    like [0.2, 1.0] must still use the full int8 range.  (Reference
+    publishes asym accuracy tables in docs/en/kv_int8.md.)"""
+    from lmdeploy_tpu.kvcache.paged import dequantize_kv, quantize_kv
+    from lmdeploy_tpu.lite.apis.calibrate import calibrate
+    from lmdeploy_tpu.lite.apis.kv_qparams import kv_qparams
+
+    path, _ = tiny_hf_llama
+    work = str(tmp_path / 'work')
+    dst = str(tmp_path / 'ws')
+    calibrate(path, 'synthetic', calib_samples=2, calib_seqlen=32,
+              work_dir=work)
+    os.makedirs(dst, exist_ok=True)
+    with open(osp.join(dst, 'config.json'), 'w') as f:
+        json.dump({}, f)
+    kv_qparams(work, dst)
+    with open(osp.join(dst, 'config.json')) as f:
+        ks, kz, vs, vz = json.load(f)['kv_scales']
+
+    # Synthetic one-sided KV data inside each layer's calibrated range
+    # must round-trip through int8 with small error (not collapse to
+    # the clip rail, which the inverted-sign zp caused).
+    rng = np.random.default_rng(0)
+    for scale, zp in [(ks[0], kz[0]), (vs[0], vz[0])]:
+        lo = -zp * scale - 100 * scale      # stay inside the range
+        x = (lo + scale * rng.uniform(0, 200, size=(256,))).astype(
+            np.float32)
+        q = np.asarray(quantize_kv(x, scale, zp))
+        deq = np.asarray(dequantize_kv(q, scale, zp, dtype=np.float32))
+        assert not np.all(q == 127), 'all values hit the int8 clip rail'
+        assert np.max(np.abs(deq - x)) <= 0.51 * scale + 1e-6
 
 
 def test_quant_error_reduced_by_smoothing(tiny_hf_llama):

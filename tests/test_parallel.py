@@ -41,8 +41,8 @@ def build_state(params, fns):
         top_k=jnp.int32(1), top_p=jnp.float32(1.0), min_p=jnp.float32(0.0),
         temperature=jnp.float32(1.0), repetition_penalty=jnp.float32(1.0),
         rng_key=jax.random.key_data(jax.random.PRNGKey(0)).astype(jnp.uint32),
-        bad_words=jnp.full((8,), -1, jnp.int32),
-        stop_words=jnp.full((8,), -1, jnp.int32),
+        bad_words=jnp.full((32,), -1, jnp.int32),
+        stop_words=jnp.full((32,), -1, jnp.int32),
         eos_id=jnp.int32(CFG.end_id), ignore_eos=jnp.asarray(True),
         min_new_tokens=jnp.int32(0), max_new_tokens=jnp.int32(16))
     state = install_slot(state, 0, jnp.int32(prompt[-1]),
@@ -125,6 +125,30 @@ def test_tp_int4_weights(tp=2):
     tparams = prepare_params_for_tp(qparams, CFG, tp)
     tparams = shard_tree(tparams, param_pspecs(tparams), mesh)
     fns = ShardedStepFns(CFG, mesh)
+    cache2, state2 = build_state(qparams, ref)
+    cache2 = shard_tree(cache2, cache_pspecs(), mesh)
+    state2 = replicate_tree(state2, mesh)
+    got = run_steps(fns, tparams, cache2, state2)
+    assert got == want
+
+
+def test_tp_int4_inter_padding(tp=2):
+    """Row-parallel int4 w2 with inter_size NOT divisible by group*tp
+    (llama-2-7B: 11008 / (128*4) = 21.5) must pad inter with exact-zero
+    columns/rows instead of splitting quant groups across ranks."""
+    cfg = dataclasses.replace(CFG, inter_size=80)  # 5 groups of 16, tp=2
+    params = init_params(cfg, jax.random.PRNGKey(5), jnp.float32)
+    qparams = quantize_params(params, cfg, group_size=16)
+
+    ref = CompiledStepFns(cfg)
+    cache, state = build_state(qparams, ref)
+    want = run_steps(ref, qparams, cache, state)
+
+    mesh = make_mesh(tp)
+    tparams = prepare_params_for_tp(qparams, cfg, tp)
+    assert tparams['layers']['w2'].k == 96  # padded to group*tp multiple
+    tparams = shard_tree(tparams, param_pspecs(tparams), mesh)
+    fns = ShardedStepFns(cfg, mesh)
     cache2, state2 = build_state(qparams, ref)
     cache2 = shard_tree(cache2, cache_pspecs(), mesh)
     state2 = replicate_tree(state2, mesh)
