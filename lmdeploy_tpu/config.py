@@ -67,11 +67,14 @@ class ModelConfig:
 class EngineConfig:
     """Engine / scheduler knobs (reference config.ini engine keys:
     tensor_para_size, max_batch_size, max_context_token_num, session_len,
-    step_length, cache_max_entry_count, cache_chunk_size, use_context_fmha,
-    quant_policy)."""
+    step_length, cache_max_entry_count, use_context_fmha, quant_policy;
+    the reference's cache_chunk_size has no TPU equivalent — growth is
+    page-granular)."""
 
     tp: int = 1                          # tensor-parallel size (mesh axis)
-    dp: int = 1                          # replica count (multi-host widening)
+    dp: int = 1                          # dp groups: independent continuous
+    # batches over the 'dp' mesh axis, each with its own page pool /
+    # scheduler (multi-host scale-out; hosts = dp on a pod)
     max_batch_size: int = 64             # decode slots
     max_context_token_num: int = 8192    # prefill chunk token budget
     session_len: int = 2048
@@ -79,7 +82,6 @@ class EngineConfig:
     page_size: int = 64                  # KV page granularity (tokens)
     num_pages: int = 0                   # 0 → derived from HBM budget
     cache_max_entry_count: int = 48      # max cached sequences (LRU bound)
-    cache_chunk_size: int = 1            # pages allocated per growth step
     quant_policy: int = 0                # 4 == int8 KV cache (QuantPolicy bitmask)
     kv_dtype: str = 'bf16'               # 'bf16' | 'int8'
     step_length: int = 8                 # decode steps per device dispatch

@@ -79,29 +79,43 @@ class TPUEngine:
 
         b = engine_cfg.max_batch_size
         page = engine_cfg.page_size
+        self.dp = max(1, engine_cfg.dp)
+        if b % self.dp:
+            raise ValueError(f'max_batch_size {b} not divisible by '
+                             f'dp={self.dp}')
+        self.b_local = b // self.dp
         self.session_len = min(engine_cfg.session_len, model_cfg.session_len) \
             if model_cfg.session_len else engine_cfg.session_len
         self.max_pages_per_seq = -(-self.session_len // page)
         num_pages = engine_cfg.num_pages or self._derive_num_pages()
+        num_pages -= num_pages % self.dp  # page dim shards over dp groups
+        if num_pages // self.dp < self.max_pages_per_seq:
+            raise ValueError(
+                f'{num_pages} pages / dp={self.dp} cannot hold one '
+                f'session of {self.max_pages_per_seq} pages')
         self.num_pages = num_pages
 
         kv_dtype = jnp.int8 if engine_cfg.kv_dtype == 'int8' else jnp.bfloat16
         kv_scales = kv_scales if kv_dtype == jnp.int8 else None
-        if engine_cfg.tp > 1:
-            # One SPMD program over the mesh replaces the reference's
-            # per-GPU threads + NCCL ranks (turbomind.py:125-136).
+        if engine_cfg.tp > 1 or self.dp > 1:
+            # One SPMD program over the (dp, tp) mesh replaces the
+            # reference's per-GPU threads + NCCL ranks (turbomind.py:
+            # 125-136); dp groups are independent continuous batches with
+            # their own page-pool shard (pool-local page ids).
             from jax.sharding import NamedSharding, PartitionSpec
 
-            from ..parallel.tp import (ShardedStepFns, cache_pspecs,
+            from ..parallel.tp import (DP_AXIS, ShardedStepFns, cache_pspecs,
                                        make_mesh, param_pspecs,
-                                       prepare_params_for_tp, replicate_tree,
+                                       prepare_params_for_tp,
                                        shard_tree)
-            self.mesh = make_mesh(engine_cfg.tp)
+            self.mesh = make_mesh(engine_cfg.tp, self.dp)
+            dp_axis = DP_AXIS if self.dp > 1 else None
             # allocate the KV pool directly with its target sharding —
             # allocate-then-device_put would transiently hold the full
             # unsharded pool (tp x per-device budget) and OOM at startup
             cache_sh = jax.tree.map(
-                lambda s: NamedSharding(self.mesh, s), cache_pspecs(),
+                lambda s: NamedSharding(self.mesh, s),
+                cache_pspecs(dp_axis=dp_axis),
                 is_leaf=lambda x: isinstance(x, PartitionSpec))
             self.cache = init_cache(
                 model_cfg.num_layer, num_pages, page, model_cfg.kv_head_num,
@@ -114,9 +128,14 @@ class TPUEngine:
                                                 engine_cfg.tp)
             self.params = shard_tree(self.params,
                                      param_pspecs(self.params), self.mesh)
-            self.state = replicate_tree(self.state, self.mesh)
+            state_spec = PartitionSpec(DP_AXIS) if self.dp > 1 \
+                else PartitionSpec()
+            self.state = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(self.mesh, state_spec)), self.state)
             self.fns = ShardedStepFns(model_cfg, self.mesh,
-                                      use_pallas_attn=self._pallas_enabled())
+                                      use_pallas_attn=self._pallas_enabled(),
+                                      dp_shard_batch=self.dp > 1)
         else:
             self.mesh = None
             self.cache = init_cache(
@@ -128,24 +147,30 @@ class TPUEngine:
             self.fns = CompiledStepFns(model_cfg,
                                        use_pallas_attn=self._pallas_enabled())
 
-        # Session store: native C++ cache manager (csrc/cache_manager.cpp,
-        # the reference's LlamaCacheManager as a host runtime component)
-        # with the pure-Python manager as fallback.
+        # Session store: per-dp-group managers (each owning one pool shard
+        # with pool-local page ids) behind a grouped façade; native C++
+        # cache manager (csrc/cache_manager.cpp, the reference's
+        # LlamaCacheManager as a host runtime component) with the pure-
+        # Python manager as fallback.
         import os
-        self.seqs = None
+        from ..kvcache.manager import GroupedSequenceManager
+        pages_local = num_pages // self.dp
+        managers = None
         if os.environ.get('LMDEPLOY_TPU_NATIVE', '1') != '0':
             try:
                 from ..kvcache.native import NativeSequenceManager, load
                 if load() is not None:
-                    self.seqs = NativeSequenceManager(
-                        num_pages, page, engine_cfg.cache_max_entry_count)
+                    managers = [NativeSequenceManager(
+                        pages_local, page, engine_cfg.cache_max_entry_count)
+                        for _ in range(self.dp)]
             except Exception:
                 log.exception('native cache manager unavailable; '
                               'falling back to Python')
-        if self.seqs is None:
-            self.allocator = PageAllocator(num_pages)
-            self.seqs = SequenceManager(self.allocator, page,
+        if managers is None:
+            managers = [SequenceManager(PageAllocator(pages_local), page,
                                         engine_cfg.cache_max_entry_count)
+                        for _ in range(self.dp)]
+        self.seqs = GroupedSequenceManager(managers)
         self._scratch_id = -(1 << 40)  # logits-path scratch session ids
 
         self.slots: List[Optional[_Slot]] = [None] * b
@@ -189,8 +214,10 @@ class TPUEngine:
         if budget is None:
             # fall back to enough pages for max_batch full sessions
             return self.ecfg.max_batch_size * self.max_pages_per_seq
-        pages = int(budget // (bytes_per_tok * page))
-        floor = 2 * self.max_pages_per_seq
+        # the page dim shards over dp groups: each group's shard fills one
+        # device's budget, so the global pool is dp x that
+        pages = int(budget // (bytes_per_tok * page)) * self.dp
+        floor = 2 * self.max_pages_per_seq * self.dp
         return max(pages, floor)
 
     # -- public API ----------------------------------------------------------
@@ -358,7 +385,9 @@ class TPUEngine:
             return
         self._scratch_id -= 1  # unique negative key, can't collide
         scratch_id = self._scratch_id
-        seq = self.seqs.create(scratch_id)
+        # scratch sessions pin to group 0: the dp prefill_logits program
+        # masks writes to group 0's pool shard and psum-selects its logits
+        seq = self.seqs.create(scratch_id, group=0)
         seq.active = True  # shield from LRU eviction / trim
         try:
             self.seqs.grow(seq, len(ids))
@@ -379,14 +408,44 @@ class TPUEngine:
         finally:
             self.seqs.erase(scratch_id)
 
-    def _free_slot_index(self) -> Optional[int]:
-        for i, s in enumerate(self.slots):
-            if s is None:
+    def _free_slot_index(self, group: Optional[int] = None) -> Optional[int]:
+        """First free slot, constrained to ``group``'s slot range when a
+        session is sticky to a dp group (its pages live in that group's
+        pool shard)."""
+        if group is None:
+            rng = range(len(self.slots))
+        else:
+            rng = range(group * self.b_local, (group + 1) * self.b_local)
+        for i in rng:
+            if self.slots[i] is None:
                 return i
         return None
 
+    def _pick_group(self) -> Optional[int]:
+        """Least-loaded dp group with a free slot (running slots first,
+        then free pages) — the per-group admission balancer."""
+        best, best_key = None, None
+        for g in range(self.dp):
+            if self._free_slot_index(g) is None:
+                continue
+            running = sum(1 for i in range(g * self.b_local,
+                                           (g + 1) * self.b_local)
+                          if self.slots[i] is not None)
+            key = (running, -self.seqs.free_count(g))
+            if best_key is None or key < best_key:
+                best, best_key = g, key
+        return best
+
     def _admit(self, req: EngineRequest, out_q: queue.Queue):
-        slot_idx = self._free_slot_index()
+        # dp-group routing: existing sessions are sticky to the group
+        # holding their pages; new sessions go to the least-loaded group
+        if not req.sequence_start and req.session_id in self.seqs:
+            group = self.seqs.group_of(req.session_id)
+            slot_idx = self._free_slot_index(group)
+        else:
+            group = self._pick_group() if self.dp > 1 else 0
+            slot_idx = None if group is None \
+                else self._free_slot_index(group)
         if slot_idx is None:
             # Busy engine: defer until a slot frees up — the continuous-
             # batching wait (reference blocks in its RequestQueue).
@@ -395,7 +454,7 @@ class TPUEngine:
 
         # sessions (reference: LlamaBatch::initialize fetch/create)
         if req.sequence_start:
-            seq = self.seqs.create(req.session_id)
+            seq = self.seqs.create(req.session_id, group)
         else:
             seq = self.seqs.fetch(req.session_id)
             if req.step and req.step < len(seq.token_ids):

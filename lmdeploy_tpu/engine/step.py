@@ -148,26 +148,40 @@ def decode_steps(params, cache: KVCache, state: DecodeState,
 
 def prefill_chunk(params, cache: KVCache, state: DecodeState, slot,
                   ids, start_pos, length, cfg: ModelConfig, *,
-                  use_pallas_attn: bool = False, axis: str = None):
+                  use_pallas_attn: bool = False, axis: str = None,
+                  dp_axis: str = None):
     """Append one padded prompt chunk of a single slot into the KV cache.
 
     Args:
-      slot: int32 scalar batch-slot index.
+      slot: int32 scalar GLOBAL batch-slot index.
       ids: int32 [T_bucket] (padded) chunk token ids.
       start_pos: int32 scalar absolute position of ids[0].
       length: int32 scalar number of valid tokens in the chunk.
+      dp_axis: when running under shard_map with the batch and page pool
+        sharded over this axis, the slot's owning group is
+        slot // local_batch — only that group's shard performs the KV
+        writes (pool-local page ids), the others run fully masked.  This
+        is the per-group prefill routing of the dp-sharded engine.
     Returns (cache, last_logits [V]) — logits of the last valid token,
-    used only by the logits/PPL path.
+    used only by the logits/PPL path (garbage on non-owner dp shards).
     """
     t = ids.shape[0]
     pos = start_pos + jnp.arange(t, dtype=jnp.int32)
     valid = jnp.arange(t) < length
+    if dp_axis is not None:
+        local_batch = state.tokens.shape[0]  # per-group block under shard_map
+        group = slot // local_batch
+        local_slot = slot - group * local_batch
+        valid = valid & (jax.lax.axis_index(dp_axis) == group)
+        row = state.page_table[local_slot]
+    else:
+        row = state.page_table[slot]
     batch = StepBatch(
         ids=ids[None],
         positions=pos[None],
         valid=valid[None],
         context_len=(start_pos + length)[None],
-        page_table=state.page_table[slot][None],
+        page_table=row[None],
     )
     logits, cache = forward(params, cache, batch, cfg, axis=axis,
                             use_pallas_attn=use_pallas_attn)
@@ -175,14 +189,22 @@ def prefill_chunk(params, cache: KVCache, state: DecodeState, slot,
 
 
 def prefill_logits(params, cache: KVCache, page_row, ids, start_pos, length,
-                   cfg: ModelConfig, *, axis: str = None):
+                   cfg: ModelConfig, *, axis: str = None,
+                   dp_axis: str = None):
     """Like prefill_chunk but returns logits for ALL positions of the chunk
     (the reference's is_return_logits path, LlamaBatch::outputContextLogits).
     Takes a standalone page-table row so it never touches DecodeState.
+
+    Under a dp-sharded cache (``dp_axis``) the scratch pages live in
+    group 0's pool shard: writes are masked to group 0 and the logits are
+    psum-selected from it so every shard returns the same values.
     """
     t = ids.shape[0]
     pos = start_pos + jnp.arange(t, dtype=jnp.int32)
     valid = jnp.arange(t) < length
+    if dp_axis is not None:
+        is_owner = jax.lax.axis_index(dp_axis) == 0
+        valid = valid & is_owner
     batch = StepBatch(
         ids=ids[None],
         positions=pos[None],
@@ -192,6 +214,9 @@ def prefill_logits(params, cache: KVCache, page_row, ids, start_pos, length,
     )
     logits, cache = forward(params, cache, batch, cfg,
                             return_all_logits=True, axis=axis)
+    if dp_axis is not None:
+        logits = jax.lax.psum(
+            jnp.where(is_owner, logits, 0.0), dp_axis)
     return cache, logits[0]
 
 

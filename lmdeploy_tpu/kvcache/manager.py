@@ -81,6 +81,10 @@ class SequenceManager:
     def __contains__(self, seq_id: int) -> bool:
         return seq_id in self._seqs
 
+    @property
+    def free_count(self) -> int:
+        return self.allocator.free_count
+
     def get(self, seq_id: int) -> Optional[Sequence]:
         return self._seqs.get(seq_id)
 
@@ -157,4 +161,63 @@ class SequenceManager:
                 del self._seqs[victim.seq_id]
 
 
-__all__ = ['PageAllocator', 'Sequence', 'SequenceManager', 'NoFreePages']
+class GroupedSequenceManager:
+    """dp-group façade over independent per-group sequence managers.
+
+    Each dp group owns its own page pool (one shard of the device KV
+    pool's page dim) with pool-LOCAL page ids, so a session is sticky to
+    the group holding its pages.  This is the host half of the engine's
+    dp scale-out (SURVEY.md §7 step 9) — the reference has no equivalent
+    (single-node NCCL engine, turbomind.py:81-83 hard-codes node 0).
+    Works over both the Python and native-C++ per-group backends.
+    """
+
+    def __init__(self, managers):
+        self.managers = list(managers)
+        self.page_size = self.managers[0].page_size
+        self._group: Dict[int, int] = {}
+        self._lock = threading.Lock()
+
+    @property
+    def num_groups(self) -> int:
+        return len(self.managers)
+
+    def __contains__(self, seq_id: int) -> bool:
+        return seq_id in self._group
+
+    def group_of(self, seq_id: int) -> Optional[int]:
+        return self._group.get(seq_id)
+
+    def free_count(self, group: int) -> int:
+        return self.managers[group].free_count
+
+    def create(self, seq_id: int, group: int = 0):
+        self.erase(seq_id)
+        with self._lock:
+            self._group[seq_id] = group
+        return self.managers[group].create(seq_id)
+
+    def fetch(self, seq_id: int):
+        g = self._group.get(seq_id)
+        return None if g is None else self.managers[g].fetch(seq_id)
+
+    def get(self, seq_id: int):
+        g = self._group.get(seq_id)
+        return None if g is None else self.managers[g].get(seq_id)
+
+    def erase(self, seq_id: int) -> None:
+        with self._lock:
+            g = self._group.pop(seq_id, None)
+        if g is not None:
+            self.managers[g].erase(seq_id)
+
+    def grow(self, seq, new_total_tokens: int):
+        return self.managers[self._group[seq.seq_id]].grow(
+            seq, new_total_tokens)
+
+    def release(self, seq) -> None:
+        self.managers[self._group[seq.seq_id]].release(seq)
+
+
+__all__ = ['PageAllocator', 'Sequence', 'SequenceManager',
+           'GroupedSequenceManager', 'NoFreePages']

@@ -17,8 +17,14 @@ reference never built.  Design:
   decode program (parallel/tp.py dp_shard_batch) keeps every group's
   slots, pages and sampling state host-local (pool-local page ids).
 
-This file provides the initialization + mesh/control plumbing; it is
-exercised on a real pod via JAX's standard coordinator env vars.
+The engine half is real: ``TPUEngine`` honors ``EngineConfig.dp`` —
+per-group page pools (pool-local ids), per-group schedulers/admission,
+group-routed prefill — over the (dp, tp) mesh from
+:func:`lmdeploy_tpu.parallel.tp.make_mesh` (host-major device order, so
+each dp row is one host).  This module's plumbing is exercised by a REAL
+2-process jax.distributed cluster in tests/test_multihost.py
+(coordinator handshake, control broadcast, cross-host collective); on a
+pod the same code paths run over DCN.
 """
 from __future__ import annotations
 

@@ -35,8 +35,12 @@ DP_AXIS = 'dp'
 
 def make_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
     """Build a (dp, tp) mesh; tp rides the fastest-varying (ICI-adjacent)
-    axis so TP collectives stay on-chip interconnect."""
-    devices = devices if devices is not None else jax.devices()
+    axis so TP collectives stay on-chip interconnect.  Devices order
+    host-major so each dp row is one host's devices on a multi-host pod
+    (dp groups then never send decode traffic over DCN)."""
+    if devices is None:
+        devices = sorted(jax.devices(),
+                         key=lambda d: (d.process_index, d.id))
     n = dp * tp
     if len(devices) < n:
         raise ValueError(f'need {n} devices, have {len(devices)}')
@@ -213,11 +217,13 @@ def param_pspecs(params: Dict[str, Any], axis: str = TP_AXIS):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def cache_pspecs(axis: str = TP_AXIS):
-    """KVCache spec: KV heads sharded (reference: LlamaV2.cc:111)."""
+def cache_pspecs(axis: str = TP_AXIS, dp_axis: Optional[str] = None):
+    """KVCache spec: KV heads sharded over tp (reference: LlamaV2.cc:111);
+    with ``dp_axis`` the page-pool dim additionally shards over dp — each
+    dp group owns an independent pool addressed by pool-local page ids."""
     from ..kvcache.paged import KVCache
-    return KVCache(k=P(None, None, None, axis, None),
-                   v=P(None, None, None, axis, None),
+    return KVCache(k=P(None, dp_axis, None, axis, None),
+                   v=P(None, dp_axis, None, axis, None),
                    k_scale=P(), k_zp=P(), v_scale=P(), v_zp=P())
 
 
@@ -251,27 +257,33 @@ class ShardedStepFns:
         page-pool dim of the KV cache shard over the 'dp' mesh axis — each
         dp group runs an independent continuous batch with its own page
         pool (the multi-host scale-out design, SURVEY.md §7 step 9);
-        page-table entries are pool-local so no cross-dp traffic exists."""
+        page-table entries are pool-local so no cross-dp traffic exists.
+        Prefill routes to the slot's owning group inside the program
+        (masked on the other shards); the logits/PPL path is pinned to
+        group 0 (scratch pages come from group 0's pool)."""
         from ..engine import step as _step
 
         self.cfg = cfg
         self.mesh = mesh
+        self.dp = int(mesh.shape.get(DP_AXIS, 1)) if dp_shard_batch else 1
+        dp_axis = DP_AXIS if dp_shard_batch else None
 
         if dp_shard_batch:
-            pspecs_cache = jax.tree.map(
-                lambda s: P(s[0], DP_AXIS, *s[2:]) if len(s) == 5 else s,
-                cache_pspecs(), is_leaf=lambda x: isinstance(x, P))
+            pspecs_cache = cache_pspecs(dp_axis=DP_AXIS)
             rep = P(DP_AXIS)   # batch-leading state/batch tensors
+            # decode_steps packs outputs batch-LAST: [5, k, B] / [k, B]
+            packed_spec = P(None, None, DP_AXIS)
+            lp_spec = P(None, DP_AXIS)
         else:
             pspecs_cache = cache_pspecs()
             rep = P()
+            packed_spec = P()
+            lp_spec = P()
+        self.state_spec = rep
 
         def smap(fn, in_specs, out_specs):
             return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs, check_vma=False)
-
-        def _params_spec(params):
-            return param_pspecs(params)
 
         # decode_step(params, cache, state) -> (cache, state, tok, fin, lp)
         def make_decode(params_spec):
@@ -288,26 +300,27 @@ class ShardedStepFns:
                          use_pallas_attn=use_pallas_attn)
             return jax.jit(
                 smap(fn, in_specs=(params_spec, pspecs_cache, rep),
-                     out_specs=(pspecs_cache, rep, rep, rep)),
+                     out_specs=(pspecs_cache, rep, packed_spec, lp_spec)),
                 donate_argnums=(1, 2))
         self._make_decode_steps = make_decode_steps
         self._decode_steps_cache = {}
 
         def make_prefill(params_spec):
-            if dp_shard_batch:
-                return None  # prefill routes per dp group at a higher level
             fn = partial(_step.prefill_chunk, cfg=cfg, axis=TP_AXIS,
-                         use_pallas_attn=use_pallas_attn)
+                         use_pallas_attn=use_pallas_attn, dp_axis=dp_axis)
+            # last-valid logits are per-group garbage on non-owner shards;
+            # the engine prefill path discards them, so emit the owner-
+            # stacked axis rather than pretending replication
+            logits_spec = P(DP_AXIS) if dp_shard_batch else P()
             return jax.jit(
                 smap(fn, in_specs=(params_spec, pspecs_cache, rep, P(), P(),
                                    P(), P()),
-                     out_specs=(pspecs_cache, P())),
+                     out_specs=(pspecs_cache, logits_spec)),
                 donate_argnums=(1,))
 
         def make_prefill_logits(params_spec):
-            if dp_shard_batch:
-                return None
-            fn = partial(_step.prefill_logits, cfg=cfg, axis=TP_AXIS)
+            fn = partial(_step.prefill_logits, cfg=cfg, axis=TP_AXIS,
+                         dp_axis=dp_axis)
             return jax.jit(
                 smap(fn, in_specs=(params_spec, pspecs_cache, P(), P(), P(),
                                    P()),
@@ -317,7 +330,8 @@ class ShardedStepFns:
         self._make = (make_decode, make_prefill, make_prefill_logits)
         self._built = None
 
-        # state surgery stays plain jit: state is replicated, XLA keeps it so
+        # state surgery stays plain jit over the (possibly dp-sharded)
+        # state; GSPMD partitions the tiny index updates in place
         self.install_slot = jax.jit(_step.install_slot, donate_argnums=(0,))
         self.clear_slot = jax.jit(_step.clear_slot, donate_argnums=(0,))
         self.set_finished = jax.jit(_step.set_finished, donate_argnums=(0,))

@@ -156,6 +156,74 @@ def test_tp_int4_inter_padding(tp=2):
     assert got == want
 
 
+@pytest.mark.parametrize('dp,tp', [(2, 1), (2, 2)])
+def test_engine_dp_end_to_end(dp, tp):
+    """dp-group engine: per-group page pools/schedulers over the (dp, tp)
+    mesh must stream identical tokens to the dp=1 engine, for concurrent
+    sessions routed to different groups, incl. the prompt-logits path
+    (pinned to group 0).  The reference cannot do this at all — its engine
+    is single-node with node_id hard-coded 0 (turbomind.py:81-83)."""
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(7), jnp.float32)
+    base = EngineConfig(max_batch_size=4, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=2, tp=1, dp=1)
+    gen = GenerationConfig(max_new_tokens=5, top_k=1, ignore_eos=True)
+    prompts = {1: [3, 17, 42, 99, 5], 2: [9, 11], 3: [120, 7, 30]}
+
+    def run(ecfg):
+        eng = TPUEngine(CFG, ecfg, params)
+        try:
+            inst = eng.create_instance()
+            # drive all three concurrently so both dp groups fill
+            gens = {sid: inst.stream_infer(sid, p, gen_config=gen,
+                                           sequence_end=True)
+                    for sid, p in prompts.items()}
+            outs = {sid: [o for o in g][-1].token_ids
+                    for sid, g in gens.items()}
+            logits = inst.decode(prompts[1])
+            return outs, logits
+        finally:
+            eng.shutdown()
+
+    want, logits1 = run(base)
+    got, logits2 = run(dataclasses.replace(base, dp=dp, tp=tp))
+    assert got == want
+    np.testing.assert_allclose(logits2, logits1, rtol=2e-4, atol=2e-4)
+
+
+def test_engine_dp_group_stickiness():
+    """A continued session must land back in the dp group that holds its
+    pages, and the groups' pools stay independent."""
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(8), jnp.float32)
+    ecfg = EngineConfig(max_batch_size=4, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=2, tp=1, dp=2)
+    gen = GenerationConfig(max_new_tokens=3, top_k=1, ignore_eos=True)
+    eng = TPUEngine(CFG, ecfg, params)
+    try:
+        inst = eng.create_instance()
+        out1 = inst.infer(1, [3, 17, 42], gen_config=gen)
+        g1 = eng.seqs.group_of(1)
+        out2 = inst.infer(2, [9, 11, 13], gen_config=gen)
+        assert eng.seqs.group_of(2) != g1  # balancer spreads groups
+        # interactive continuation reuses the same group's cache
+        out1b = inst.infer(1, out1.token_ids[-1:] and [5],
+                           gen_config=gen, sequence_start=False)
+        assert eng.seqs.group_of(1) == g1
+        assert len(out1b.token_ids) == 3
+        assert len(out2.token_ids) == 3
+    finally:
+        eng.shutdown()
+
+
 def test_engine_tp_end_to_end():
     """Full engine with tp=2 mesh produces identical streams to tp=1."""
     from lmdeploy_tpu.engine.engine import TPUEngine
