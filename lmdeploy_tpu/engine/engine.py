@@ -174,6 +174,12 @@ class TPUEngine:
         self._scratch_id = -(1 << 40)  # logits-path scratch session ids
 
         self.slots: List[Optional[_Slot]] = [None] * b
+        self._prefill_jobs: List = []  # (slot_idx, ids, start_pos)
+        # observability counters (beyond-reference; the reference has
+        # only leveled logs — SURVEY.md §5 metrics row)
+        self.stats = {'requests': 0, 'finished': 0, 'canceled': 0,
+                      'errors': 0, 'rejected': 0, 'timeout': 0,
+                      'generated_tokens': 0}
         self._fresh_admission = False
         self._ramp = 1  # post-admission round-length ramp (1->4->16->k)
         self._rng_now: Optional[np.ndarray] = None  # [B, 2] rng keys at the
@@ -226,8 +232,36 @@ class TPUEngine:
 
     def submit(self, request: EngineRequest) -> queue.Queue:
         out_q: queue.Queue = queue.Queue()
-        self._requests.put((request, out_q))
+        # backpressure: bound queued + deferred work (reference blocks in
+        # RequestQueue; a serving engine must reject instead — the
+        # frontend turns QUEUE_FULL into HTTP 429)
+        cap = self.ecfg.max_pending_requests
+        if cap and not (request.stop or request.return_logits) \
+                and self._requests.qsize() + len(self._pending) >= cap:
+            self.stats['rejected'] += 1
+            out_q.put(EngineOutput(ResponseType.QUEUE_FULL, [], 0,
+                                   finished=True))
+            return out_q
+        self._requests.put((request, out_q, time.monotonic()))
         return out_q
+
+    def overloaded(self) -> bool:
+        """Cheap pre-admission check for HTTP-level 429 responses."""
+        cap = self.ecfg.max_pending_requests
+        return bool(cap) and \
+            self._requests.qsize() + len(self._pending) >= cap
+
+    def metrics(self) -> Dict[str, float]:
+        """Counters + gauges for the /metrics endpoint (beyond-reference:
+        the reference exposes no serving metrics, SURVEY.md §5)."""
+        out = dict(self.stats)
+        out['queue_depth'] = self._requests.qsize()
+        out['pending_requests'] = len(self._pending)
+        out['slots_busy'] = sum(1 for s in self.slots if s is not None)
+        out['slots_total'] = len(self.slots)
+        for g in range(self.dp):
+            out[f'free_pages_group{g}'] = self.seqs.free_count(g)
+        return out
 
     def shutdown(self):
         self._shutdown = True
@@ -267,6 +301,15 @@ class TPUEngine:
                 pending, self._pending = self._pending, []
                 for item in pending:
                     self._handle_safe(*item)
+            # batched multi-slot prefill of everything admitted this turn
+            # (reference: one chunked context-decode pass over all new
+            # requests, LlamaBatch.cc:795-858)
+            if self._prefill_jobs:
+                try:
+                    self._flush_prefills()
+                except Exception:
+                    log.exception('prefill flush failed')
+                    self._fail_all()
             if any(s is not None and not s.done for s in self.slots):
                 try:
                     self._decode_round(self.ecfg.step_length)
@@ -305,27 +348,37 @@ class TPUEngine:
         for item in stops:
             self._handle_safe(*item)
         seen = set()
-        for req, out_q in sorted(infers,
-                                 key=lambda it: -len(it[0].input_ids)):
+        for req, out_q, t in sorted(infers,
+                                    key=lambda it: -len(it[0].input_ids)):
             if req.session_id in seen:
                 out_q.put(EngineOutput(ResponseType.SESSION_REPEAT, [], 0,
                                        finished=True))
                 continue
             seen.add(req.session_id)
-            self._handle_safe(req, out_q)
+            self._handle_safe(req, out_q, t)
 
-    def _handle_safe(self, req: EngineRequest, out_q: queue.Queue):
+    def _handle_safe(self, req: EngineRequest, out_q: queue.Queue,
+                     enq_t: Optional[float] = None):
         """Per-request isolation: one failing request must answer ITS
         client and never abort the rest of the drained batch."""
+        timeout = self.ecfg.request_timeout
+        if timeout and enq_t is not None and not req.stop \
+                and time.monotonic() - enq_t > timeout:
+            self.stats['timeout'] += 1
+            out_q.put(EngineOutput(ResponseType.TIMEOUT, [], 0,
+                                   finished=True))
+            return
         try:
-            self._handle_request(req, out_q)
+            self._handle_request(req, out_q, enq_t)
         except Exception:
             log.exception('request handling failed (session %s)',
                           req.session_id)
+            self.stats['errors'] += 1
             out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [], 0,
                                    finished=True))
 
-    def _handle_request(self, req: EngineRequest, out_q: queue.Queue):
+    def _handle_request(self, req: EngineRequest, out_q: queue.Queue,
+                        enq_t: Optional[float] = None):
         if req.stop:
             self._handle_stop(req, out_q)
             return
@@ -344,7 +397,7 @@ class TPUEngine:
                                    finished=True))
             return
         try:
-            self._admit(req, out_q)
+            self._admit(req, out_q, enq_t)
         except NoFreePages:
             out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [], 0,
                                    finished=True))
@@ -352,12 +405,12 @@ class TPUEngine:
     def _handle_stop(self, req: EngineRequest, out_q: queue.Queue):
         # cancel requests still waiting for a slot
         kept = []
-        for preq, pq in self._pending:
+        for preq, pq, pt in self._pending:
             if preq.session_id == req.session_id:
                 pq.put(EngineOutput(ResponseType.CANCELED, [], 0,
                                     finished=True))
             else:
-                kept.append((preq, pq))
+                kept.append((preq, pq, pt))
         self._pending = kept
         for i, slot in enumerate(self.slots):
             if slot is not None and slot.request.session_id == req.session_id:
@@ -436,7 +489,8 @@ class TPUEngine:
                 best, best_key = g, key
         return best
 
-    def _admit(self, req: EngineRequest, out_q: queue.Queue):
+    def _admit(self, req: EngineRequest, out_q: queue.Queue,
+               enq_t: Optional[float] = None):
         # dp-group routing: existing sessions are sticky to the group
         # holding their pages; new sessions go to the least-loaded group
         if not req.sequence_start and req.session_id in self.seqs:
@@ -449,8 +503,11 @@ class TPUEngine:
         if slot_idx is None:
             # Busy engine: defer until a slot frees up — the continuous-
             # batching wait (reference blocks in its RequestQueue).
-            self._pending.append((req, out_q))
+            self._pending.append((req, out_q,
+                                  enq_t if enq_t is not None
+                                  else time.monotonic()))
             return
+        self.stats['requests'] += 1
 
         # sessions (reference: LlamaBatch::initialize fetch/create)
         if req.sequence_start:
@@ -515,9 +572,10 @@ class TPUEngine:
         self._fresh_admission = True  # short first round for TTFT
         seq.token_ids = all_ids
 
-        # chunked prefill (reference LlamaBatch.cc:795-858)
+        # defer the chunked prefill: all admissions drained this turn
+        # prefill TOGETHER in one batched pass (_flush_prefills)
         if prefill_ids:
-            self._prefill(slot_idx, prefill_ids, start_pos)
+            self._prefill_jobs.append((slot_idx, prefill_ids, start_pos))
         slot.context_len = total_len - 1
 
     def _stop_sequences(self, gen: GenerationConfig) -> List[List[int]]:
@@ -590,6 +648,59 @@ class TPUEngine:
         slot = self.slots[slot_idx]
         slot.seq.cache_len = start_pos + len(ids)
 
+    def _flush_prefills(self):
+        """Prefill every queued admission in batched chunk passes: each
+        round appends ONE chunk for every still-unfinished job (the
+        reference's batched chunked context decode, LlamaBatch.cc:
+        795-858) so concurrent admissions share device dispatches instead
+        of serializing their TTFT."""
+        jobs = [(i, ids, start) for i, ids, start in self._prefill_jobs
+                if self.slots[i] is not None and not self.slots[i].done]
+        self._prefill_jobs = []
+        if not jobs:
+            return
+        if len(jobs) == 1:
+            self._prefill(*jobs[0])
+            return
+        buckets = list(self.ecfg.prefill_buckets)
+        budget = min(self.ecfg.max_context_token_num, buckets[-1])
+        b = self.ecfg.max_batch_size
+        bp_buckets = [x for x in (2, 4, 8, 16, 32, 64) if x < b] + [b]
+        offs = [0] * len(jobs)
+        while True:
+            live = [(j, jobs[j][0]) for j in range(len(jobs))
+                    if offs[j] < len(jobs[j][1])]
+            if not live:
+                break
+            if len(live) == 1:
+                j, slot_idx = live[0]
+                _, ids, start = jobs[j]
+                self._prefill(slot_idx, ids[offs[j]:], start + offs[j])
+                offs[j] = len(ids)
+                continue
+            chunks = []
+            for j, slot_idx in live:
+                _, ids, start = jobs[j]
+                chunk = ids[offs[j]:offs[j] + budget]
+                chunks.append((slot_idx, chunk, start + offs[j]))
+                offs[j] += len(chunk)
+            t = _bucket_for(max(len(c) for _, c, _ in chunks), buckets)
+            bp = _bucket_for(len(chunks), bp_buckets)
+            ids_arr = np.zeros((bp, t), np.int32)
+            slots_arr = np.zeros((bp,), np.int32)
+            starts_arr = np.zeros((bp,), np.int32)
+            lens_arr = np.zeros((bp,), np.int32)  # padding rows: length 0
+            for r, (slot_idx, chunk, pos) in enumerate(chunks):
+                ids_arr[r, :len(chunk)] = chunk
+                slots_arr[r] = slot_idx
+                starts_arr[r] = pos
+                lens_arr[r] = len(chunk)
+            self.cache, _ = self.fns.prefill_chunks(
+                self.params, self.cache, self.state, slots_arr, ids_arr,
+                starts_arr, lens_arr)
+        for j, (slot_idx, ids, start) in enumerate(jobs):
+            self.slots[slot_idx].seq.cache_len = start + len(ids)
+
     # -- decode ------------------------------------------------------------------
     def _grow_pages(self, steps: int = 1):
         """Allocate pages for the next ``steps`` tokens of every running
@@ -624,8 +735,20 @@ class TPUEngine:
         k = max(1, min(steps, self._ramp))
         self._ramp = max(1, steps)
         self._grow_pages(k)
+        # static sampling mode per round — the host knows every running
+        # slot's GenerationConfig.  NOTE measured (v5e, k=64 rounds): a
+        # dedicated greedy/argmax program compiles to 25.2 ms/tok vs the
+        # candidate pipeline's 17.4 — the top_k sort is fully overlapped
+        # inside the scan and shortening the sampling dependency chain
+        # derails XLA's schedule.  So greedy rides 'candidates'; 'full'
+        # exists for exact unconstrained sampling (top_k=0).
+        cfgs = [s.request.gen_config for s in self.slots
+                if s is not None and not s.done]
+        mode = 'full' if any((g.top_k or 0) <= 0 for g in cfgs) \
+            else 'candidates'
         self.cache, self.state, packed, logprob = self.fns.decode_steps(
-            self.params, self.cache, self.state, num_steps=k)
+            self.params, self.cache, self.state, num_steps=k,
+            sampling_mode=mode)
         arr = np.asarray(packed)  # [5, k, B]: tok/fin/logprob/rng0/rng1
         logprobs = np.ascontiguousarray(arr[2]).view(np.float32)  # [k, B]
         for t in range(k):
@@ -643,6 +766,7 @@ class TPUEngine:
             if slot is None or slot.done:
                 continue
             slot.saw_round = True
+            self.stats['generated_tokens'] += 1
             tok = int(toks_np[i])
             if logprobs_np is not None and \
                     slot.request.gen_config.output_logprobs:
@@ -692,6 +816,8 @@ class TPUEngine:
         slot = self.slots[slot_idx]
         if slot is None:
             return
+        self.stats['canceled' if status == ResponseType.CANCELED
+                   else 'finished'] += 1
         # snapshot RNG key for reproducible continuation (host copy from
         # the current substep's readback plane; device fetch only if this
         # slot never ran a round — _rng_now's row would belong to a prior

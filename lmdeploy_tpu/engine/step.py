@@ -67,8 +67,12 @@ def init_decode_state(batch: int, max_pages: int, hist_len: int,
 
 def decode_step(params: Dict[str, Any], cache: KVCache, state: DecodeState,
                 cfg: ModelConfig, *, use_pallas_attn: bool = False,
-                axis: str = None):
+                axis: str = None, sampling_mode: str = 'candidates'):
     """One generation step for every running slot.
+
+    ``sampling_mode`` is static — the host scheduler knows every running
+    slot's GenerationConfig and picks 'greedy' / 'candidates' / 'full'
+    per round (see ops/sampling.py).
 
     Returns (new_cache, new_state, sampled_tokens [B], finished [B],
     token_logprob [B]).
@@ -87,7 +91,7 @@ def decode_step(params: Dict[str, Any], cache: KVCache, state: DecodeState,
     logits = mask_vocab_padding(logits, cfg.vocab_size)
     new_tok, new_keys, logprob = sample_step(
         logits, state.sampling, state.history, state.history_len,
-        state.generated)
+        state.generated, run=run, mode=sampling_mode)
     new_tok = jnp.where(run, new_tok, state.tokens)
     generated = state.generated + run.astype(jnp.int32)
     fin_now = check_stop(new_tok, state.sampling, generated) & run
@@ -109,7 +113,8 @@ def decode_step(params: Dict[str, Any], cache: KVCache, state: DecodeState,
 
 def decode_steps(params, cache: KVCache, state: DecodeState,
                  cfg: ModelConfig, *, num_steps: int,
-                 use_pallas_attn: bool = False, axis: str = None):
+                 use_pallas_attn: bool = False, axis: str = None,
+                 sampling_mode: str = 'candidates'):
     """``num_steps`` generation steps in ONE device program (the reference's
     step_length knob, LlamaV2.cc internal loop).  Amortizes the host
     dispatch + readback round-trip — critical when the host↔device link
@@ -127,7 +132,7 @@ def decode_steps(params, cache: KVCache, state: DecodeState,
         cache, state = carry
         cache, state, tok, fin, logprob = decode_step(
             params, cache, state, cfg, use_pallas_attn=use_pallas_attn,
-            axis=axis)
+            axis=axis, sampling_mode=sampling_mode)
         return (cache, state), (tok, fin, logprob, state.sampling.rng_key)
 
     (cache, state), (toks, fins, logprobs, rngs) = jax.lax.scan(
@@ -186,6 +191,47 @@ def prefill_chunk(params, cache: KVCache, state: DecodeState, slot,
     logits, cache = forward(params, cache, batch, cfg, axis=axis,
                             use_pallas_attn=use_pallas_attn)
     return cache, logits[0]
+
+
+def prefill_chunks(params, cache: KVCache, state: DecodeState, slots,
+                   ids, start_pos, lengths, cfg: ModelConfig, *,
+                   use_pallas_attn: bool = False, axis: str = None,
+                   dp_axis: str = None):
+    """Batched multi-slot prefill: one device pass appends one chunk for
+    EVERY newly admitted slot (the reference's batched context decode,
+    LlamaBatch.cc:795-858 — concurrent admissions must not serialize
+    their TTFT).
+
+    Args:
+      slots: int32 [Bp] GLOBAL batch-slot indices (padding rows allowed:
+        use any slot with length 0 — fully masked).
+      ids: int32 [Bp, T_bucket] padded chunk token ids.
+      start_pos: int32 [Bp] absolute position of each row's ids[0].
+      lengths: int32 [Bp] valid tokens per row.
+    Returns (cache, last_logits [Bp, V]) — logits of each row's last
+    valid token (garbage for padding rows / non-owner dp shards).
+    """
+    bp, t = ids.shape
+    pos = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    valid = jnp.arange(t)[None] < lengths[:, None]
+    if dp_axis is not None:
+        local_batch = state.tokens.shape[0]  # per-group block
+        group = slots // local_batch
+        local_slots = slots - group * local_batch
+        valid = valid & (jax.lax.axis_index(dp_axis) == group)[:, None]
+        rows = state.page_table[local_slots]
+    else:
+        rows = state.page_table[slots]
+    batch = StepBatch(
+        ids=ids,
+        positions=pos,
+        valid=valid,
+        context_len=start_pos + lengths,
+        page_table=rows,
+    )
+    logits, cache = forward(params, cache, batch, cfg, axis=axis,
+                            use_pallas_attn=use_pallas_attn)
+    return cache, logits
 
 
 def prefill_logits(params, cache: KVCache, page_row, ids, start_pos, length,
@@ -276,12 +322,15 @@ class CompiledStepFns:
         self.cfg = cfg
         kw = dict(cfg=cfg, use_pallas_attn=use_pallas_attn, axis=axis)
         self.decode_step = jax.jit(
-            partial(decode_step, **kw), donate_argnums=(1, 2))
+            partial(decode_step, **kw), donate_argnums=(1, 2),
+            static_argnames=('sampling_mode',))
         self.decode_steps = jax.jit(
             partial(decode_steps, **kw), donate_argnums=(1, 2),
-            static_argnames=('num_steps',))
+            static_argnames=('num_steps', 'sampling_mode'))
         self.prefill_chunk = jax.jit(
             partial(prefill_chunk, **kw), donate_argnums=(1,))
+        self.prefill_chunks = jax.jit(
+            partial(prefill_chunks, **kw), donate_argnums=(1,))
         self.prefill_logits_row = jax.jit(
             partial(prefill_logits, cfg=cfg, axis=axis), donate_argnums=(1,))
         self.install_slot = jax.jit(install_slot, donate_argnums=(0,))
@@ -291,5 +340,5 @@ class CompiledStepFns:
 
 
 __all__ = ['DecodeState', 'init_decode_state', 'decode_step', 'prefill_chunk',
-           'prefill_logits', 'install_slot', 'clear_slot', 'set_finished',
-           'set_page_row', 'CompiledStepFns']
+           'prefill_chunks', 'prefill_logits', 'install_slot', 'clear_slot',
+           'set_finished', 'set_page_row', 'CompiledStepFns']

@@ -22,6 +22,8 @@ class ResponseType(enum.IntEnum):
     SESSION_NOT_EXIST = 5    # continuation of an unknown session
     INPUT_TOO_LONG = 6
     INTERNAL_ERROR = 7
+    QUEUE_FULL = 8           # backpressure: pending-request bound hit
+    TIMEOUT = 9              # request waited in the queue past its deadline
 
 
 @dataclasses.dataclass

@@ -180,15 +180,17 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
                 q[:, 0], cache_k, cache_v, layer, batch.page_table,
                 batch.context_len, qp4,
                 quantized=cache.quantized)[:, None]
-        elif use_pallas_attn and b == 1 and t % 128 == 0:
-            # chunked prefill of one slot: paged flash attention
+        elif use_pallas_attn and t % 128 == 0:
+            # chunked prefill (any slot count): paged flash attention,
+            # grid over (slot, q-block) — the reference's batched
+            # context decode (LlamaBatch.cc:795-858)
             from ..ops.pallas.prefill_attention import \
-                paged_prefill_attention
+                paged_prefill_attention_batched
             qp4 = jnp.stack([k_scale, k_zp, v_scale, v_zp])
-            o = paged_prefill_attention(
-                q[0], cache_k, cache_v, layer, batch.page_table[0],
-                batch.positions[0, 0], batch.context_len[0], qp4,
-                quantized=cache.quantized)[None]
+            o = paged_prefill_attention_batched(
+                q, cache_k, cache_v, layer, batch.page_table,
+                batch.positions[:, 0], batch.context_len, qp4,
+                quantized=cache.quantized)
         else:
             ck = jax.lax.dynamic_index_in_dim(cache_k, layer, 0,
                                               keepdims=False)

@@ -30,23 +30,24 @@ def _prefill_kernel(page_table_ref, end_pos_ref, layer_ref,  # prefetch
                     k_buf, v_buf, sem,
                     *, page_size: int, kh: int, g: int, dh: int,
                     start_pos: None, quantized: bool, scale: float):
-    qi = pl.program_id(0)
+    si = pl.program_id(0)           # batch slot (grid dim 0)
+    qi = pl.program_id(1)           # q block within the slot's chunk
     layer = layer_ref[0]
-    start = end_pos_ref[1]          # absolute position of ids[0]
-    ctx_end = end_pos_ref[0]        # start + valid length
+    start = end_pos_ref[1, si]      # absolute position of ids[0]
+    ctx_end = end_pos_ref[0, si]    # start + valid length
     blk_start = start + qi * Q_BLOCK
     # pages causally visible to this block's LAST query
     last_q_pos = jnp.minimum(blk_start + Q_BLOCK - 1, ctx_end - 1)
-    num_pages = jax.lax.div(last_q_pos, page_size) + 1
+    num_pages = jnp.maximum(jax.lax.div(last_q_pos, page_size) + 1, 1)
 
-    q = q_ref[:].astype(jnp.float32) * scale           # [QB, KH*G, Dh]
+    q = q_ref[0].astype(jnp.float32) * scale           # [QB, KH*G, Dh]
     qh = q.reshape(Q_BLOCK, kh, g, dh).transpose(1, 0, 2, 3) \
           .reshape(kh, Q_BLOCK * g, dh)                # [KH, QB*G, Dh]
     q_pos = blk_start + jax.lax.broadcasted_iota(
         jnp.int32, (1, Q_BLOCK, 1, 1), 1)              # [1, QB, 1, 1]
 
     def dma(slot, page_idx):
-        phys = page_table_ref[page_idx]
+        phys = page_table_ref[si, page_idx]
         return (pltpu.make_async_copy(k_hbm.at[layer, phys], k_buf.at[slot],
                                       sem.at[slot, 0]),
                 pltpu.make_async_copy(v_hbm.at[layer, phys], v_buf.at[slot],
@@ -101,42 +102,47 @@ def _prefill_kernel(page_table_ref, end_pos_ref, layer_ref,  # prefetch
     m, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-20)[..., None]       # [KH, QB*G, Dh]
     out = out.reshape(kh, Q_BLOCK, g, dh).transpose(1, 0, 2, 3)
-    o_ref[:] = out.reshape(Q_BLOCK, kh * g, dh).astype(o_ref.dtype)
+    o_ref[0] = out.reshape(Q_BLOCK, kh * g, dh).astype(o_ref.dtype)
 
 
-def paged_prefill_attention(q, k_cache, v_cache, layer, page_row,
-                            start_pos, context_end, qparams4, *,
-                            quantized: bool, interpret: bool = False):
-    """Prefill attention of one slot's chunk over the paged pool.
+def paged_prefill_attention_batched(q, k_cache, v_cache, layer, page_tables,
+                                    start_pos, context_end, qparams4, *,
+                                    quantized: bool, interpret: bool = False):
+    """Prefill attention of MULTIPLE slots' chunks over the paged pool in
+    one kernel — grid (slot, q-block).  The reference chunks context
+    decode across all newly admitted requests in one pass
+    (LlamaBatch.cc:795-858); this is the TPU equivalent, so concurrent
+    admissions don't serialize their TTFT.
 
     Args:
-      q: [T, KH*G, Dh] rope'd queries of the chunk (T a multiple of 128,
-        padding tokens allowed — their output is garbage, masked upstream).
-      k_cache/v_cache: FULL pool [L, P, page, KH, Dh]; the chunk's K/V
-        must already be written.
+      q: [B, T, KH*G, Dh] rope'd queries (T a multiple of 128; padding
+        tokens/rows allowed — garbage output, masked upstream).
+      k_cache/v_cache: FULL pool [L, P, page, KH, Dh] with K/V written.
       layer: int32 scalar.
-      page_row: int32 [max_pages] for this slot.
-      start_pos: int32 scalar absolute position of q[0].
-      context_end: int32 scalar = start_pos + valid chunk length.
+      page_tables: int32 [B, max_pages], pool-local page ids.
+      start_pos: int32 [B] absolute position of each row's q[0].
+      context_end: int32 [B] = start_pos + valid chunk length (== start
+        for padding rows: they do one masked page pass and write zeros).
       qparams4: f32 [4] per-layer INT8 qparams.
-    Returns [T, KH*G, Dh] in q.dtype.
+    Returns [B, T, KH*G, Dh] in q.dtype.
     """
-    t, h, dh = q.shape
+    b, t, h, dh = q.shape
     assert t % Q_BLOCK == 0, t
     kh = k_cache.shape[-2]
     g = h // kh
     page_size = k_cache.shape[-3]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(t // Q_BLOCK,),
+        grid=(b, t // Q_BLOCK),
         in_specs=[
-            pl.BlockSpec((Q_BLOCK, h, dh), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, Q_BLOCK, h, dh), lambda s, i, *_: (s, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((Q_BLOCK, h, dh), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, Q_BLOCK, h, dh),
+                               lambda s, i, *_: (s, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, page_size, kh, dh), k_cache.dtype),
@@ -148,17 +154,33 @@ def paged_prefill_attention(q, k_cache, v_cache, layer, page_row,
         _prefill_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
         start_pos=None, quantized=quantized, scale=dh ** -0.5)
     end_pos = jnp.stack([jnp.asarray(context_end, jnp.int32),
-                         jnp.asarray(start_pos, jnp.int32)])
+                         jnp.asarray(start_pos, jnp.int32)])  # [2, B]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, h, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t, h, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
-    )(jnp.maximum(page_row, 0), end_pos,
+    )(jnp.maximum(page_tables, 0), end_pos,
       jnp.reshape(layer, (1,)).astype(jnp.int32), q, k_cache, v_cache,
       jnp.asarray(qparams4, jnp.float32))
 
 
-__all__ = ['paged_prefill_attention', 'Q_BLOCK']
+def paged_prefill_attention(q, k_cache, v_cache, layer, page_row,
+                            start_pos, context_end, qparams4, *,
+                            quantized: bool, interpret: bool = False):
+    """Single-slot wrapper over :func:`paged_prefill_attention_batched`.
+
+    q: [T, KH*G, Dh]; page_row: [max_pages]; start_pos/context_end
+    scalars.  Returns [T, KH*G, Dh].
+    """
+    out = paged_prefill_attention_batched(
+        q[None], k_cache, v_cache, layer, page_row[None],
+        jnp.reshape(start_pos, (1,)), jnp.reshape(context_end, (1,)),
+        qparams4, quantized=quantized, interpret=interpret)
+    return out[0]
+
+
+__all__ = ['paged_prefill_attention', 'paged_prefill_attention_batched',
+           'Q_BLOCK']

@@ -132,7 +132,7 @@ def min_p_mask(logits, min_p):
 
 
 def sample_step(logits, state: SamplingState, history, history_len,
-                generated):
+                generated, run=None, mode: str = 'candidates'):
     """Run the full sampling pipeline for one decode step.
 
     Args:
@@ -141,6 +141,19 @@ def sample_step(logits, state: SamplingState, history, history_len,
       history: int32 [B, S] all tokens so far (prompt + generated).
       history_len: int32 [B].
       generated: int32 [B] tokens generated so far for min-len masking.
+      run: bool [B] slots actually decoding this step (None = all).
+      mode: STATIC execution path, chosen by the host which knows every
+        running slot's GenerationConfig (the reference likewise
+        dispatches specialized kernels: TopK's k==1 shortcut, TopP's
+        full-vocab sort — sampling_topk_kernels.cu /
+        sampling_topp_kernels.cu).  A run-time lax.cond was measured 30%
+        SLOWER end-to-end than the static split (both branch programs
+        bloat the decode step).
+        * 'greedy'     — every running slot has top_k == 1: one argmax.
+        * 'candidates' — sorted top-1024 candidate pipeline (top_k
+          clipped to 1024 like the reference).
+        * 'full'       — EXACT full-vocab sorted pipeline for slots with
+          top_k <= 0 (no top-1024 truncation of unconstrained sampling).
     Returns:
       (tokens int32 [B], new_rng_key uint32 [B,2], token_logprob f32 [B])
     """
@@ -159,16 +172,27 @@ def sample_step(logits, state: SamplingState, history, history_len,
         lambda lg: apply_repetition_penalty(lg, history, history_len,
                                             state.repetition_penalty),
         lambda lg: lg, logits)
-    logits = logits / jnp.maximum(state.temperature, 1e-5)[:, None]
 
-    # Candidate-set pipeline: ONE top_k(MAX_TOPK) replaces the reference's
-    # separate TopK kernel + full-vocab sort in TopP
-    # (sampling_topp_kernels.cu) — top-k masking, nucleus filtering, min-p
-    # and the categorical all run on the sorted [B, 1024] candidates.
-    # (k == 0 with p ~ 1 thus truncates pure temperature sampling to the
-    # top 1024 tokens; beyond-top-1024 mass is negligible in practice.)
-    c = min(MAX_TOPK, v)
-    vals, idx = jax.lax.top_k(logits, c)              # [B, C] desc-sorted
+    # keys advance every step regardless of path so interleaving greedy
+    # and sampled turns stays reproducible
+    keys = jax.vmap(jax.random.wrap_key_data)(state.rng_key)
+    split = jax.vmap(jax.random.split)(keys)  # [B, 2] keys
+    new_keys = jax.vmap(jax.random.key_data)(split[:, 0])
+    sample_keys = split[:, 1]
+
+    if mode == 'greedy':
+        # temperature / top-p / min-p cannot change an argmax; the
+        # post-filter candidate set is {argmax}, so logprob is exactly 0.
+        # The barrier stops XLA from fusing the reduce into the lm_head
+        # matmul epilogue (fused argmax was a measured 45% WHOLE-ENGINE
+        # regression on this backend).
+        lg = jax.lax.optimization_barrier(logits)
+        tokens = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        return tokens, new_keys, jnp.zeros((b,), jnp.float32)
+
+    c = v if (mode == 'full' or v <= MAX_TOPK) else MAX_TOPK
+    lg = logits / jnp.maximum(state.temperature, 1e-5)[:, None]
+    vals, idx = jax.lax.top_k(lg, c)                  # [B, C] desc-sorted
     pos = jnp.arange(c)[None]
     kk = jnp.where(state.top_k <= 0, c,
                    jnp.clip(state.top_k, 1, c))[:, None]
@@ -180,12 +204,7 @@ def sample_step(logits, state: SamplingState, history, history_len,
     cutoff = probs[:, :1] * state.min_p[:, None]      # max prob is first
     vals = jnp.where((probs >= cutoff) | (state.min_p[:, None] <= 0.0),
                      vals, NEG_INF)
-
-    keys = jax.vmap(jax.random.wrap_key_data)(state.rng_key)
-    split = jax.vmap(jax.random.split)(keys)  # [B, 2] keys
-    new_keys = jax.vmap(jax.random.key_data)(split[:, 0])
-    sample_keys = split[:, 1]
-    tok_c = jax.vmap(lambda k, lg: jax.random.categorical(k, lg))(
+    tok_c = jax.vmap(lambda k, l: jax.random.categorical(k, l))(
         sample_keys, vals)                            # [B] candidate index
     tokens = jnp.take_along_axis(idx, tok_c[:, None], axis=1)[:, 0]
     logprobs = jax.nn.log_softmax(vals, axis=-1)

@@ -294,10 +294,12 @@ class ShardedStepFns:
                      out_specs=(pspecs_cache, rep, rep, rep, rep)),
                 donate_argnums=(1, 2))
 
-        def make_decode_steps(params_spec, num_steps):
+        def make_decode_steps(params_spec, num_steps,
+                              sampling_mode='candidates'):
             fn = partial(_step.decode_steps, cfg=cfg, axis=TP_AXIS,
                          num_steps=num_steps,
-                         use_pallas_attn=use_pallas_attn)
+                         use_pallas_attn=use_pallas_attn,
+                         sampling_mode=sampling_mode)
             return jax.jit(
                 smap(fn, in_specs=(params_spec, pspecs_cache, rep),
                      out_specs=(pspecs_cache, rep, packed_spec, lp_spec)),
@@ -318,6 +320,16 @@ class ShardedStepFns:
                      out_specs=(pspecs_cache, logits_spec)),
                 donate_argnums=(1,))
 
+        def make_prefills(params_spec):
+            fn = partial(_step.prefill_chunks, cfg=cfg, axis=TP_AXIS,
+                         use_pallas_attn=use_pallas_attn, dp_axis=dp_axis)
+            logits_spec = P(None, DP_AXIS) if dp_shard_batch else P()
+            return jax.jit(
+                smap(fn, in_specs=(params_spec, pspecs_cache, rep, P(), P(),
+                                   P(), P()),
+                     out_specs=(pspecs_cache, logits_spec)),
+                donate_argnums=(1,))
+
         def make_prefill_logits(params_spec):
             fn = partial(_step.prefill_logits, cfg=cfg, axis=TP_AXIS,
                          dp_axis=dp_axis)
@@ -327,7 +339,8 @@ class ShardedStepFns:
                      out_specs=(pspecs_cache, P())),
                 donate_argnums=(1,))
 
-        self._make = (make_decode, make_prefill, make_prefill_logits)
+        self._make = (make_decode, make_prefill, make_prefill_logits,
+                      make_prefills)
         self._built = None
 
         # state surgery stays plain jit over the (possibly dp-sharded)
@@ -340,18 +353,26 @@ class ShardedStepFns:
     def _build(self, params):
         if self._built is None:
             spec = param_pspecs(params)
-            mk_d, mk_p, mk_pl = self._make
-            self._built = (mk_d(spec), mk_p(spec), mk_pl(spec))
+            mk_d, mk_p, mk_pl, mk_ps = self._make
+            self._built = (mk_d(spec), mk_p(spec), mk_pl(spec), mk_ps(spec))
         return self._built
 
     def decode_step(self, params, cache, state):
         return self._build(params)[0](params, cache, state)
 
-    def decode_steps(self, params, cache, state, num_steps: int):
-        fn = self._decode_steps_cache.get(num_steps)
+    def prefill_chunks(self, params, cache, state, slots, ids, start_pos,
+                       lengths):
+        return self._build(params)[3](params, cache, state, slots, ids,
+                                      start_pos, lengths)
+
+    def decode_steps(self, params, cache, state, num_steps: int,
+                     sampling_mode: str = 'candidates'):
+        key = (num_steps, sampling_mode)
+        fn = self._decode_steps_cache.get(key)
         if fn is None:
-            fn = self._make_decode_steps(param_pspecs(params), num_steps)
-            self._decode_steps_cache[num_steps] = fn
+            fn = self._make_decode_steps(param_pspecs(params), num_steps,
+                                         sampling_mode)
+            self._decode_steps_cache[key] = fn
         return fn(params, cache, state)
 
     def prefill_chunk(self, params, cache, state, slot, ids, start_pos,

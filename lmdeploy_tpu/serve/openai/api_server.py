@@ -41,10 +41,23 @@ def _error(status: HTTPStatus, message: str) -> web.Response:
 
 
 def _session_id(request: web.Request) -> int:
-    """Session id from client host (reference: api_server.py ip2id)."""
+    """Session id from client host (reference: api_server.py ip2id).
+
+    md5, not hash(): Python's hash() is salted per process, so ids would
+    change across server restarts and break interactive continuations."""
+    import hashlib
     host = (request.remote or '127.0.0.1') + str(
         request.headers.get('X-Session-Id', ''))
-    return abs(hash(host)) % (2 ** 30)
+    digest = hashlib.md5(host.encode()).digest()
+    return int.from_bytes(digest[:4], 'big') % (2 ** 30)
+
+
+def _overloaded() -> Optional[web.Response]:
+    """Backpressure: map engine queue saturation to HTTP 429."""
+    if VariableInterface.async_engine.engine.overloaded():
+        return _error(HTTPStatus.TOO_MANY_REQUESTS,
+                      'server is overloaded, retry later')
+    return None
 
 
 async def available_models(request: web.Request) -> web.Response:
@@ -67,7 +80,7 @@ async def chat_completions_v1(raw: web.Request) -> web.StreamResponse:
         req = ChatCompletionRequest(**await raw.json())
     except Exception as e:  # noqa: BLE001
         return _error(HTTPStatus.BAD_REQUEST, str(e))
-    err = await _check_model(req.model)
+    err = await _check_model(req.model) or _overloaded()
     if err:
         return err
     engine = VariableInterface.async_engine
@@ -154,6 +167,9 @@ async def generate(raw: web.Request) -> web.StreamResponse:
         req = GenerateRequest(**await raw.json())
     except Exception as e:  # noqa: BLE001
         return _error(HTTPStatus.BAD_REQUEST, str(e))
+    err = _overloaded()
+    if err:
+        return err
     engine = VariableInterface.async_engine
     session_id = req.instance_id if req.instance_id >= 0 \
         else _session_id(raw)
@@ -188,6 +204,23 @@ async def generate(raw: web.Request) -> web.StreamResponse:
         text=text, tokens=tokens, finish_reason=finish).model_dump())
 
 
+async def metrics(request: web.Request) -> web.Response:
+    """GET /metrics — Prometheus text exposition of engine counters and
+    gauges (tokens/s derivable from lmdeploy_generated_tokens_total).
+    Beyond-reference: the reference has no serving metrics (SURVEY §5)."""
+    m = VariableInterface.async_engine.engine.metrics()
+    counters = {'requests', 'finished', 'canceled', 'errors', 'rejected',
+                'timeout', 'generated_tokens'}
+    lines = []
+    for k, v in sorted(m.items()):
+        name = f'lmdeploy_{k}' + ('_total' if k in counters else '')
+        lines.append(f'# TYPE {name} '
+                     f'{"counter" if k in counters else "gauge"}')
+        lines.append(f'{name} {v}')
+    return web.Response(text='\n'.join(lines) + '\n',
+                        content_type='text/plain')
+
+
 def build_app(engine: AsyncEngine) -> web.Application:
     VariableInterface.async_engine = engine
     app = web.Application()
@@ -195,6 +228,7 @@ def build_app(engine: AsyncEngine) -> web.Application:
     app.router.add_post('/v1/chat/completions', chat_completions_v1)
     app.router.add_post('/v1/embeddings', create_embeddings)
     app.router.add_post('/generate', generate)
+    app.router.add_get('/metrics', metrics)
     return app
 
 

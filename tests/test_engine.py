@@ -133,11 +133,108 @@ def test_stop_sequence_multi_token(engine):
         assert len(o.token_ids) <= 1
 
 
+def test_batched_concurrent_admission_prefill(engine):
+    """Simultaneous admissions with long (chunked) prompts run through
+    the batched multi-slot prefill pass and must produce the same
+    streams as solo runs (reference: LlamaBatch batches context decode
+    across new requests, LlamaBatch.cc:795-858)."""
+    import threading
+
+    inst = engine.create_instance()
+    rng = np.random.default_rng(7)
+    prompts = {200 + i: rng.integers(3, 120, size=n).tolist()
+               for i, n in enumerate((40, 25, 33))}  # all > 16 budget
+    solo = {sid: collect(inst.stream_infer(sid, p, greedy(4),
+                                           sequence_end=True))[-1].token_ids
+            for sid, p in prompts.items()}
+
+    got = {}
+
+    def run(sid, p):
+        got[sid] = collect(inst.stream_infer(
+            sid + 50, p, greedy(4), sequence_end=True))[-1].token_ids
+
+    ts = [threading.Thread(target=run, args=(sid, p))
+          for sid, p in prompts.items()]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for sid, p in prompts.items():
+        assert got[sid] == solo[sid], sid
+
+
 def test_max_new_tokens(engine):
     inst = engine.create_instance()
     outs = collect(inst.stream_infer(70, [1, 2], greedy(3),
                                      sequence_end=True))
     assert len(outs[-1].token_ids) == 3
+
+
+def test_queue_full_backpressure():
+    """Bounded request queue: beyond max_pending_requests the engine
+    answers QUEUE_FULL instead of queueing unboundedly (the reference
+    blocks forever in its RequestQueue — a serving engine must shed)."""
+    ecfg = EngineConfig(max_batch_size=1, session_len=64, page_size=8,
+                        num_pages=16, max_context_token_num=16,
+                        prefill_buckets=(8,), use_pallas=False,
+                        step_length=2, max_pending_requests=1)
+    params = init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    eng = TPUEngine(CFG, ecfg, params)
+    try:
+        inst = eng.create_instance()
+        import threading
+        results = {}
+
+        def run(sid):
+            results[sid] = collect(inst.stream_infer(
+                sid, [1, 2, 3], greedy(30), sequence_end=True))[-1].status
+
+        ts = [threading.Thread(target=run, args=(sid,))
+              for sid in (1, 2, 3, 4, 5)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        statuses = list(results.values())
+        assert statuses.count(ResponseType.QUEUE_FULL) >= 1
+        assert statuses.count(ResponseType.FINISH) >= 1
+        assert eng.metrics()['rejected'] >= 1
+    finally:
+        eng.shutdown()
+
+
+def test_request_timeout():
+    """A request that waits in the queue past request_timeout gets a
+    TIMEOUT answer instead of hanging."""
+    ecfg = EngineConfig(max_batch_size=1, session_len=64, page_size=8,
+                        num_pages=16, max_context_token_num=16,
+                        prefill_buckets=(8,), use_pallas=False,
+                        step_length=1, request_timeout=0.001)
+    params = init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    eng = TPUEngine(CFG, ecfg, params)
+    try:
+        inst = eng.create_instance()
+        import threading
+        results = {}
+
+        def run(sid, n):
+            results[sid] = collect(inst.stream_infer(
+                sid, [1, 2, 3], greedy(n), sequence_end=True))[-1].status
+
+        t1 = threading.Thread(target=run, args=(1, 40))
+        t1.start()
+        import time as _t
+        _t.sleep(0.2)  # let request 1 occupy the only slot
+        t2 = threading.Thread(target=run, args=(2, 4))
+        t2.start()
+        t1.join()
+        t2.join()
+        assert results[1] == ResponseType.FINISH
+        assert results[2] == ResponseType.TIMEOUT
+        assert eng.metrics()['timeout'] >= 1
+    finally:
+        eng.shutdown()
 
 
 def test_long_prompt_chunked_prefill(engine):
@@ -244,8 +341,10 @@ def test_session_repeat_rejected(engine):
                        gen_config=greedy(2), sequence_end=True)
     r2 = EngineRequest(session_id=777, input_ids=[1, 2],
                        gen_config=greedy(2), sequence_end=True)
-    engine._requests.put((r1, q1))
-    engine._requests.put((r2, q2))
+    import time as _t
+    now = _t.monotonic()
+    engine._requests.put((r1, q1, now))
+    engine._requests.put((r2, q2, now))
     # one of the two must be rejected with SESSION_REPEAT (the longer one
     # wins admission), the other completes
     outs1, outs2 = [], []

@@ -126,6 +126,24 @@ def test_quantized_linear_matches_dequant_matmul():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def test_quant_matmul_a8_close_to_a16():
+    """W4A8 (per-token int8 activation quant + int8 MXU dot) must stay
+    close to the W4A16 path — the added error is only the activation
+    rounding.  (Path is opt-in: compile hangs on the current TPU
+    runtime, see ops/linear.py _w4a8_enabled.)"""
+    from lmdeploy_tpu.ops.linear import quant_matmul, quant_matmul_a8
+    rng = np.random.default_rng(8)
+    w = rng.normal(size=(256, 128)).astype(np.float32) * 0.1
+    x = rng.normal(size=(4, 256)).astype(np.float32)
+    qw = quantize_weight_int4(w, 64)
+    a16 = np.asarray(quant_matmul(jnp.asarray(x), qw))
+    a8 = np.asarray(quant_matmul_a8(jnp.asarray(x), qw))
+    ref = x @ np.asarray(dequantize(qw, jnp.float32))
+    scale = np.abs(ref).max()
+    assert np.abs(a8 - ref).max() / scale < 0.03
+    assert np.abs(a8 - a16).max() / scale < 0.03
+
+
 def test_linear_fused_silu_gate():
     rng = np.random.default_rng(7)
     w = jnp.asarray(rng.normal(size=(32, 64)), jnp.float32)

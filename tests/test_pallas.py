@@ -141,3 +141,48 @@ def test_paged_prefill_attention_matches_gather(kh, g, start):
     np.testing.assert_allclose(np.asarray(got)[:length],
                                np.asarray(want)[:length],
                                rtol=2e-3, atol=2e-3)
+
+
+def test_paged_prefill_attention_batched_multi_slot():
+    """Multi-slot prefill kernel (grid over (slot, q-block)) matches the
+    gather reference per slot, with per-slot history offsets and a
+    zero-length padding row (reference: batched chunked context decode
+    across admissions, LlamaBatch.cc:795-858)."""
+    from lmdeploy_tpu.ops.pallas.prefill_attention import \
+        paged_prefill_attention_batched
+
+    rng = np.random.default_rng(5)
+    DH, PAGE, MAXP, P, L, T = 128, 64, 8, 32, 2, 128
+    kh, g = 2, 2
+    h = kh * g
+    B = 3
+    starts = np.asarray([0, 37, 0], np.int32)
+    lengths = np.asarray([100, 91, 0], np.int32)   # row 2 = padding row
+    ends = starts + lengths
+    k_cache = jnp.asarray(rng.normal(size=(L, P, PAGE, kh, DH)), jnp.float32)
+    v_cache = jnp.asarray(rng.normal(size=(L, P, PAGE, kh, DH)), jnp.float32)
+    pts = np.full((B, MAXP), -1, np.int32)
+    used = rng.choice(P, size=MAXP * 2, replace=False)
+    for i in range(B):
+        need = max(-(-int(ends[i]) // PAGE), 1)
+        pts[i, :need] = used[i * MAXP:i * MAXP + need][:need] \
+            if i < 2 else used[-need:]
+    q = jnp.asarray(rng.normal(size=(B, T, h, DH)), jnp.float32)
+    layer = 1
+
+    got = paged_prefill_attention_batched(
+        q, k_cache, v_cache, jnp.int32(layer), jnp.asarray(pts),
+        jnp.asarray(starts), jnp.asarray(ends),
+        jnp.ones((4,), jnp.float32), quantized=False, interpret=True)
+
+    for i in range(2):
+        kk, vv = gather_kv_layer(k_cache[layer], v_cache[layer],
+                                 jnp.asarray(pts[i])[None], None,
+                                 dtype=jnp.float32)
+        q_pos = (starts[i] + np.arange(T)).astype(np.int32)
+        want = gqa_attention(q[i][None], kk, vv, jnp.asarray(q_pos)[None],
+                             jnp.asarray([ends[i]]))[0]
+        n = int(lengths[i])
+        np.testing.assert_allclose(np.asarray(got)[i, :n],
+                                   np.asarray(want)[:n],
+                                   rtol=2e-3, atol=2e-3, err_msg=f'row {i}')

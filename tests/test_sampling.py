@@ -94,6 +94,34 @@ def test_check_stop():
     assert fin.tolist() == [False, True, False]
 
 
+def test_unconstrained_sampling_covers_full_vocab():
+    """top_k=0 must sample from the FULL vocab, not a top-1024 truncation
+    (reference TopP sorts the whole vocab, sampling_topp_kernels.cu).
+    With uniform logits over V=2048, ~half the draws must land in the
+    upper half — the truncated path could never pick index >= 1024."""
+    v = 2048
+    logits = jnp.zeros((4, v), jnp.float32)  # uniform
+    hist = jnp.zeros((4, 8), jnp.int32)
+    zeros = jnp.zeros(4, jnp.int32)
+    seen_high = 0
+    st = _state(b=4, top_k=jnp.zeros((4,), jnp.int32))
+    for step in range(16):
+        # mode='full' is what the engine selects when any running slot
+        # has top_k <= 0 (engine.py _decode_round)
+        toks, new_keys, _ = sample_step(logits, st, hist, zeros, zeros,
+                                        mode='full')
+        st.rng_key = new_keys
+        seen_high += int(np.sum(np.asarray(toks) >= 1024))
+    # 64 uniform draws: P(all < 1024) = 2^-64
+    assert seen_high > 0
+    # and greedy fast path still exact at this vocab size
+    st2 = _state(b=4, top_k=jnp.ones((4,), jnp.int32))
+    peaked = logits.at[:, 1500].set(5.0)
+    toks, _, lp = sample_step(peaked, st2, hist, zeros, zeros)
+    np.testing.assert_array_equal(np.asarray(toks), 1500)
+    np.testing.assert_array_equal(np.asarray(lp), 0.0)
+
+
 def test_sampling_reproducible_with_key():
     rng = np.random.default_rng(1)
     logits = jnp.asarray(rng.normal(size=(2, V)) * 2, jnp.float32)

@@ -124,4 +124,32 @@ def test_api_server_endpoints(async_engine):
                      .strip().splitlines() if x.strip()]
             assert lines and lines[-1]['tokens'] > 0
 
+            # /metrics: prometheus text with counters + gauges
+            r = await client.get('/metrics')
+            assert r.status == 200
+            text = await r.text()
+            assert 'lmdeploy_generated_tokens_total' in text
+            assert 'lmdeploy_slots_busy' in text
+            tok_line = [ln for ln in text.splitlines()
+                        if ln.startswith('lmdeploy_generated_tokens_total ')]
+            assert float(tok_line[0].split()[1]) > 0
+
     asyncio.run(run())
+
+
+def test_session_id_stable_across_processes():
+    """Session ids must not depend on Python's per-process hash salt
+    (the reference's ip2id is stable only within a run; ours must
+    survive server restarts for interactive continuations)."""
+    import hashlib
+
+    from aiohttp.test_utils import make_mocked_request
+    from lmdeploy_tpu.serve.openai.api_server import _session_id
+
+    req = make_mocked_request('POST', '/v1/chat/completions',
+                              headers={'X-Session-Id': 'sess'})
+    got = _session_id(req)
+    host = (req.remote or '127.0.0.1') + 'sess'
+    want = int.from_bytes(hashlib.md5(host.encode()).digest()[:4],
+                          'big') % (2 ** 30)
+    assert got == want  # deterministic formula, no hash() salt
