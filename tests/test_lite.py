@@ -141,6 +141,31 @@ def test_kv_qparams_roundtrip_accuracy(tiny_hf_llama, tmp_path):
         assert np.max(np.abs(deq - x)) <= 0.51 * scale + 1e-6
 
 
+def test_ppl_harness_end_to_end(tiny_hf_llama):
+    """benchmark/ppl.py runs bf16 / W4A16 / KV-INT8 through the engine's
+    prompt-logits path on real text chunks and reports sane deltas (the
+    reference's accuracy-table pipeline, docs/en/kv_int8.md + w4a16.md),
+    cross-checked against the torch eager oracle."""
+    import sys
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+    from benchmark.ppl import run
+
+    path, _ = tiny_hf_llama
+    engine_kw = dict(max_batch_size=2, page_size=8, num_pages=64,
+                     prefill_buckets=(128,), use_pallas=False,
+                     step_length=2)
+    res = run(path, dataset='synthetic', nsamples=2, seqlen=96,
+              configs=['bf16', 'w4a16', 'kv_int8'], group_size=16,
+              oracle=True, engine_kw=engine_kw)
+    base = res['bf16']
+    assert 1.0 < base < 1e5
+    # bf16 engine path must agree with the torch-eager oracle closely
+    assert abs(res['torch_oracle'] - base) / base < 0.05
+    # quantization degrades ppl only mildly on this tiny model
+    assert abs(res['w4a16'] - base) / base < 0.5
+    assert abs(res['kv_int8'] - base) / base < 0.5
+
+
 def test_quant_error_reduced_by_smoothing(tiny_hf_llama):
     """AWQ's point: per-channel outlier folding reduces int4 error on the
     salient channels. Check weight-domain reconstruction error doesn't

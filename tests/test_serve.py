@@ -137,6 +137,85 @@ def test_api_server_endpoints(async_engine):
     asyncio.run(run())
 
 
+def test_gradio_callbacks_headless(async_engine):
+    """The gradio app's chat/cancel/reset handlers work against the real
+    AsyncEngine even without gradio installed (stub gr module) — covers
+    the reference's chat_stream_local / cancel / reset behaviors
+    (lmdeploy/serve/gradio/app.py:333-445)."""
+    import types
+
+    from lmdeploy_tpu.serve.gradio import app as gapp
+
+    calls = {}
+
+    class _Ctx:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def _component(name):
+        def make(*a, **k):
+            calls.setdefault('components', []).append(name)
+            return types.SimpleNamespace(
+                submit=lambda *a, **k: None, click=lambda *a, **k: None)
+        return make
+
+    gr = types.SimpleNamespace(
+        Blocks=_Ctx, Column=_Ctx, Row=_Ctx,
+        State=_component('state'), Chatbot=_component('chatbot'),
+        Textbox=_component('textbox'), Button=_component('button'),
+        Slider=_component('slider'), Markdown=_component('markdown'),
+        update=lambda **k: k, Request=object)
+
+    handlers = {}
+    orig_component = gr.Textbox
+
+    def capture_textbox(*a, **k):
+        c = orig_component(*a, **k)
+        c.submit = lambda fn, *a, **k: handlers.setdefault('chat', fn)
+        return c
+    gr.Textbox = capture_textbox
+
+    orig_btn = gr.Button
+    btn_count = [0]
+
+    def capture_btn(*a, **k):
+        c = orig_btn(*a, **k)
+        name = 'cancel' if btn_count[0] == 0 else 'reset'
+        btn_count[0] += 1
+        c.click = lambda fn, *a, **k: handlers.setdefault(name, fn)
+        return c
+    gr.Button = capture_btn
+
+    gapp.build_blocks(async_engine, gr)
+    assert set(handlers) == {'chat', 'cancel', 'reset'}
+
+    req = types.SimpleNamespace(session_hash='abc')
+
+    async def run_chat():
+        frames = []
+        async for frame in handlers['chat']('hi there', [], None, None,
+                                            8, 0.8, 0.01, req):
+            frames.append(frame)
+        return frames
+
+    frames = asyncio.run(run_chat())
+    assert len(frames) >= 3
+    final_history = frames[-1][0]
+    assert final_history[-1][0] == 'hi there'
+    assert isinstance(final_history[-1][1], str)
+    # cancel + reset round-trip without error
+    out = asyncio.run(handlers['cancel']([], None, None, req))
+    assert out[1] == {'interactive': False}
+    out = asyncio.run(handlers['reset']([], req))
+    assert out == ([], [])
+
+
 def test_session_id_stable_across_processes():
     """Session ids must not depend on Python's per-process hash salt
     (the reference's ip2id is stable only within a run; ours must
