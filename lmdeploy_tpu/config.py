@@ -85,6 +85,8 @@ class EngineConfig:
     quant_policy: int = 0                # 4 == int8 KV cache (QuantPolicy bitmask)
     kv_dtype: str = 'bf16'               # 'bf16' | 'int8'
     step_length: int = 8                 # decode steps per device dispatch
+    speculative_k: int = 0               # prompt-lookup draft length; 0=off
+    speculative_ngram: int = 3           # suffix length for draft lookup
     max_pending_requests: int = 256      # queue bound -> QUEUE_FULL (429)
     request_timeout: float = 0.0         # secs a request may WAIT queued; 0=off
     use_pallas: bool = True              # pallas kernels vs pure-XLA reference path

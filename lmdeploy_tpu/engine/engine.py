@@ -179,7 +179,8 @@ class TPUEngine:
         # only leveled logs — SURVEY.md §5 metrics row)
         self.stats = {'requests': 0, 'finished': 0, 'canceled': 0,
                       'errors': 0, 'rejected': 0, 'timeout': 0,
-                      'generated_tokens': 0}
+                      'generated_tokens': 0, 'spec_rounds': 0,
+                      'spec_emitted': 0}
         self._fresh_admission = False
         self._ramp = 1  # post-admission round-length ramp (1->4->16->k)
         self._rng_now: Optional[np.ndarray] = None  # [B, 2] rng keys at the
@@ -744,6 +745,13 @@ class TPUEngine:
         # exists for exact unconstrained sampling (top_k=0).
         cfgs = [s.request.gen_config for s in self.slots
                 if s is not None and not s.done]
+        # speculative rounds: greedy-only (the classic restriction) and
+        # only when no slot wants logprobs (spec logprobs are all-zero
+        # greedy anyway, but keep the contract tight)
+        if self.ecfg.speculative_k > 0 and cfgs \
+                and all((g.top_k or 0) == 1 for g in cfgs):
+            self._spec_round(k)
+            return
         mode = 'full' if any((g.top_k or 0) <= 0 for g in cfgs) \
             else 'candidates'
         self.cache, self.state, packed, logprob = self.fns.decode_steps(
@@ -760,10 +768,39 @@ class TPUEngine:
             if not any(s is not None and not s.done for s in self.slots):
                 return
 
+    def _spec_round(self, rounds: int):
+        """Speculative (prompt-lookup) decode rounds: each dispatch runs
+        ``rounds`` draft-verify-accept rounds on device; every round
+        yields >= 1 token per running slot and up to speculative_k + 1."""
+        kd = self.ecfg.speculative_k
+        kp1 = kd + 1
+        self._grow_pages(rounds * kp1)
+        self.cache, self.state, packed = self.fns.spec_decode_rounds(
+            self.params, self.cache, self.state, num_rounds=rounds,
+            k_draft=kd, ngram=self.ecfg.speculative_ngram)
+        arr = np.asarray(packed)            # [R+1, 2*kp1+1, B]
+        self._rng_now = np.ascontiguousarray(
+            arr[-1, :2].T).view(np.uint32)
+        for r in range(arr.shape[0] - 1):
+            g, fin, n = arr[r, :kp1], arr[r, kp1:2 * kp1], arr[r, 2 * kp1]
+            self.stats['spec_rounds'] += 1
+            self.stats['spec_emitted'] += int(n.sum())
+            for t in range(kp1):
+                mask = t < n
+                if not mask.any():
+                    break
+                self._emit(g[t], fin[t], None, mask=mask)
+                if not any(s is not None and not s.done
+                           for s in self.slots):
+                    return
+
     def _emit(self, toks_np: np.ndarray, fin_np: np.ndarray,
-              logprobs_np: Optional[np.ndarray] = None):
+              logprobs_np: Optional[np.ndarray] = None,
+              mask: Optional[np.ndarray] = None):
         for i, slot in enumerate(self.slots):
             if slot is None or slot.done:
+                continue
+            if mask is not None and not mask[i]:
                 continue
             slot.saw_round = True
             self.stats['generated_tokens'] += 1

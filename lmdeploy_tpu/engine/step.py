@@ -148,6 +148,130 @@ def decode_steps(params, cache: KVCache, state: DecodeState,
 
 
 # ---------------------------------------------------------------------------
+# speculative decoding (greedy prompt-lookup) — beyond-reference
+# ---------------------------------------------------------------------------
+
+def spec_decode_round(params, cache: KVCache, state: DecodeState,
+                      cfg: ModelConfig, *, k_draft: int, ngram: int = 3,
+                      use_pallas_attn: bool = False, axis: str = None):
+    """One speculative round for every running GREEDY slot: propose
+    ``k_draft`` tokens by in-jit prompt lookup, verify all of them plus
+    the model's own next token in ONE [B, K+1]-position forward, accept
+    the matched prefix.  bs1 decode is weight-bandwidth-bound, so the
+    verify streams the same bytes as a single decode step — rejected
+    drafts are nearly free (ops/speculative.py).
+
+    Returns (cache, state, g [B, K+1] candidate tokens, fin_emit
+    [B, K+1] finish flag per emitted token, n [B] tokens emitted).
+    """
+    from ..ops.speculative import greedy_argmax, ngram_propose
+
+    b = state.tokens.shape[0]
+    kp1 = k_draft + 1
+    cap = state.history.shape[1]
+    run = state.active & ~state.finished
+    draft = ngram_propose(state.history, state.history_len, k_draft,
+                          ngram)                              # [B, K]
+    ids = jnp.concatenate([state.tokens[:, None], draft], axis=1)
+    t_idx = jnp.arange(kp1, dtype=jnp.int32)[None]
+    pos = state.context_len[:, None] + t_idx                  # [B, K+1]
+    # pad T to the Pallas prefill block so the paged flash kernel (not
+    # the XLA full-gather fallback) runs the verify attention
+    t_pad = 128 if (use_pallas_attn and cfg.size_per_head % 128 == 0) \
+        else kp1
+    if t_pad > kp1:
+        ids = jnp.pad(ids, ((0, 0), (0, t_pad - kp1)))
+        pos = jnp.concatenate(
+            [pos, pos[:, -1:] + 1 + jnp.arange(t_pad - kp1,
+                                               dtype=jnp.int32)[None]],
+            axis=1)
+    valid = run[:, None] & (pos < cap) \
+        & (jnp.arange(t_pad)[None] < kp1)
+    batch = StepBatch(
+        ids=ids, positions=pos, valid=valid,
+        context_len=jnp.minimum(state.context_len + kp1, cap),
+        page_table=state.page_table)
+    logits, cache = forward(params, cache, batch, cfg,
+                            return_all_logits=True, logits_count=kp1,
+                            axis=axis, use_pallas_attn=use_pallas_attn)
+    logits = mask_vocab_padding(logits, cfg.vocab_size)       # [B,K+1,V]
+    g = greedy_argmax(logits)                                 # [B, K+1]
+
+    smp = state.sampling
+    match = (draft == g[:, :-1]) & run[:, None]               # [B, K]
+    acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+    cand = jnp.arange(kp1)[None] <= acc[:, None]              # [B, K+1]
+    # positions past the session cap can never be emitted
+    cand &= pos[:, :kp1] < cap
+    gen_at = state.generated[:, None] + jnp.arange(kp1)[None] + 1
+    is_eos = (g == smp.eos_id[:, None]) & ~smp.ignore_eos[:, None]
+    is_stop = jnp.any(g[:, :, None] == smp.stop_words[:, None, :], axis=2)
+    too_long = gen_at >= smp.max_new_tokens[:, None]
+    fin_t = is_eos | is_stop | too_long                       # [B, K+1]
+    # a token is emitted iff it's an accepted candidate and no earlier
+    # emitted token already finished the slot
+    before_fin = jnp.cumsum((fin_t & cand).astype(jnp.int32), axis=1) \
+        - (fin_t & cand).astype(jnp.int32)
+    emit = cand & (before_fin == 0)
+    n = jnp.where(run, jnp.sum(emit.astype(jnp.int32), axis=1), 0)
+    fin_emit = emit & fin_t
+
+    last_idx = jnp.maximum(n - 1, 0)
+    new_tok = jnp.take_along_axis(g, last_idx[:, None], axis=1)[:, 0]
+    new_tok = jnp.where(run & (n > 0), new_tok, state.tokens)
+    hist_pos = state.history_len[:, None] + jnp.arange(kp1)[None]
+    write_idx = jnp.where(emit, hist_pos, cap)
+    history = state.history.at[
+        jnp.arange(b)[:, None], write_idx].set(g, mode='drop')
+    finished = state.finished | jnp.any(fin_emit, axis=1)
+    # keys advance once per round (greedy consumes no randomness)
+    keys = jax.vmap(jax.random.wrap_key_data)(smp.rng_key)
+    new_keys = jax.vmap(lambda k: jax.random.key_data(
+        jax.random.split(k)[0]))(keys)
+    sampling = dataclasses.replace(
+        smp, rng_key=jnp.where(run[:, None], new_keys, smp.rng_key))
+    new_state = dataclasses.replace(
+        state, tokens=new_tok, context_len=state.context_len + n,
+        history=history, history_len=state.history_len + n,
+        generated=state.generated + n, finished=finished,
+        sampling=sampling)
+    return cache, new_state, g, fin_emit, n
+
+
+def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
+                       cfg: ModelConfig, *, num_rounds: int, k_draft: int,
+                       ngram: int = 3, use_pallas_attn: bool = False,
+                       axis: str = None):
+    """``num_rounds`` speculative rounds in one device program.
+
+    Returns (cache, state, packed int32 [R+1, 2*(K+1)+1, B]): for round
+    r < R, rows [0:K+1] = candidate tokens, rows [K+1:2K+2] = per-token
+    finish flags, row -1 = emitted count; the final extra "round" carries
+    the rng snapshot in rows 0..1.
+    """
+    kp1 = k_draft + 1
+
+    def body(carry, _):
+        cache, state = carry
+        cache, state, g, fin_emit, n = spec_decode_round(
+            params, cache, state, cfg, k_draft=k_draft, ngram=ngram,
+            use_pallas_attn=use_pallas_attn, axis=axis)
+        row = jnp.concatenate([g.T, fin_emit.astype(jnp.int32).T,
+                               n[None]], axis=0)     # [2*kp1+1, B]
+        return (cache, state), row
+
+    (cache, state), rows = jax.lax.scan(body, (cache, state),
+                                        length=num_rounds)
+    rng = jax.lax.bitcast_convert_type(state.sampling.rng_key,
+                                       jnp.int32).T            # [2, B]
+    b = rng.shape[1]
+    tail = jnp.zeros((1, 2 * kp1 + 1, b), jnp.int32)
+    tail = tail.at[0, 0].set(rng[0]).at[0, 1].set(rng[1])
+    packed = jnp.concatenate([rows, tail], axis=0)
+    return cache, state, packed
+
+
+# ---------------------------------------------------------------------------
 # prefill
 # ---------------------------------------------------------------------------
 
@@ -327,6 +451,9 @@ class CompiledStepFns:
         self.decode_steps = jax.jit(
             partial(decode_steps, **kw), donate_argnums=(1, 2),
             static_argnames=('num_steps', 'sampling_mode'))
+        self.spec_decode_rounds = jax.jit(
+            partial(spec_decode_rounds, **kw), donate_argnums=(1, 2),
+            static_argnames=('num_rounds', 'k_draft', 'ngram'))
         self.prefill_chunk = jax.jit(
             partial(prefill_chunk, **kw), donate_argnums=(1,))
         self.prefill_chunks = jax.jit(

@@ -128,6 +128,7 @@ def _split_qkv(qkv: jnp.ndarray, cfg: ModelConfig, tp: int = 1):
 
 def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
             cfg: ModelConfig, *, return_all_logits: bool = False,
+            logits_count: Optional[int] = None,
             axis: Optional[str] = None, use_pallas_attn: bool = False):
     """One step: embed -> scan(layers) -> final norm -> lm_head.
 
@@ -224,6 +225,10 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
     new_cache = dataclasses.replace(cache, k=new_k, v=new_v)
 
     h_out = rms_norm(h_out, params['norm'], cfg.norm_eps)
+    if return_all_logits and logits_count is not None:
+        # speculative verify: positions beyond logits_count are padding;
+        # skip their lm_head rows (the vocab matmul is the big one)
+        h_out = h_out[:, :logits_count]
     if not return_all_logits:
         # Last valid token per row (prefill); decode has T == 1.
         last = jnp.maximum(jnp.sum(batch.valid, axis=1) - 1, 0)  # [B]

@@ -196,6 +196,29 @@ def quant_matmul_a8(x2: jnp.ndarray, qw: QuantizedWeight) -> jnp.ndarray:
     return out
 
 
+def quant_matmul_dequant(x2: jnp.ndarray, qw: QuantizedWeight) -> jnp.ndarray:
+    """Prefill (large-M) regime: dequantize the weight once to bf16 and
+    run a plain MXU dot.  At big M the matmul is compute-bound, so the
+    extra [K, N] bf16 materialization amortizes over many rows, while the
+    batched-group formulation's [G, M, N] partial sums GROW with M.  The
+    reference keeps a kernel zoo + Measure autotune for the same reason
+    (gemm_s4_f16.cu:73-206); here the regime flips on a measured M
+    threshold (see _DEQUANT_MIN_M)."""
+    w = dequantize(qw, jnp.bfloat16)
+    return jax.lax.dot_general(x2.astype(jnp.bfloat16), w,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dequant_min_m() -> int:
+    """Static-M threshold where the dequant regime takes over (measured
+    on v5e: batched-group wins the decode regime M<=8; at chunked-prefill
+    M the dequant+plain-dot path wins).  Env override for autotuning:
+    LMDEPLOY_TPU_DEQUANT_MIN_M."""
+    import os
+    return int(os.environ.get('LMDEPLOY_TPU_DEQUANT_MIN_M', '256'))
+
+
 def linear(x: jnp.ndarray, w, bias: Optional[jnp.ndarray] = None,
            fuse_silu_gate: bool = False) -> jnp.ndarray:
     """Dense dispatch. ``w`` is a bf16 [K, N] array or a QuantizedWeight.
@@ -206,8 +229,14 @@ def linear(x: jnp.ndarray, w, bias: Optional[jnp.ndarray] = None,
     """
     lead = x.shape[:-1]
     if isinstance(w, QuantizedWeight):
-        mm = quant_matmul_a8 if _w4a8_enabled() else quant_matmul
-        out = mm(x.reshape(-1, x.shape[-1]), w)
+        x2 = x.reshape(-1, x.shape[-1])
+        if _w4a8_enabled():
+            mm = quant_matmul_a8
+        elif x2.shape[0] >= _dequant_min_m():
+            mm = quant_matmul_dequant
+        else:
+            mm = quant_matmul
+        out = mm(x2, w)
         out = out.reshape(*lead, -1)
     else:
         out = jnp.dot(x.astype(w.dtype), w,

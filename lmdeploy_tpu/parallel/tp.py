@@ -307,6 +307,17 @@ class ShardedStepFns:
         self._make_decode_steps = make_decode_steps
         self._decode_steps_cache = {}
 
+        def make_spec_rounds(params_spec, num_rounds, k_draft, ngram):
+            fn = partial(_step.spec_decode_rounds, cfg=cfg, axis=TP_AXIS,
+                         num_rounds=num_rounds, k_draft=k_draft,
+                         ngram=ngram, use_pallas_attn=use_pallas_attn)
+            return jax.jit(
+                smap(fn, in_specs=(params_spec, pspecs_cache, rep),
+                     out_specs=(pspecs_cache, rep, packed_spec)),
+                donate_argnums=(1, 2))
+        self._make_spec_rounds = make_spec_rounds
+        self._spec_rounds_cache = {}
+
         def make_prefill(params_spec):
             fn = partial(_step.prefill_chunk, cfg=cfg, axis=TP_AXIS,
                          use_pallas_attn=use_pallas_attn, dp_axis=dp_axis)
@@ -364,6 +375,15 @@ class ShardedStepFns:
                        lengths):
         return self._build(params)[3](params, cache, state, slots, ids,
                                       start_pos, lengths)
+
+    def spec_decode_rounds(self, params, cache, state, num_rounds: int,
+                           k_draft: int, ngram: int = 3):
+        key = (num_rounds, k_draft, ngram)
+        fn = self._spec_rounds_cache.get(key)
+        if fn is None:
+            fn = self._make_spec_rounds(param_pspecs(params), *key)
+            self._spec_rounds_cache[key] = fn
+        return fn(params, cache, state)
 
     def decode_steps(self, params, cache, state, num_steps: int,
                      sampling_mode: str = 'candidates'):

@@ -1,0 +1,108 @@
+"""Speculative decoding (prompt-lookup) tests.
+
+Key invariant: the speculative engine must stream EXACTLY the tokens the
+normal greedy engine streams — acceleration, never approximation.
+Beyond-reference capability (the reference has no speculative decoding).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lmdeploy_tpu.config import EngineConfig, ModelConfig
+from lmdeploy_tpu.engine.engine import TPUEngine
+from lmdeploy_tpu.messages import GenerationConfig
+from lmdeploy_tpu.models.llama import init_params
+
+CFG = ModelConfig(head_num=2, kv_head_num=2, size_per_head=16, inter_size=64,
+                  num_layer=2, vocab_size=128, rotary_embedding=16,
+                  max_position_embeddings=256, session_len=256, end_id=2)
+
+ECFG = EngineConfig(max_batch_size=2, session_len=160, page_size=8,
+                    num_pages=64, max_context_token_num=32,
+                    prefill_buckets=(16, 32, 64), use_pallas=False,
+                    step_length=4)
+
+
+def test_ngram_propose():
+    from lmdeploy_tpu.ops.speculative import ngram_propose
+    hist = np.zeros((2, 32), np.int32)
+    # slot 0: ... 5 6 7 9 9 | 5 6 7  -> suffix (5,6,7) matched at pos 3,
+    # proposal = tokens after the match: 9 9 ...
+    hist[0, :8] = [1, 5, 6, 7, 9, 9, 5, 6]
+    hist[0, 8] = 7
+    # slot 1: no repeat -> zeros
+    hist[1, :6] = [1, 2, 3, 4, 5, 6]
+    out = np.asarray(ngram_propose(jnp.asarray(hist),
+                                   jnp.asarray([9, 6], np.int32),
+                                   k=3, ngram=3))
+    assert out[0].tolist() == [9, 9, 5]
+    assert out[1].tolist() == [0, 0, 0]
+
+
+def test_greedy_argmax_matches_numpy():
+    from lmdeploy_tpu.ops.speculative import greedy_argmax
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 5, 64)).astype(np.float32)
+    got = np.asarray(greedy_argmax(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, x.argmax(-1))
+
+
+def _run(ecfg, prompt, sid, max_new=24):
+    params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
+    eng = TPUEngine(CFG, ecfg, params)
+    try:
+        inst = eng.create_instance()
+        outs = list(inst.stream_infer(
+            sid, prompt, gen_config=GenerationConfig(
+                max_new_tokens=max_new, top_k=1, ignore_eos=True),
+            sequence_end=True))
+        assert outs[-1].finished
+        # streaming monotonicity: frames only extend
+        for prev, cur in zip(outs, outs[1:]):
+            assert cur.token_ids[:len(prev.token_ids)] == prev.token_ids
+        return outs[-1].token_ids, dict(eng.stats)
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.parametrize('prompt', [
+    [1, 5, 9, 13, 21, 34, 7],                      # arbitrary
+    [3, 4, 5, 3, 4, 5, 3, 4, 5, 3, 4],            # repetitive
+])
+def test_spec_stream_matches_normal(prompt):
+    want, _ = _run(ECFG, prompt, 1)
+    spec = dataclasses.replace(ECFG, speculative_k=4)
+    got, stats = _run(spec, prompt, 2)
+    assert got == want
+    assert stats['spec_rounds'] > 0
+    assert stats['spec_emitted'] == len(got)
+
+
+def test_spec_accepts_on_repetitive_continuation():
+    """Greedy decode of a tiny random model falls into cycles; prompt
+    lookup must then accept >1 token/round on average."""
+    spec = dataclasses.replace(ECFG, speculative_k=4)
+    got, stats = _run(spec, [3, 4, 5, 3, 4, 5, 3, 4, 5, 3, 4], 3,
+                      max_new=48)
+    assert len(got) == 48
+    assert stats['spec_emitted'] / stats['spec_rounds'] > 1.2
+
+
+def test_spec_respects_max_new_tokens_and_continuation():
+    spec = dataclasses.replace(ECFG, speculative_k=4)
+    params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
+    eng = TPUEngine(CFG, spec, params)
+    try:
+        inst = eng.create_instance()
+        gen = GenerationConfig(max_new_tokens=7, top_k=1, ignore_eos=True)
+        o1 = inst.infer(9, [3, 4, 5, 3, 4, 5, 3, 4], gen_config=gen)
+        assert len(o1.token_ids) == 7
+        # interactive continuation on the spec engine
+        o2 = inst.infer(9, [5, 5], gen_config=gen, sequence_start=False)
+        assert len(o2.token_ids) == 7
+    finally:
+        eng.shutdown()
