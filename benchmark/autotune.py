@@ -32,11 +32,58 @@ def measure_decode(engine, steps: int, tokens: int = 96) -> float:
     return out.num_generated / (time.perf_counter() - t0)
 
 
+def measure_mm_regime(cfg, m: int, iters: int = 20) -> dict:
+    """Measure both quantized-matmul regimes at batch-row count ``m`` for
+    the model's GEMM shapes — the reference's Measure autotune analogue
+    (gemm_s4_f16.cu:98-169 times every kernel in its zoo per shape).
+    Returns {'group': ms, 'dequant': ms} per-call totals."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from lmdeploy_tpu.ops.linear import (QuantizedWeight, quant_matmul,
+                                         quant_matmul_dequant)
+
+    d, dh = cfg.hidden_size, cfg.size_per_head
+    shapes = [(d, (cfg.head_num + 2 * cfg.kv_head_num) * dh),
+              (cfg.head_num * dh, d), (d, cfg.inter_size),
+              (d, cfg.inter_size), (cfg.inter_size, d)]
+    g = cfg.group_size or 128
+    out = {}
+    for name, mm in (('group', quant_matmul),
+                     ('dequant', quant_matmul_dequant)):
+        total = 0.0
+        for k, n in shapes:
+            qw = QuantizedWeight(
+                qvals=jnp.asarray(
+                    np.random.randint(0, 16, (k, n)), jnp.uint8),
+                scales=jnp.full((k // g, n), 0.002, jnp.bfloat16),
+                zeros=jnp.full((k // g, n), 8.0, jnp.bfloat16))
+            x = jnp.asarray(np.random.randn(m, k), jnp.bfloat16)
+
+            @jax.jit
+            def run(x=x, qw=qw, mm=mm):
+                def step(i, acc):
+                    return acc + mm(x + i.astype(jnp.bfloat16), qw)
+                return jax.lax.fori_loop(0, iters, step,
+                                         jnp.zeros((m, n), jnp.float32))
+            np.asarray(run())  # compile
+            t0 = time.perf_counter()
+            np.asarray(run())
+            total += (time.perf_counter() - t0) / iters
+        out[name] = total * 1e3
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser('engine autotune')
     ap.add_argument('model_path')
     ap.add_argument('--step-lengths', type=int, nargs='+',
                     default=[1, 4, 8, 16, 32, 64])
+    ap.add_argument('--mm-regime', action='store_true',
+                    help='also sweep the quantized-matmul regime '
+                         'threshold over M (decode vs prefill row '
+                         'counts) and report the crossover')
     ap.add_argument('--write', action='store_true',
                     help='write the best step_length into config.json')
     args = ap.parse_args()
@@ -50,7 +97,23 @@ def main():
         if tps > best_tps:
             best, best_tps = s, tps
     print(f'best: step_length={best} ({best_tps:.1f} tok/s)')
+    model_cfg = engine.cfg
     engine.shutdown()
+
+    crossover = None
+    if args.mm_regime and model_cfg.weight_type == 'int4':
+        prev = None
+        for m in (1, 8, 32, 64, 128, 256, 512):
+            r = measure_mm_regime(model_cfg, m)
+            pick = min(r, key=r.get)
+            print(f'M={m:4d}: group={r["group"]:7.2f}ms '
+                  f'dequant={r["dequant"]:7.2f}ms -> {pick}')
+            if pick == 'dequant' and prev == 'group' and crossover is None:
+                crossover = m
+            prev = pick
+        if crossover:
+            print(f'regime crossover at M={crossover} '
+                  f'(export LMDEPLOY_TPU_DEQUANT_MIN_M={crossover})')
 
     if args.write:
         cfg_path = _osp.join(args.model_path, 'config.json')

@@ -211,12 +211,15 @@ def quant_matmul_dequant(x2: jnp.ndarray, qw: QuantizedWeight) -> jnp.ndarray:
 
 
 def _dequant_min_m() -> int:
-    """Static-M threshold where the dequant regime takes over (measured
-    on v5e: batched-group wins the decode regime M<=8; at chunked-prefill
-    M the dequant+plain-dot path wins).  Env override for autotuning:
-    LMDEPLOY_TPU_DEQUANT_MIN_M."""
+    """Static-M threshold where the dequant regime takes over.  OPT-IN
+    via LMDEPLOY_TPU_DEQUANT_MIN_M (e.g. 256): the regime is untested on
+    the live TPU runtime (the A/B got cut short by a chip wedge) and
+    this runtime has a history of pathological compiles for novel
+    matmul formulations — default keeps the proven batched-group path
+    for every M.  benchmark/autotune.py --mm-regime measures the
+    crossover when hardware is available."""
     import os
-    return int(os.environ.get('LMDEPLOY_TPU_DEQUANT_MIN_M', '256'))
+    return int(os.environ.get('LMDEPLOY_TPU_DEQUANT_MIN_M', str(1 << 30)))
 
 
 def linear(x: jnp.ndarray, w, bias: Optional[jnp.ndarray] = None,

@@ -92,6 +92,34 @@ def test_spec_accepts_on_repetitive_continuation():
     assert stats['spec_emitted'] / stats['spec_rounds'] > 1.2
 
 
+def test_spec_on_dp_tp_mesh_matches_single_device():
+    """The sharded speculative program (shard_map over (dp, tp)) must
+    stream the same tokens as the single-device spec engine."""
+    spec = dataclasses.replace(ECFG, speculative_k=4)
+    want, _ = _run(spec, [3, 4, 5, 3, 4, 5, 3, 4], 5)
+    spec_mesh = dataclasses.replace(spec, dp=2, tp=2, max_batch_size=2)
+    got, stats = _run(spec_mesh, [3, 4, 5, 3, 4, 5, 3, 4], 6)
+    assert got == want
+    assert stats['spec_rounds'] > 0
+
+
+def test_sampled_request_falls_back_to_normal_path():
+    """With speculative_k set, a non-greedy request must use the normal
+    sampling pipeline (spec is greedy-only) and still behave."""
+    spec = dataclasses.replace(ECFG, speculative_k=4)
+    params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
+    eng = TPUEngine(CFG, spec, params)
+    try:
+        inst = eng.create_instance()
+        out = inst.infer(7, [3, 4, 5], gen_config=GenerationConfig(
+            max_new_tokens=6, top_k=20, top_p=0.9, temperature=1.0,
+            random_seed=7, ignore_eos=True), sequence_end=True)
+        assert len(out.token_ids) == 6
+        assert eng.stats['spec_rounds'] == 0  # sampled -> no spec rounds
+    finally:
+        eng.shutdown()
+
+
 def test_spec_respects_max_new_tokens_and_continuation():
     spec = dataclasses.replace(ECFG, speculative_k=4)
     params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
