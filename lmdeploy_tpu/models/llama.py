@@ -48,6 +48,15 @@ class StepBatch:
     page_table: jnp.ndarray   # int32 [B, max_pages]
 
 
+def _fused_write_enabled() -> bool:
+    """Fused KV-append+attend decode kernel (ops/pallas/paged_attention
+    paged_decode_attention_write).  Opt-in (LMDEPLOY_TPU_FUSED_ATTN=1)
+    until measured end to end on the live chip — this runtime has a
+    history of pathological compiles for novel program shapes."""
+    import os
+    return os.environ.get('LMDEPLOY_TPU_FUSED_ATTN', '0') == '1'
+
+
 def vocab_padded(cfg: ModelConfig, tp: int = 1) -> int:
     """Pad vocab to a multiple of 128*tp so the TP-split lm_head tiles the
     MXU (reference pads to a multiple of tp: LlamaV2.cc:96-97)."""
@@ -171,10 +180,25 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
                        max_position_embeddings=cfg.max_position_embeddings,
                        use_dynamic_ntk=cfg.use_dynamic_ntk,
                        use_logn_attn=cfg.use_logn_attn)
-        cache_k, cache_v = write_kv(cache_k, cache_v, layer, k, v,
-                                    batch.positions, batch.page_table,
-                                    batch.valid, qparams)
-        if use_pallas_attn and is_decode:
+        fused_write = (use_pallas_attn and is_decode
+                       and _fused_write_enabled())
+        if not fused_write:
+            cache_k, cache_v = write_kv(cache_k, cache_v, layer, k, v,
+                                        batch.positions, batch.page_table,
+                                        batch.valid, qparams)
+        if fused_write:
+            # fused append+attend kernel: the reference mmha's design
+            # (store at cuh:1434 + attend in one kernel); kills the
+            # per-layer XLA scatter
+            from ..ops.pallas.paged_attention import \
+                paged_decode_attention_write
+            qp4 = jnp.stack([k_scale, k_zp, v_scale, v_zp])
+            cache_k, cache_v, o = paged_decode_attention_write(
+                q[:, 0], k[:, 0], v[:, 0], cache_k, cache_v, layer,
+                batch.page_table, batch.context_len,
+                batch.valid[:, 0], qp4, quantized=cache.quantized)
+            o = o[:, None]
+        elif use_pallas_attn and is_decode:
             from ..ops.pallas.paged_attention import paged_decode_attention
             qp4 = jnp.stack([k_scale, k_zp, v_scale, v_zp])
             o = paged_decode_attention(

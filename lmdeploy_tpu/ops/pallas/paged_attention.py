@@ -95,6 +95,185 @@ def _decode_kernel(page_tables_ref, ctx_len_ref, layer_ref,  # scalar prefetch
     o_ref[:] = out.reshape(kh * g, dh).astype(o_ref.dtype)
 
 
+def _decode_write_kernel(page_tables_ref, ctx_len_ref, layer_ref,
+                         valid_ref,                        # prefetch
+                         q_ref, kn_ref, vn_ref, k_in, v_in, qp_ref,
+                         k_out, v_out, o_ref,
+                         kq_buf, vq_buf, k_buf, v_buf, sem, wsem,
+                         *, page_size: int, kh: int, g: int, dh: int,
+                         quantized: bool, scale: float):
+    """Fused KV-append + paged attention for one decode step: stores the
+    current token's K/V into the pool (in place via aliasing), then
+    attends — replacing the per-layer XLA scatter + separate kernel
+    (the reference's mmha does exactly this fusion: store at cuh:1434,
+    attend over the cache in the same kernel)."""
+    b = pl.program_id(0)
+    ctx = ctx_len_ref[b]
+    layer = layer_ref[0]
+    num_pages = jax.lax.div(ctx + page_size - 1, page_size)
+    pos = ctx - 1                      # write position of the new token
+    wr_page = jax.lax.div(pos, page_size)
+    wr_slot = jax.lax.rem(pos, page_size)
+    phys_w = page_tables_ref[b, wr_page]
+
+    # quantize (or cast) the new K/V into a pool-dtype VMEM staging buf,
+    # then DMA it into the pool row
+    if quantized:
+        kq = jnp.round(kn_ref[0].astype(jnp.float32) / qp_ref[0]
+                       + qp_ref[1])
+        vq = jnp.round(vn_ref[0].astype(jnp.float32) / qp_ref[2]
+                       + qp_ref[3])
+        kq_buf[:] = jnp.clip(kq, -128, 127).astype(k_out.dtype)
+        vq_buf[:] = jnp.clip(vq, -128, 127).astype(v_out.dtype)
+    else:
+        kq_buf[:] = kn_ref[0].astype(k_out.dtype)
+        vq_buf[:] = vn_ref[0].astype(v_out.dtype)
+    # masked slots (retired/empty, valid=0) must NOT write — their page
+    # rows may belong to other sequences (the XLA scatter drops these
+    # via the valid mask; same contract here)
+    @pl.when(valid_ref[b] != 0)
+    def _store():
+        wk = pltpu.make_async_copy(kq_buf,
+                                   k_out.at[layer, phys_w, wr_slot],
+                                   wsem.at[0])
+        wv = pltpu.make_async_copy(vq_buf,
+                                   v_out.at[layer, phys_w, wr_slot],
+                                   wsem.at[1])
+        wk.start()
+        wv.start()
+        # the attention below reads the page holding the new token — the
+        # store must land first (tiny [KH, Dh] copy; negligible latency)
+        wk.wait()
+        wv.wait()
+
+    q = q_ref[0].astype(jnp.float32) * scale             # [KH*G, Dh]
+
+    def dma(slot, page_idx):
+        phys = page_tables_ref[b, page_idx]
+        return (pltpu.make_async_copy(k_out.at[layer, phys], k_buf.at[slot],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(v_out.at[layer, phys], v_buf.at[slot],
+                                      sem.at[slot, 1]))
+
+    for c in dma(0, 0):
+        c.start()
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < num_pages)
+        def _():
+            for c in dma(jax.lax.rem(i + 1, 2), i + 1):
+                c.start()
+
+        for c in dma(slot, i):
+            c.wait()
+        k = k_buf[slot]                                   # [page, KH, Dh]
+        v = v_buf[slot]
+        if quantized:
+            k = (k.astype(jnp.float32) - qp_ref[1]) * qp_ref[0]
+            v = (v.astype(jnp.float32) - qp_ref[3]) * qp_ref[2]
+        else:
+            k = k.astype(jnp.float32)
+            v = v.astype(jnp.float32)
+        k_t = k.transpose(1, 2, 0)                        # [KH, Dh, page]
+        v_t = v.transpose(1, 0, 2)                        # [KH, page, Dh]
+        qh = q.reshape(kh, g, dh)
+        s = jax.lax.dot_general(                          # [KH, G, page]
+            qh, k_t, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        p_pos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, page_size), 2)
+        s = jnp.where(p_pos < ctx, s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))       # [KH, G]
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(                         # [KH, G, Dh]
+            p, v_t, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        acc = acc * alpha[..., None] + pv
+        return m_new, l_new, acc
+
+    m0 = jnp.full((kh, g), -1e30, jnp.float32)
+    l0 = jnp.zeros((kh, g), jnp.float32)
+    acc0 = jnp.zeros((kh, g, dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-20)[..., None]
+    o_ref[0] = out.reshape(kh * g, dh).astype(o_ref.dtype)
+
+
+def paged_decode_attention_write(q, k_new, v_new, k_cache, v_cache, layer,
+                                 page_table, context_len, valid,
+                                 qparams4, *,
+                                 quantized: bool, interpret: bool = False):
+    """Fused decode step: append k_new/v_new at position context_len-1
+    (with in-kernel INT8 quant when the pool is int8), then attend.
+
+    Args are as in :func:`paged_decode_attention` plus
+    k_new/v_new: [B, KH, Dh] this step's rope'd key/value.
+    The pool buffers are ALIASED in place (donated) — returns
+    (k_cache, v_cache, out [B, KH*G, Dh]).
+
+    ``valid`` [B] gates the store per slot (masked slots attend over
+    garbage and produce discarded output, like the plain kernel, but
+    never write).
+    """
+    b, h, dh = q.shape
+    kh = k_cache.shape[-2]
+    g = h // kh
+    page_size = k_cache.shape[-3]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kh, dh), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kh, dh), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kh, dh), k_cache.dtype),
+            pltpu.VMEM((kh, dh), v_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dh), k_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dh), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_write_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
+        quantized=quantized, scale=dh ** -0.5)
+    # inputs (after the 4 scalar-prefetch args): q, k_new, v_new,
+    # k_cache, v_cache, qp -> alias pool inputs onto outputs 0/1
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        ],
+        input_output_aliases={7: 0, 8: 1},
+        interpret=interpret,
+    )(jnp.maximum(page_table, 0), context_len,
+      jnp.reshape(layer, (1,)).astype(jnp.int32),
+      valid.astype(jnp.int32), q, k_new, v_new,
+      k_cache, v_cache, jnp.asarray(qparams4, jnp.float32))
+
+
 def paged_decode_attention(q, k_cache, v_cache, layer, page_table,
                            context_len, qparams4, *, quantized: bool,
                            interpret: bool = False):
@@ -123,8 +302,8 @@ def paged_decode_attention(q, k_cache, v_cache, layer, page_table,
         in_specs=[
             pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0),
@@ -154,4 +333,4 @@ def paged_decode_attention(q, k_cache, v_cache, layer, page_table,
       jnp.asarray(qparams4, jnp.float32))
 
 
-__all__ = ['paged_decode_attention']
+__all__ = ['paged_decode_attention', 'paged_decode_attention_write']

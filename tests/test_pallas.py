@@ -143,6 +143,73 @@ def test_paged_prefill_attention_matches_gather(kh, g, start):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize('quantized', [False, True])
+def test_fused_write_attend_matches_scatter_plus_attend(quantized):
+    """The fused append+attend kernel == XLA scatter write followed by
+    the plain decode kernel (the reference mmha's in-kernel store+attend,
+    decoder_masked_multihead_attention_template.cuh:1434)."""
+    import dataclasses as dc
+
+    from lmdeploy_tpu.kvcache.paged import init_cache, write_kv
+    from lmdeploy_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention, paged_decode_attention_write)
+
+    rng = np.random.default_rng(11)
+    DH, PAGE, MAXP, P, L, B = 128, 16, 4, 12, 2, 3
+    kh, g = 2, 2
+    dtype = jnp.int8 if quantized else jnp.float32
+    cache = init_cache(L, P, PAGE, kh, DH, dtype,
+                       kv_scales=([0.05, 0.04], [1.0, -2.0],
+                                  [0.06, 0.05], [0.0, 3.0])
+                       if quantized else None)
+    seed = rng.integers(-100, 100, size=cache.k.shape)
+    cache = dc.replace(cache,
+                       k=jnp.asarray(seed, dtype),
+                       v=jnp.asarray(rng.integers(-100, 100,
+                                                  cache.v.shape), dtype))
+    layer = 1
+    ctx = np.asarray([9, 17, 1], np.int32)    # current token INCLUDED
+    pt = np.full((B, MAXP), -1, np.int32)
+    for i in range(B):
+        need = -(-int(ctx[i]) // PAGE)
+        pt[i, :need] = rng.choice(P, size=need, replace=False)
+    q = jnp.asarray(rng.normal(size=(B, kh * g, DH)), jnp.float32)
+    k_new = jnp.asarray(rng.normal(size=(B, kh, DH)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(B, kh, DH)), jnp.float32)
+    qp = np.stack([np.asarray(x)[layer] for x in
+                   (cache.k_scale, cache.k_zp, cache.v_scale,
+                    cache.v_zp)])
+    qparams = tuple(jnp.asarray(x) for x in qp) if quantized else None
+
+    # oracle: XLA scatter write, then the plain kernel
+    ck, cv = write_kv(cache.k, cache.v, layer, k_new[:, None],
+                      v_new[:, None], (ctx - 1)[:, None],
+                      jnp.asarray(pt), jnp.ones((B, 1), bool), qparams)
+    want = paged_decode_attention(q, ck, cv, jnp.int32(layer),
+                                  jnp.asarray(pt), jnp.asarray(ctx),
+                                  jnp.asarray(qp, jnp.float32),
+                                  quantized=quantized, interpret=True)
+
+    gk, gv, got = paged_decode_attention_write(
+        q, k_new, v_new, jnp.array(cache.k), jnp.array(cache.v),
+        jnp.int32(layer),
+        jnp.asarray(pt), jnp.asarray(ctx), jnp.ones((B,), jnp.int32),
+        jnp.asarray(qp, jnp.float32), quantized=quantized, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(ck))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(cv))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+    # masked slot must leave the pool untouched
+    mk, mv, _ = paged_decode_attention_write(
+        q, k_new, v_new, jnp.array(cache.k), jnp.array(cache.v),
+        jnp.int32(layer),
+        jnp.asarray(pt), jnp.asarray(ctx), jnp.zeros((B,), jnp.int32),
+        jnp.asarray(qp, jnp.float32), quantized=quantized, interpret=True)
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(cache.k))
+    np.testing.assert_array_equal(np.asarray(mv), np.asarray(cache.v))
+
+
 def test_paged_prefill_attention_batched_multi_slot():
     """Multi-slot prefill kernel (grid over (slot, q-block)) matches the
     gather reference per slot, with per-slot history offsets and a
