@@ -50,11 +50,12 @@ class StepBatch:
 
 def _fused_write_enabled() -> bool:
     """Fused KV-append+attend decode kernel (ops/pallas/paged_attention
-    paged_decode_attention_write).  Opt-in (LMDEPLOY_TPU_FUSED_ATTN=1)
-    until measured end to end on the live chip — this runtime has a
-    history of pathological compiles for novel program shapes."""
+    paged_decode_attention_write).  Measured e2e on v5e: throughput
+    parity with scatter+attend (58.7 vs 58.5 tok/s bs1 — the XLA
+    scatter was already overlapped) with a shorter program and better
+    TTFT; default ON, opt-out via LMDEPLOY_TPU_FUSED_ATTN=0."""
     import os
-    return os.environ.get('LMDEPLOY_TPU_FUSED_ATTN', '0') == '1'
+    return os.environ.get('LMDEPLOY_TPU_FUSED_ATTN', '1') == '1'
 
 
 def vocab_padded(cfg: ModelConfig, tp: int = 1) -> int:
