@@ -175,18 +175,7 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
     ids = jnp.concatenate([state.tokens[:, None], draft], axis=1)
     t_idx = jnp.arange(kp1, dtype=jnp.int32)[None]
     pos = state.context_len[:, None] + t_idx                  # [B, K+1]
-    # pad T to the Pallas prefill block so the paged flash kernel (not
-    # the XLA full-gather fallback) runs the verify attention
-    t_pad = 128 if (use_pallas_attn and cfg.size_per_head % 128 == 0) \
-        else kp1
-    if t_pad > kp1:
-        ids = jnp.pad(ids, ((0, 0), (0, t_pad - kp1)))
-        pos = jnp.concatenate(
-            [pos, pos[:, -1:] + 1 + jnp.arange(t_pad - kp1,
-                                               dtype=jnp.int32)[None]],
-            axis=1)
-    valid = run[:, None] & (pos < cap) \
-        & (jnp.arange(t_pad)[None] < kp1)
+    valid = run[:, None] & (pos < cap)
     batch = StepBatch(
         ids=ids, positions=pos, valid=valid,
         context_len=jnp.minimum(state.context_len + kp1, cap),

@@ -206,17 +206,24 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
                 q[:, 0], cache_k, cache_v, layer, batch.page_table,
                 batch.context_len, qp4,
                 quantized=cache.quantized)[:, None]
-        elif use_pallas_attn and t % 128 == 0:
-            # chunked prefill (any slot count): paged flash attention,
-            # grid over (slot, q-block) — the reference's batched
-            # context decode (LlamaBatch.cc:795-858)
-            from ..ops.pallas.prefill_attention import \
-                paged_prefill_attention_batched
+        elif use_pallas_attn:
+            # chunked prefill / speculative verify (any slot count, any
+            # T): paged flash attention, grid over (slot, q-block) — the
+            # reference's batched context decode (LlamaBatch.cc:795-858).
+            # Only the KERNEL's q rows pad to the 128-row block; the
+            # matmuls around it keep the true T (padding the whole step
+            # to 128 rows made speculative verify compute-bound: 304 vs
+            # ~20 ms/round measured).
+            from ..ops.pallas.prefill_attention import (
+                Q_BLOCK, paged_prefill_attention_batched)
             qp4 = jnp.stack([k_scale, k_zp, v_scale, v_zp])
+            tpad = -(-t // Q_BLOCK) * Q_BLOCK
+            qk = q if tpad == t else jnp.pad(
+                q, ((0, 0), (0, tpad - t), (0, 0), (0, 0)))
             o = paged_prefill_attention_batched(
-                q, cache_k, cache_v, layer, batch.page_table,
+                qk, cache_k, cache_v, layer, batch.page_table,
                 batch.positions[:, 0], batch.context_len, qp4,
-                quantized=cache.quantized)
+                quantized=cache.quantized)[:, :t]
         else:
             ck = jax.lax.dynamic_index_in_dim(cache_k, layer, 0,
                                               keepdims=False)
