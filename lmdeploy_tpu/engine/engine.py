@@ -180,7 +180,15 @@ class TPUEngine:
         self.stats = {'requests': 0, 'finished': 0, 'canceled': 0,
                       'errors': 0, 'rejected': 0, 'timeout': 0,
                       'generated_tokens': 0, 'spec_rounds': 0,
-                      'spec_emitted': 0}
+                      'spec_emitted': 0, 'spec_fallbacks': 0}
+        # adaptive speculative gating: EMA of accepted tokens/round;
+        # below break-even the engine falls back to plain rounds and
+        # re-probes after a cooloff (speculation must never cost more
+        # than it saves on non-repetitive text)
+        self._spec_accept_ema: Optional[float] = None
+        self._spec_cooloff = 0
+        self.SPEC_MIN_ACCEPT = 1.15   # verify overhead break-even
+        self.SPEC_COOLOFF_DISPATCHES = 4
         self._fresh_admission = False
         self._ramp = 1  # post-admission round-length ramp (1->4->16->k)
         self._rng_now: Optional[np.ndarray] = None  # [B, 2] rng keys at the
@@ -750,8 +758,14 @@ class TPUEngine:
         # greedy anyway, but keep the contract tight)
         if self.ecfg.speculative_k > 0 and cfgs \
                 and all((g.top_k or 0) == 1 for g in cfgs):
-            self._spec_round(k)
-            return
+            if self._spec_cooloff <= 0:
+                self._spec_round(k)
+                return
+            # low recent acceptance: run plain rounds, re-probe later
+            self._spec_cooloff -= 1
+            self.stats['spec_fallbacks'] += 1
+            if self._spec_cooloff <= 0:
+                self._spec_accept_ema = None  # fresh probe next time
         mode = 'full' if any((g.top_k or 0) <= 0 for g in cfgs) \
             else 'candidates'
         self.cache, self.state, packed, logprob = self.fns.decode_steps(
@@ -781,6 +795,18 @@ class TPUEngine:
         arr = np.asarray(packed)            # [R+1, 2*kp1+1, B]
         self._rng_now = np.ascontiguousarray(
             arr[-1, :2].T).view(np.uint32)
+        # adaptive gating: EMA of per-slot accepted tokens/round over
+        # this dispatch; below break-even, cool off to plain rounds
+        live_rounds = arr[:-1, 2 * kp1]     # [R, B] emitted counts
+        ran = live_rounds.sum(axis=1) > 0
+        if ran.any():
+            acc = float(live_rounds.sum()
+                        / np.maximum((live_rounds > 0).sum(), 1))
+            ema = self._spec_accept_ema
+            self._spec_accept_ema = acc if ema is None \
+                else 0.5 * ema + 0.5 * acc
+            if self._spec_accept_ema < self.SPEC_MIN_ACCEPT:
+                self._spec_cooloff = self.SPEC_COOLOFF_DISPATCHES
         for r in range(arr.shape[0] - 1):
             g, fin, n = arr[r, :kp1], arr[r, kp1:2 * kp1], arr[r, 2 * kp1]
             self.stats['spec_rounds'] += 1

@@ -79,7 +79,8 @@ def test_spec_stream_matches_normal(prompt):
     got, stats = _run(spec, prompt, 2)
     assert got == want
     assert stats['spec_rounds'] > 0
-    assert stats['spec_emitted'] == len(got)
+    # adaptive gating may hand low-acceptance stretches to plain rounds
+    assert 0 < stats['spec_emitted'] <= len(got)
 
 
 def test_spec_accepts_on_repetitive_continuation():
@@ -118,6 +119,26 @@ def test_sampled_request_falls_back_to_normal_path():
         assert eng.stats['spec_rounds'] == 0  # sampled -> no spec rounds
     finally:
         eng.shutdown()
+
+
+def test_spec_adaptive_fallback_on_low_acceptance(monkeypatch):
+    """When drafts rarely match (non-repetitive text), the engine must
+    notice the low acceptance and fall back to plain decode rounds
+    (speculation may never cost more than it saves), while still
+    producing the exact greedy stream."""
+    from lmdeploy_tpu.ops import speculative as spec_mod
+
+    def bad_drafts(history, history_len, k, ngram=3):
+        return jnp.full((history.shape[0], k), 119, jnp.int32)
+
+    monkeypatch.setattr(spec_mod, 'ngram_propose', bad_drafts)
+    spec = dataclasses.replace(ECFG, speculative_k=4)
+    prompt = [3, 4, 5, 3, 4, 5, 3, 4]
+    got, stats = _run(spec, prompt, 8, max_new=40)
+    want, _ = _run(ECFG, prompt, 9, max_new=40)
+    assert got == want
+    assert stats['spec_fallbacks'] > 0         # cooloff engaged
+    assert stats['spec_emitted'] < len(got)    # plain rounds did the rest
 
 
 def test_spec_respects_max_new_tokens_and_continuation():
