@@ -189,6 +189,12 @@ class TPUEngine:
         self._spec_cooloff = 0
         self.SPEC_MIN_ACCEPT = 1.15   # verify overhead break-even
         self.SPEC_COOLOFF_DISPATCHES = 4
+        # occupancy gate: verify's [G, M, N] partial-sum traffic grows
+        # with M = running*(K+1) while plain batched decode amortizes
+        # weights over `running` tokens anyway.  Measured on v5e (K=4):
+        # 1 slot +64%, 2 slots +22%, 4 slots +13%, 8 slots -1% -> the
+        # crossover sits near 32 verify rows.
+        self.SPEC_MAX_VERIFY_ROWS = 32
         self._fresh_admission = False
         self._ramp = 1  # post-admission round-length ramp (1->4->16->k)
         self._rng_now: Optional[np.ndarray] = None  # [B, 2] rng keys at the
@@ -756,7 +762,10 @@ class TPUEngine:
         # speculative rounds: greedy-only (the classic restriction) and
         # only when no slot wants logprobs (spec logprobs are all-zero
         # greedy anyway, but keep the contract tight)
+        running = len(cfgs)
         if self.ecfg.speculative_k > 0 and cfgs \
+                and running * (self.ecfg.speculative_k + 1) \
+                <= self.SPEC_MAX_VERIFY_ROWS \
                 and all((g.top_k or 0) == 1 for g in cfgs):
             if self._spec_cooloff <= 0:
                 self._spec_round(k)
