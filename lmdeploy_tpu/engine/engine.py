@@ -805,15 +805,19 @@ class TPUEngine:
         self._rng_now = np.ascontiguousarray(
             arr[-1, :2].T).view(np.uint32)
         # adaptive gating: EMA of per-slot accepted tokens/round over
-        # this dispatch; below break-even, cool off to plain rounds
+        # this dispatch; below break-even, cool off to plain rounds.
+        # Short dispatches (the TTFT ramp's 1-round burst right after
+        # admission, when the history is too short for any n-gram match)
+        # are NOT evidence — judging from them poisoned the EMA and
+        # bounced the engine onto a cold plain-path compile mid-stream.
         live_rounds = arr[:-1, 2 * kp1]     # [R, B] emitted counts
         ran = live_rounds.sum(axis=1) > 0
-        if ran.any():
+        if int(ran.sum()) >= 8:
             acc = float(live_rounds.sum()
                         / np.maximum((live_rounds > 0).sum(), 1))
             ema = self._spec_accept_ema
             self._spec_accept_ema = acc if ema is None \
-                else 0.5 * ema + 0.5 * acc
+                else 0.7 * ema + 0.3 * acc
             if self._spec_accept_ema < self.SPEC_MIN_ACCEPT:
                 self._spec_cooloff = self.SPEC_COOLOFF_DISPATCHES
         for r in range(arr.shape[0] - 1):
