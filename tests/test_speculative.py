@@ -132,10 +132,13 @@ def test_spec_adaptive_fallback_on_low_acceptance(monkeypatch):
         return jnp.full((history.shape[0], k), 119, jnp.int32)
 
     monkeypatch.setattr(spec_mod, 'ngram_propose', bad_drafts)
-    spec = dataclasses.replace(ECFG, speculative_k=4)
+    # dispatches must be long enough to count as acceptance evidence
+    # (the EMA ignores short TTFT-ramp bursts, engine.py _spec_round)
+    spec = dataclasses.replace(ECFG, speculative_k=4, step_length=16)
     prompt = [3, 4, 5, 3, 4, 5, 3, 4]
-    got, stats = _run(spec, prompt, 8, max_new=40)
-    want, _ = _run(ECFG, prompt, 9, max_new=40)
+    got, stats = _run(spec, prompt, 8, max_new=60)
+    want, _ = _run(dataclasses.replace(ECFG, step_length=16), prompt, 9,
+                   max_new=60)
     assert got == want
     assert stats['spec_fallbacks'] > 0         # cooloff engaged
     assert stats['spec_emitted'] < len(got)    # plain rounds did the rest
