@@ -766,7 +766,8 @@ class TPUEngine:
         if self.ecfg.speculative_k > 0 and cfgs \
                 and running * (self.ecfg.speculative_k + 1) \
                 <= self.SPEC_MAX_VERIFY_ROWS \
-                and all((g.top_k or 0) == 1 for g in cfgs):
+                and all((g.top_k or 0) == 1 and not g.output_logprobs
+                        for g in cfgs):
             if self._spec_cooloff <= 0:
                 self._spec_round(k)
                 return

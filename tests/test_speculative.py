@@ -148,6 +148,24 @@ def test_spec_adaptive_fallback_on_low_acceptance():
     assert stats['spec_emitted'] < len(got)    # plain rounds did the rest
 
 
+def test_spec_skips_logprobs_requests():
+    """output_logprobs needs the per-token logprob stream — such
+    requests must take the normal path even when greedy."""
+    spec = dataclasses.replace(ECFG, speculative_k=4)
+    params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
+    eng = TPUEngine(CFG, spec, params)
+    try:
+        inst = eng.create_instance()
+        out = inst.infer(11, [3, 4, 5, 3, 4, 5], gen_config=GenerationConfig(
+            max_new_tokens=6, top_k=1, ignore_eos=True,
+            output_logprobs=True), sequence_end=True)
+        assert len(out.token_ids) == 6
+        assert out.logprobs is not None and len(out.logprobs) == 6
+        assert eng.stats['spec_rounds'] == 0
+    finally:
+        eng.shutdown()
+
+
 def test_spec_respects_max_new_tokens_and_continuation():
     spec = dataclasses.replace(ECFG, speculative_k=4)
     params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
