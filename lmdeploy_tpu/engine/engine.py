@@ -97,6 +97,10 @@ class TPUEngine:
 
         kv_dtype = jnp.int8 if engine_cfg.kv_dtype == 'int8' else jnp.bfloat16
         kv_scales = kv_scales if kv_dtype == jnp.int8 else None
+        self._kv_dtype = kv_dtype
+        self._kv_scales = kv_scales
+        self._cache_sh = None
+        self._state_sharding = None
         if engine_cfg.tp > 1 or self.dp > 1:
             # One SPMD program over the (dp, tp) mesh replaces the
             # reference's per-GPU threads + NCCL ranks (turbomind.py:
@@ -113,37 +117,24 @@ class TPUEngine:
             # allocate the KV pool directly with its target sharding —
             # allocate-then-device_put would transiently hold the full
             # unsharded pool (tp x per-device budget) and OOM at startup
-            cache_sh = jax.tree.map(
+            self._cache_sh = jax.tree.map(
                 lambda s: NamedSharding(self.mesh, s),
                 cache_pspecs(dp_axis=dp_axis),
                 is_leaf=lambda x: isinstance(x, PartitionSpec))
-            self.cache = init_cache(
-                model_cfg.num_layer, num_pages, page, model_cfg.kv_head_num,
-                model_cfg.size_per_head, kv_dtype, kv_scales,
-                shardings=cache_sh)
-            self.state = init_decode_state(b, self.max_pages_per_seq,
-                                           self.session_len,
-                                           eos_id=model_cfg.end_id)
+            state_spec = PartitionSpec(DP_AXIS) if self.dp > 1 \
+                else PartitionSpec()
+            self._state_sharding = NamedSharding(self.mesh, state_spec)
+            self.cache, self.state = self._alloc_device_state()
             self.params = prepare_params_for_tp(params, model_cfg,
                                                 engine_cfg.tp)
             self.params = shard_tree(self.params,
                                      param_pspecs(self.params), self.mesh)
-            state_spec = PartitionSpec(DP_AXIS) if self.dp > 1 \
-                else PartitionSpec()
-            self.state = jax.tree.map(
-                lambda x: jax.device_put(
-                    x, NamedSharding(self.mesh, state_spec)), self.state)
             self.fns = ShardedStepFns(model_cfg, self.mesh,
                                       use_pallas_attn=self._pallas_enabled(),
                                       dp_shard_batch=self.dp > 1)
         else:
             self.mesh = None
-            self.cache = init_cache(
-                model_cfg.num_layer, num_pages, page, model_cfg.kv_head_num,
-                model_cfg.size_per_head, kv_dtype, kv_scales)
-            self.state = init_decode_state(b, self.max_pages_per_seq,
-                                           self.session_len,
-                                           eos_id=model_cfg.end_id)
+            self.cache, self.state = self._alloc_device_state()
             self.fns = CompiledStepFns(model_cfg,
                                        use_pallas_attn=self._pallas_enabled())
 
@@ -207,6 +198,36 @@ class TPUEngine:
         self._thread.start()
 
     # -- construction helpers ------------------------------------------------
+    def _alloc_device_state(self):
+        """Fresh KV pool + decode state with their target shardings."""
+        cache = init_cache(
+            self.cfg.num_layer, self.num_pages, self.ecfg.page_size,
+            self.cfg.kv_head_num, self.cfg.size_per_head, self._kv_dtype,
+            self._kv_scales, shardings=self._cache_sh)
+        state = init_decode_state(self.ecfg.max_batch_size,
+                                  self.max_pages_per_seq, self.session_len,
+                                  eos_id=self.cfg.end_id)
+        if self._state_sharding is not None:
+            state = jax.tree.map(
+                lambda x: jax.device_put(x, self._state_sharding), state)
+        return cache, state
+
+    def _recover_device_state(self):
+        """Rebuild device state after a backend execution error: donated
+        cache/state handles are poisoned once a dispatch fails, and the
+        pool's KV content is unrecoverable — drop every session (clients
+        re-decode from token ids on their next request) and reallocate.
+        Keeps the engine serving instead of erroring forever (the
+        reference FT_CHECK-aborts the whole process on CUDA errors)."""
+        log.warning('resetting device state after backend error')
+        try:
+            self.seqs.clear()
+        except Exception:
+            log.exception('session clear failed during recovery')
+        self.cache, self.state = self._alloc_device_state()
+        self._rng_now = None
+        self._prefill_jobs = []
+
     def _pallas_enabled(self) -> bool:
         if not self.ecfg.use_pallas:
             return False
@@ -333,8 +354,9 @@ class TPUEngine:
                     self._fail_all()
 
     def _fail_all(self):
-        """Fail every running request, releasing sessions and device slots
-        so the engine stays usable (a leaked active session would pin its
+        """Fail every running request, then rebuild the device state so
+        the engine stays usable (after an execution error the donated
+        cache/state are poisoned; a leaked active session would pin its
         pages forever — _evict_one skips active sequences)."""
         for i, slot in enumerate(self.slots):
             if slot is None:
@@ -342,14 +364,11 @@ class TPUEngine:
             slot.out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [],
                                         slot.generated, finished=True))
             try:
-                self.state = self.fns.clear_slot(self.state, i)
-            except Exception:
-                log.exception('clear_slot failed during _fail_all')
-            try:
                 self.seqs.erase(slot.request.session_id)
             except Exception:
                 log.exception('session release failed during _fail_all')
             self.slots[i] = None
+        self._recover_device_state()
 
     # -- request handling ------------------------------------------------------
     def _handle_batch(self, batch):
@@ -385,12 +404,16 @@ class TPUEngine:
             return
         try:
             self._handle_request(req, out_q, enq_t)
-        except Exception:
+        except Exception as e:
             log.exception('request handling failed (session %s)',
                           req.session_id)
             self.stats['errors'] += 1
             out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [], 0,
                                    finished=True))
+            # a backend execution error poisons donated device buffers
+            # (e.g. the logits path's donated cache) — rebuild
+            if 'RuntimeError' in type(e).__name__:
+                self._fail_all()
 
     def _handle_request(self, req: EngineRequest, out_q: queue.Queue,
                         enq_t: Optional[float] = None):
@@ -769,12 +792,24 @@ class TPUEngine:
                 and all((g.top_k or 0) == 1 and not g.output_logprobs
                         for g in cfgs):
             if self._spec_cooloff <= 0:
-                self._spec_round(k)
-                return
+                try:
+                    self._spec_round(k)
+                    return
+                except Exception:
+                    # this backend occasionally throws opaque transient
+                    # RESOURCE_EXHAUSTED on the spec program: disable
+                    # speculation for this engine, fail the in-flight
+                    # requests (donated state is poisoned) and keep
+                    # serving plain rounds
+                    log.exception('speculative dispatch failed; '
+                                  'disabling speculation')
+                    self._spec_cooloff = 1 << 30
+                    self._fail_all()
+                    return
             # low recent acceptance: run plain rounds, re-probe later
             self._spec_cooloff -= 1
             self.stats['spec_fallbacks'] += 1
-            if self._spec_cooloff <= 0:
+            if self._spec_cooloff == 0:
                 self._spec_accept_ema = None  # fresh probe next time
         mode = 'full' if any((g.top_k or 0) <= 0 for g in cfgs) \
             else 'candidates'

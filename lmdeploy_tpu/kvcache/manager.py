@@ -218,6 +218,15 @@ class GroupedSequenceManager:
     def release(self, seq) -> None:
         self.managers[self._group[seq.seq_id]].release(seq)
 
+    def clear(self) -> None:
+        """Drop every session (device-state reset after a backend
+        error: cached KV content is gone, so sessions cannot resume)."""
+        with self._lock:
+            ids = list(self._group.items())
+            self._group.clear()
+        for seq_id, g in ids:
+            self.managers[g].erase(seq_id)
+
 
 __all__ = ['PageAllocator', 'Sequence', 'SequenceManager',
            'GroupedSequenceManager', 'NoFreePages']
