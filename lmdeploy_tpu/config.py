@@ -85,6 +85,9 @@ class EngineConfig:
     quant_policy: int = 0                # 4 == int8 KV cache (QuantPolicy bitmask)
     kv_dtype: str = 'bf16'               # 'bf16' | 'int8'
     step_length: int = 8                 # decode steps per device dispatch
+    prefill_interleave: int = 8          # decode steps squeezed between
+    # prefill chunk passes so running sessions keep streaming during a
+    # long admission (SARATHI-style chunked-prefill scheduling; 0 = off)
     speculative_k: int = 0               # prompt-lookup draft length; 0=off
     speculative_ngram: int = 3           # suffix length for draft lookup
     max_pending_requests: int = 256      # queue bound -> QUEUE_FULL (429)

@@ -58,6 +58,7 @@ class _Slot:
     stop_sequences: List[List[int]] = dataclasses.field(default_factory=list)
     single_stops: frozenset = frozenset()
     holdback: int = 0           # tokens withheld while a stop prefix may grow
+    prefilling: bool = False    # admitted, prompt not fully in KV yet
     tail: List[int] = dataclasses.field(default_factory=list)
     logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -171,7 +172,8 @@ class TPUEngine:
         self.stats = {'requests': 0, 'finished': 0, 'canceled': 0,
                       'errors': 0, 'rejected': 0, 'timeout': 0,
                       'generated_tokens': 0, 'spec_rounds': 0,
-                      'spec_emitted': 0, 'spec_fallbacks': 0}
+                      'spec_emitted': 0, 'spec_fallbacks': 0,
+                      'interleaved_rounds': 0}
         # adaptive speculative gating: EMA of accepted tokens/round;
         # below break-even the engine falls back to plain rounds and
         # re-probes after a cooloff (speculation must never cost more
@@ -611,8 +613,12 @@ class TPUEngine:
         seq.token_ids = all_ids
 
         # defer the chunked prefill: all admissions drained this turn
-        # prefill TOGETHER in one batched pass (_flush_prefills)
+        # prefill TOGETHER in one batched pass (_flush_prefills); until
+        # then the slot sits INACTIVE so interleaved decode rounds never
+        # touch its unwritten KV
         if prefill_ids:
+            slot.prefilling = True
+            self.state = self.fns.set_active(self.state, slot_idx, False)
             self._prefill_jobs.append((slot_idx, prefill_ids, start_pos))
         slot.context_len = total_len - 1
 
@@ -678,27 +684,36 @@ class TPUEngine:
             yield padded, pos, len(chunk)
             pos += len(chunk)
 
-    def _prefill(self, slot_idx: int, ids: List[int], start_pos: int):
-        for padded, pos, n in self._iter_chunks(ids, start_pos):
-            self.cache, _ = self.fns.prefill_chunk(
-                self.params, self.cache, self.state, np.int32(slot_idx),
-                padded, np.int32(pos), np.int32(n))
-        slot = self.slots[slot_idx]
-        slot.seq.cache_len = start_pos + len(ids)
+    def _interleave_decode(self):
+        """Squeeze a short decode round between prefill chunk passes so
+        already-running sessions keep streaming during a long admission
+        (SARATHI-style chunked-prefill scheduling; the reference stalls
+        generation for the whole context decode, LlamaBatch.cc:764-876).
+        Mid-prefill slots sit INACTIVE on device and are skipped here."""
+        k = self.ecfg.prefill_interleave
+        if k <= 0:
+            return
+        if not any(s is not None and not s.done and not s.prefilling
+                   for s in self.slots):
+            return
+        try:
+            self.stats['interleaved_rounds'] += 1
+            self._decode_round(min(k, self.ecfg.step_length))
+        except Exception:
+            log.exception('interleaved decode round failed')
+            self._fail_all()
 
     def _flush_prefills(self):
         """Prefill every queued admission in batched chunk passes: each
         round appends ONE chunk for every still-unfinished job (the
         reference's batched chunked context decode, LlamaBatch.cc:
         795-858) so concurrent admissions share device dispatches instead
-        of serializing their TTFT."""
+        of serializing their TTFT; decode rounds for already-running
+        slots interleave between passes."""
         jobs = [(i, ids, start) for i, ids, start in self._prefill_jobs
                 if self.slots[i] is not None and not self.slots[i].done]
         self._prefill_jobs = []
         if not jobs:
-            return
-        if len(jobs) == 1:
-            self._prefill(*jobs[0])
             return
         buckets = list(self.ecfg.prefill_buckets)
         budget = min(self.ecfg.max_context_token_num, buckets[-1])
@@ -707,37 +722,52 @@ class TPUEngine:
         offs = [0] * len(jobs)
         while True:
             live = [(j, jobs[j][0]) for j in range(len(jobs))
-                    if offs[j] < len(jobs[j][1])]
+                    if offs[j] < len(jobs[j][1])
+                    and self.slots[jobs[j][0]] is not None]
             if not live:
                 break
             if len(live) == 1:
                 j, slot_idx = live[0]
                 _, ids, start = jobs[j]
-                self._prefill(slot_idx, ids[offs[j]:], start + offs[j])
-                offs[j] = len(ids)
-                continue
-            chunks = []
-            for j, slot_idx in live:
-                _, ids, start = jobs[j]
                 chunk = ids[offs[j]:offs[j] + budget]
-                chunks.append((slot_idx, chunk, start + offs[j]))
+                for padded, pos, n in self._iter_chunks(
+                        chunk, start + offs[j]):
+                    self.cache, _ = self.fns.prefill_chunk(
+                        self.params, self.cache, self.state,
+                        np.int32(slot_idx), padded, np.int32(pos),
+                        np.int32(n))
                 offs[j] += len(chunk)
-            t = _bucket_for(max(len(c) for _, c, _ in chunks), buckets)
-            bp = _bucket_for(len(chunks), bp_buckets)
-            ids_arr = np.zeros((bp, t), np.int32)
-            slots_arr = np.zeros((bp,), np.int32)
-            starts_arr = np.zeros((bp,), np.int32)
-            lens_arr = np.zeros((bp,), np.int32)  # padding rows: length 0
-            for r, (slot_idx, chunk, pos) in enumerate(chunks):
-                ids_arr[r, :len(chunk)] = chunk
-                slots_arr[r] = slot_idx
-                starts_arr[r] = pos
-                lens_arr[r] = len(chunk)
-            self.cache, _ = self.fns.prefill_chunks(
-                self.params, self.cache, self.state, slots_arr, ids_arr,
-                starts_arr, lens_arr)
+            else:
+                chunks = []
+                for j, slot_idx in live:
+                    _, ids, start = jobs[j]
+                    chunk = ids[offs[j]:offs[j] + budget]
+                    chunks.append((slot_idx, chunk, start + offs[j]))
+                    offs[j] += len(chunk)
+                t = _bucket_for(max(len(c) for _, c, _ in chunks), buckets)
+                bp = _bucket_for(len(chunks), bp_buckets)
+                ids_arr = np.zeros((bp, t), np.int32)
+                slots_arr = np.zeros((bp,), np.int32)
+                starts_arr = np.zeros((bp,), np.int32)
+                lens_arr = np.zeros((bp,), np.int32)  # pad rows: length 0
+                for r, (slot_idx, chunk, pos) in enumerate(chunks):
+                    ids_arr[r, :len(chunk)] = chunk
+                    slots_arr[r] = slot_idx
+                    starts_arr[r] = pos
+                    lens_arr[r] = len(chunk)
+                self.cache, _ = self.fns.prefill_chunks(
+                    self.params, self.cache, self.state, slots_arr,
+                    ids_arr, starts_arr, lens_arr)
+            self._interleave_decode()
         for j, (slot_idx, ids, start) in enumerate(jobs):
-            self.slots[slot_idx].seq.cache_len = start + len(ids)
+            slot = self.slots[slot_idx]
+            if slot is None or slot.done:
+                continue
+            slot.seq.cache_len = start + len(ids)
+            slot.prefilling = False
+            self.state = self.fns.set_active(self.state, slot_idx, True)
+        # the freshly activated slots deserve a short first round (TTFT)
+        self._fresh_admission = True
 
     # -- decode ------------------------------------------------------------------
     def _grow_pages(self, steps: int = 1):
@@ -746,7 +776,7 @@ class TPUEngine:
         unmapped page boundary)."""
         page = self.ecfg.page_size
         for i, slot in enumerate(self.slots):
-            if slot is None or slot.done:
+            if slot is None or slot.done or slot.prefilling:
                 continue
             need_tokens = min(slot.context_len + steps, self.session_len)
             if need_tokens > len(slot.seq.pages) * page:
@@ -762,7 +792,8 @@ class TPUEngine:
         admission the round length ramps 1 -> 4 -> 16 -> step_length so
         the first tokens stream immediately (TTFT) while sustained decode
         still amortizes the link round trip."""
-        if not any(s is not None and not s.done for s in self.slots):
+        if not any(s is not None and not s.done and not s.prefilling
+                   for s in self.slots):
             return
         if self._fresh_admission:
             # one short round so the new request's first token streams
@@ -781,7 +812,7 @@ class TPUEngine:
         # derails XLA's schedule.  So greedy rides 'candidates'; 'full'
         # exists for exact unconstrained sampling (top_k=0).
         cfgs = [s.request.gen_config for s in self.slots
-                if s is not None and not s.done]
+                if s is not None and not s.done and not s.prefilling]
         # speculative rounds: greedy-only (the classic restriction) and
         # only when no slot wants logprobs (spec logprobs are all-zero
         # greedy anyway, but keep the contract tight)
@@ -873,7 +904,7 @@ class TPUEngine:
               logprobs_np: Optional[np.ndarray] = None,
               mask: Optional[np.ndarray] = None):
         for i, slot in enumerate(self.slots):
-            if slot is None or slot.done:
+            if slot is None or slot.done or slot.prefilling:
                 continue
             if mask is not None and not mask[i]:
                 continue

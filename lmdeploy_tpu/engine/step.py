@@ -418,6 +418,14 @@ def set_finished(state: DecodeState, slot) -> DecodeState:
         state, finished=state.finished.at[slot].set(True))
 
 
+def set_active(state: DecodeState, slot, value) -> DecodeState:
+    """(De)activate a slot: admitted-but-still-prefilling slots sit
+    inactive so decode rounds interleaved between prefill chunk passes
+    never touch their unwritten KV."""
+    return dataclasses.replace(
+        state, active=state.active.at[slot].set(value))
+
+
 def set_page_row(state: DecodeState, slot, page_row) -> DecodeState:
     return dataclasses.replace(
         state, page_table=state.page_table.at[slot].set(page_row))
@@ -452,9 +460,10 @@ class CompiledStepFns:
         self.install_slot = jax.jit(install_slot, donate_argnums=(0,))
         self.clear_slot = jax.jit(clear_slot, donate_argnums=(0,))
         self.set_finished = jax.jit(set_finished, donate_argnums=(0,))
+        self.set_active = jax.jit(set_active, donate_argnums=(0,))
         self.set_page_row = jax.jit(set_page_row, donate_argnums=(0,))
 
 
 __all__ = ['DecodeState', 'init_decode_state', 'decode_step', 'prefill_chunk',
            'prefill_chunks', 'prefill_logits', 'install_slot', 'clear_slot',
-           'set_finished', 'set_page_row', 'CompiledStepFns']
+           'set_finished', 'set_active', 'set_page_row', 'CompiledStepFns']

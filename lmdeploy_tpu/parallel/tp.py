@@ -359,6 +359,7 @@ class ShardedStepFns:
         self.install_slot = jax.jit(_step.install_slot, donate_argnums=(0,))
         self.clear_slot = jax.jit(_step.clear_slot, donate_argnums=(0,))
         self.set_finished = jax.jit(_step.set_finished, donate_argnums=(0,))
+        self.set_active = jax.jit(_step.set_active, donate_argnums=(0,))
         self.set_page_row = jax.jit(_step.set_page_row, donate_argnums=(0,))
 
     def _build(self, params):

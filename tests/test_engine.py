@@ -164,6 +164,53 @@ def test_batched_concurrent_admission_prefill(engine):
         assert got[sid] == solo[sid], sid
 
 
+def test_prefill_decode_interleaving():
+    """A running session must keep streaming while another session's
+    long prompt prefills (SARATHI-style chunked-prefill scheduling,
+    beyond-reference: the reference stalls generation for the whole
+    context decode).  Streams must stay exactly equal to solo runs."""
+    import threading
+    import time as _t
+
+    ecfg = EngineConfig(max_batch_size=4, session_len=128, page_size=8,
+                        num_pages=80, max_context_token_num=8,
+                        prefill_buckets=(8,), use_pallas=False,
+                        step_length=4, prefill_interleave=2)
+    params = init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    eng = TPUEngine(CFG, ecfg, params)
+    try:
+        inst = eng.create_instance()
+        rng = np.random.default_rng(3)
+        long_prompt = rng.integers(3, 120, size=60).tolist()  # 8 chunks
+        solo_a = collect(inst.stream_infer(1, [5, 9, 13], greedy(60),
+                                           sequence_end=True))[-1].token_ids
+        solo_b = collect(inst.stream_infer(2, long_prompt, greedy(4),
+                                           sequence_end=True))[-1].token_ids
+
+        results = {}
+
+        def run_a():
+            results['a'] = collect(inst.stream_infer(
+                3, [5, 9, 13], greedy(60),
+                sequence_end=True))[-1].token_ids
+
+        def run_b():
+            _t.sleep(0.05)  # let A start decoding first
+            results['b'] = collect(inst.stream_infer(
+                4, long_prompt, greedy(4),
+                sequence_end=True))[-1].token_ids
+
+        ta, tb = threading.Thread(target=run_a), threading.Thread(
+            target=run_b)
+        ta.start(), tb.start()
+        ta.join(), tb.join()
+        assert results['a'] == solo_a
+        assert results['b'] == solo_b
+        assert eng.stats['interleaved_rounds'] > 0
+    finally:
+        eng.shutdown()
+
+
 def test_max_new_tokens(engine):
     inst = engine.create_instance()
     outs = collect(inst.stream_infer(70, [1, 2], greedy(3),
