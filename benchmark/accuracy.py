@@ -1,0 +1,203 @@
+"""Quantization-accuracy proxy — the strongest story available offline.
+
+The reference publishes W4A16 / KV-INT8 accuracy tables measured on real
+checkpoints with opencompass (/root/reference/docs/en/w4a16.md,
+/root/reference/docs/en/kv_int8.md §Accuracy Test).  This environment has
+no checkpoints and no network, so this harness builds the closest
+available proxy and runs the SAME quantization pipelines end to end:
+
+1. a structured text corpus (zipfian vocabulary + templated log/config
+   lines — statistically real token distribution, acyclic),
+2. a real HF WordLevel tokenizer trained on it,
+3. a multi-layer Llama model TRAINED on the corpus (torch, CPU) whose
+   embedding is initialized with heavy-tailed per-channel scales so the
+   trained network carries activation-outlier channels — the regime AWQ
+   smoothing exists for (AWQ paper §3; reference awq.py smooth_ln_fcs),
+4. teacher-forced perplexity through the ENGINE's chunked-prefill logits
+   path for: bf16, plain min/max W4A16, AWQ-smoothed W4A16, KV-INT8
+   (asym), KV-INT8 (sym) — via benchmark/ppl.py's variants.
+
+The claim under test is the property AWQ sells: smoothing must beat
+plain min/max int4 on the same data (Δppl(awq) < Δppl(minmax)).
+
+Usage:
+  python -m benchmark.accuracy [--dst /tmp/proxy] [--steps 400]
+      [--nsamples 8] [--seqlen 128] [--json out.json]
+"""
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import random
+from typing import List
+
+
+def build_corpus(n_lines: int = 12000, seed: int = 0) -> str:
+    """Structured, repetitive-but-acyclic text: zipf-weighted vocabulary
+    rendered through log/config/code templates (the shape of real serving
+    traffic; also used by the speculative-decoding bench phase)."""
+    rng = random.Random(seed)
+    nouns = ['server', 'request', 'token', 'batch', 'cache', 'page',
+             'engine', 'model', 'layer', 'kernel', 'stream', 'session',
+             'worker', 'queue', 'tensor', 'shard', 'device', 'host',
+             'slot', 'scheduler', 'decoder', 'sampler', 'router', 'pool']
+    verbs = ['started', 'finished', 'allocated', 'released', 'admitted',
+             'retired', 'evicted', 'resumed', 'dispatched', 'compiled']
+    levels = ['INFO', 'DEBUG', 'WARN', 'ERROR']
+    keys = ['timeout', 'retries', 'limit', 'size', 'count', 'offset']
+    # zipf weights make token frequencies realistic
+    wn = [1.0 / (i + 1) for i in range(len(nouns))]
+    wv = [1.0 / (i + 1) for i in range(len(verbs))]
+
+    def noun():
+        return rng.choices(nouns, weights=wn)[0]
+
+    def verb():
+        return rng.choices(verbs, weights=wv)[0]
+
+    lines: List[str] = []
+    for _ in range(n_lines):
+        r = rng.random()
+        if r < 0.4:
+            lines.append(f'{rng.choice(levels)} {noun()} {rng.randint(0, 63)}'
+                         f' {verb()} after {rng.randint(1, 999)} ms')
+        elif r < 0.7:
+            lines.append(f'{noun()} {verb()} with {noun()} '
+                         f'{rng.randint(0, 255)} and {noun()} '
+                         f'{rng.randint(0, 255)}')
+        elif r < 0.85:
+            lines.append(f'set {rng.choice(keys)} = {rng.randint(1, 4096)}'
+                         f' for {noun()} {rng.randint(0, 31)}')
+        else:
+            lines.append(f'def handle_{noun()} ( {noun()} , {noun()} ) : '
+                         f'return {noun()} . {verb()} ( )')
+    return '\n'.join(lines)
+
+
+def train_tokenizer(corpus: str, dst: str) -> int:
+    """Train a WordLevel tokenizer on the corpus; writes HF tokenizer
+    files into ``dst``.  Returns the vocab size."""
+    from tokenizers import Tokenizer as RawTok
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from tokenizers.trainers import WordLevelTrainer
+
+    raw = RawTok(WordLevel(unk_token='<unk>'))
+    raw.pre_tokenizer = Whitespace()
+    trainer = WordLevelTrainer(special_tokens=['<unk>', '<s>', '</s>'])
+    raw.train_from_iterator(corpus.split('\n'), trainer)
+    raw.save(osp.join(dst, 'tokenizer.json'))
+    with open(osp.join(dst, 'tokenizer_config.json'), 'w') as f:
+        json.dump({'bos_token': '<s>', 'eos_token': '</s>',
+                   'model_max_length': 2048,
+                   'tokenizer_class': 'PreTrainedTokenizerFast'}, f)
+    return raw.get_vocab_size()
+
+
+def build_and_train(dst: str, corpus: str, steps: int = 400,
+                    hidden: int = 128, layers: int = 4, heads: int = 2,
+                    seqlen: int = 64, batch: int = 8, lr: float = 3e-3,
+                    outlier_channels: int = 8, outlier_scale: float = 12.0,
+                    seed: int = 0) -> None:
+    """Train the proxy model and save an HF checkpoint into ``dst``.
+
+    The embedding gets ``outlier_channels`` columns scaled by up to
+    ``outlier_scale`` BEFORE training, so the trained model's hidden
+    states carry per-channel outliers — the activation regime that makes
+    naive min/max int4 lossy and AWQ smoothing effective."""
+    import torch
+    from transformers import AutoTokenizer, LlamaConfig, LlamaForCausalLM
+
+    os.makedirs(dst, exist_ok=True)
+    vocab = train_tokenizer(corpus, dst)
+    tok = AutoTokenizer.from_pretrained(dst)
+    ids = tok(corpus, return_tensors='pt').input_ids[0]
+
+    torch.manual_seed(seed)
+    cfg = LlamaConfig(
+        vocab_size=vocab, hidden_size=hidden,
+        intermediate_size=2 * hidden, num_hidden_layers=layers,
+        num_attention_heads=heads, num_key_value_heads=heads,
+        max_position_embeddings=512, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2)
+    model = LlamaForCausalLM(cfg)
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(seed)
+        cols = torch.randperm(hidden, generator=g)[:outlier_channels]
+        scale = 1.0 + (outlier_scale - 1.0) * torch.rand(
+            outlier_channels, generator=g)
+        model.model.embed_tokens.weight[:, cols] *= scale
+
+    model.train()
+    opt = torch.optim.AdamW(model.parameters(), lr=lr)
+    n = ids.shape[0] - seqlen - 1
+    rng = random.Random(seed)
+    for step in range(steps):
+        starts = [rng.randrange(n) for _ in range(batch)]
+        x = torch.stack([ids[s:s + seqlen] for s in starts])
+        y = torch.stack([ids[s + 1:s + seqlen + 1] for s in starts])
+        out = model(input_ids=x, labels=y)
+        opt.zero_grad()
+        out.loss.backward()
+        opt.step()
+        if step % 50 == 0 or step == steps - 1:
+            print(f'step {step:4d}  loss {out.loss.item():.4f}', flush=True)
+    model.eval()
+    model.save_pretrained(dst, safe_serialization=True)
+    print(f'proxy model -> {dst}')
+
+
+def run(dst: str = '/tmp/lmdeploy_tpu_proxy', steps: int = 400,
+        nsamples: int = 8, seqlen: int = 128, group_size: int = 64,
+        rebuild: bool = False) -> dict:
+    from benchmark.ppl import run as ppl_run
+
+    corpus_path = osp.join(dst, 'corpus.txt')
+    if rebuild or not osp.exists(osp.join(dst, 'model.safetensors')):
+        corpus = build_corpus()
+        os.makedirs(dst, exist_ok=True)
+        with open(corpus_path, 'w') as f:
+            f.write(corpus)
+        build_and_train(dst, corpus, steps=steps)
+    # held-out text: same distribution, different seed
+    eval_path = osp.join(dst, 'eval.txt')
+    if not osp.exists(eval_path):
+        with open(eval_path, 'w') as f:
+            f.write(build_corpus(n_lines=2000, seed=1))
+
+    results = ppl_run(
+        dst, dataset=f'file:{eval_path}', nsamples=nsamples, seqlen=seqlen,
+        configs=['bf16', 'w4a16', 'w4a16_awq', 'kv_int8', 'kv_int8_sym'],
+        group_size=group_size, oracle=True)
+    base = results['bf16']
+    table = {k: {'ppl': round(v, 4), 'delta': round(v - base, 4)}
+             for k, v in results.items()}
+    awq_wins = results['w4a16_awq'] < results['w4a16']
+    out = {'table': table, 'awq_beats_minmax': bool(awq_wins),
+           'awq_delta_vs_minmax': round(
+               results['w4a16_awq'] - results['w4a16'], 4)}
+    print(json.dumps(out, indent=2))
+    return out
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser('lmdeploy_tpu accuracy proxy')
+    ap.add_argument('--dst', default='/tmp/lmdeploy_tpu_proxy')
+    ap.add_argument('--steps', type=int, default=400)
+    ap.add_argument('--nsamples', type=int, default=8)
+    ap.add_argument('--seqlen', type=int, default=128)
+    ap.add_argument('--group-size', type=int, default=64)
+    ap.add_argument('--rebuild', action='store_true')
+    ap.add_argument('--json', default='')
+    args = ap.parse_args()
+    out = run(args.dst, args.steps, args.nsamples, args.seqlen,
+              args.group_size, args.rebuild)
+    if args.json:
+        with open(args.json, 'w') as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == '__main__':
+    main()

@@ -90,10 +90,15 @@ def build_variant(model_path: str, variant: str, group_size: int,
                   engine_kw: Dict, calib_dataset: str = 'synthetic'):
     """Build a TPUEngine for one quantization config.
 
-    bf16    — weights as loaded.
-    w4a16   — per-group int4 weight quantization (AWQ packing math).
-    kv_int8 — bf16 weights + asymmetric INT8 KV cache with qparams
-              calibrated on ``calib_dataset`` (reference quant_policy=4).
+    bf16       — weights as loaded.
+    w4a16      — per-group int4 weight quantization, plain min/max.
+    w4a16_awq  — AWQ activation-aware smoothing (calibrated on
+                 ``calib_dataset``) BEFORE the same min/max int4 pack —
+                 the Δppl vs plain w4a16 is the property AWQ sells
+                 (reference: lmdeploy/lite/quantization/awq.py).
+    kv_int8    — bf16 weights + asymmetric INT8 KV cache
+                 (reference quant_policy=4).
+    kv_int8_sym — symmetric KV scales (reference kv_qparams --symmetry).
     """
     import jax.numpy as jnp
 
@@ -110,7 +115,36 @@ def build_variant(model_path: str, variant: str, group_size: int,
     if variant == 'w4a16':
         params = quantize_params(params, cfg, group_size=group_size)
         return TPUEngine(cfg, ecfg, params)
-    if variant == 'kv_int8':
+    if variant == 'w4a16_awq':
+        import tempfile
+
+        import numpy as _np
+        import torch
+        from transformers import AutoModelForCausalLM
+
+        from lmdeploy_tpu.convert.hf import convert_hf_llama
+        from lmdeploy_tpu.lite.apis.calibrate import calibrate
+        from lmdeploy_tpu.lite.quantization.awq import smooth_state_dict
+        from lmdeploy_tpu.lite.quantization.calibration import load_stats
+        with tempfile.TemporaryDirectory() as tmp:
+            stats_path = calibrate(model_path, calib_dataset,
+                                   calib_samples=8,
+                                   calib_seqlen=min(256, ecfg.session_len),
+                                   work_dir=tmp)
+            inputs, _, _ = load_stats(stats_path)
+        act_absmax = {n: st['absmax'] for n, st in inputs.items()}
+        hf_model = AutoModelForCausalLM.from_pretrained(
+            model_path, torch_dtype=torch.float32, trust_remote_code=True)
+        sd = {k: v.detach().float().numpy()
+              for k, v in hf_model.state_dict().items()}
+        prefix = 'transformer.h' if 'qwen' in cfg.model_name.lower() \
+            else 'model.layers'
+        smooth_state_dict(sd, cfg.model_name, act_absmax, cfg.num_layer,
+                          group_size=group_size, layer_prefix=prefix)
+        params = convert_hf_llama(sd, cfg, _np.float32)
+        params = quantize_params(params, cfg, group_size=group_size)
+        return TPUEngine(cfg, ecfg, params)
+    if variant in ('kv_int8', 'kv_int8_sym'):
         import tempfile
 
         from lmdeploy_tpu.lite.apis.calibrate import calibrate
@@ -122,7 +156,7 @@ def build_variant(model_path: str, variant: str, group_size: int,
             cfg_path = f'{tmp}/config.json'
             with open(cfg_path, 'w') as f:
                 json.dump({}, f)
-            kv_qparams(tmp, tmp)
+            kv_qparams(tmp, tmp, kv_sym=variant.endswith('_sym'))
             with open(cfg_path) as f:
                 kv_scales = json.load(f)['kv_scales']
         import dataclasses

@@ -658,6 +658,7 @@ class TPUEngine:
             min_p=np.float32(gen.min_p),
             temperature=np.float32(gen.temperature),
             repetition_penalty=np.float32(gen.repetition_penalty),
+            presence_penalty=np.float32(gen.presence_penalty),
             rng_key=key,
             bad_words=bad,
             stop_words=stop,
@@ -738,10 +739,21 @@ class TPUEngine:
                         np.int32(n))
                 offs[j] += len(chunk)
             else:
+                # cap the AGGREGATE tokens of one batched pass at the
+                # prefill budget (a per-row budget would dispatch up to
+                # rows x budget tokens in one pass — past what this
+                # backend tolerates under memory pressure): shrink the
+                # per-row chunk with the padded row count, floored at the
+                # smallest bucket; rows beyond the cap wait for the next
+                # loop iteration (their offs are untouched)
+                max_rows = max(2, budget // buckets[0])
+                live = live[:max_rows]
+                bp_cap = _bucket_for(len(live), bp_buckets)
+                row_budget = max(buckets[0], budget // bp_cap)
                 chunks = []
                 for j, slot_idx in live:
                     _, ids, start = jobs[j]
-                    chunk = ids[offs[j]:offs[j] + budget]
+                    chunk = ids[offs[j]:offs[j] + row_budget]
                     chunks.append((slot_idx, chunk, start + offs[j]))
                     offs[j] += len(chunk)
                 t = _bucket_for(max(len(c) for _, c, _ in chunks), buckets)
@@ -815,12 +827,19 @@ class TPUEngine:
                 if s is not None and not s.done and not s.prefilling]
         # speculative rounds: greedy-only (the classic restriction) and
         # only when no slot wants logprobs (spec logprobs are all-zero
-        # greedy anyway, but keep the contract tight)
+        # greedy anyway, but keep the contract tight).  The verify step
+        # argmaxes RAW logits, so any slot using the plain path's logit
+        # transforms (repetition penalty, bad words, min-length EOS mask)
+        # would get different tokens — those slots must ride plain
+        # rounds to keep the token-identity invariant.
         running = len(cfgs)
         if self.ecfg.speculative_k > 0 and cfgs \
                 and running * (self.ecfg.speculative_k + 1) \
                 <= self.SPEC_MAX_VERIFY_ROWS \
                 and all((g.top_k or 0) == 1 and not g.output_logprobs
+                        and g.repetition_penalty == 1.0
+                        and g.presence_penalty == 0.0
+                        and not g.bad_words and g.min_new_tokens == 0
                         for g in cfgs):
             if self._spec_cooloff <= 0:
                 try:
@@ -868,16 +887,14 @@ class TPUEngine:
         self.cache, self.state, packed = self.fns.spec_decode_rounds(
             self.params, self.cache, self.state, num_rounds=rounds,
             k_draft=kd, ngram=self.ecfg.speculative_ngram)
-        arr = np.asarray(packed)            # [R+1, 2*kp1+1, B]
-        self._rng_now = np.ascontiguousarray(
-            arr[-1, :2].T).view(np.uint32)
+        arr = np.asarray(packed)            # [R, 2*kp1+3, B]
         # adaptive gating: EMA of per-slot accepted tokens/round over
         # this dispatch; below break-even, cool off to plain rounds.
         # Short dispatches (the TTFT ramp's 1-round burst right after
         # admission, when the history is too short for any n-gram match)
         # are NOT evidence — judging from them poisoned the EMA and
         # bounced the engine onto a cold plain-path compile mid-stream.
-        live_rounds = arr[:-1, 2 * kp1]     # [R, B] emitted counts
+        live_rounds = arr[:, 2 * kp1]       # [R, B] emitted counts
         ran = live_rounds.sum(axis=1) > 0
         if int(ran.sum()) >= 8:
             acc = float(live_rounds.sum()
@@ -887,8 +904,13 @@ class TPUEngine:
                 else 0.7 * ema + 0.3 * acc
             if self._spec_accept_ema < self.SPEC_MIN_ACCEPT:
                 self._spec_cooloff = self.SPEC_COOLOFF_DISPATCHES
-        for r in range(arr.shape[0] - 1):
+        for r in range(arr.shape[0]):
             g, fin, n = arr[r, :kp1], arr[r, kp1:2 * kp1], arr[r, 2 * kp1]
+            # per-round rng snapshot (keys advance once per spec round):
+            # a slot retired by a host stop sequence during round r saves
+            # the key as of round r, not dispatch end
+            self._rng_now = np.ascontiguousarray(
+                arr[r, 2 * kp1 + 1:2 * kp1 + 3].T).view(np.uint32)
             self.stats['spec_rounds'] += 1
             self.stats['spec_emitted'] += int(n.sum())
             for t in range(kp1):

@@ -233,10 +233,13 @@ def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
                        axis: str = None):
     """``num_rounds`` speculative rounds in one device program.
 
-    Returns (cache, state, packed int32 [R+1, 2*(K+1)+1, B]): for round
-    r < R, rows [0:K+1] = candidate tokens, rows [K+1:2K+2] = per-token
-    finish flags, row -1 = emitted count; the final extra "round" carries
-    the rng snapshot in rows 0..1.
+    Returns (cache, state, packed int32 [R, 2*(K+1)+3, B]): per round,
+    rows [0:K+1] = candidate tokens, rows [K+1:2K+2] = per-token finish
+    flags, row 2K+2 = emitted count, rows [2K+3:2K+5] = the rng key AFTER
+    this round (per-round snapshot: a slot retired mid-dispatch by a
+    host-side stop sequence must save the key as of ITS round, matching
+    decode_steps' per-substep rng planes / the reference's curand save at
+    the exact stop step, LlamaBatch.cc:1097).
     """
     kp1 = k_draft + 1
 
@@ -245,18 +248,14 @@ def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
         cache, state, g, fin_emit, n = spec_decode_round(
             params, cache, state, cfg, k_draft=k_draft, ngram=ngram,
             use_pallas_attn=use_pallas_attn, axis=axis)
+        rng = jax.lax.bitcast_convert_type(state.sampling.rng_key,
+                                           jnp.int32).T        # [2, B]
         row = jnp.concatenate([g.T, fin_emit.astype(jnp.int32).T,
-                               n[None]], axis=0)     # [2*kp1+1, B]
+                               n[None], rng], axis=0)  # [2*kp1+3, B]
         return (cache, state), row
 
-    (cache, state), rows = jax.lax.scan(body, (cache, state),
-                                        length=num_rounds)
-    rng = jax.lax.bitcast_convert_type(state.sampling.rng_key,
-                                       jnp.int32).T            # [2, B]
-    b = rng.shape[1]
-    tail = jnp.zeros((1, 2 * kp1 + 1, b), jnp.int32)
-    tail = tail.at[0, 0].set(rng[0]).at[0, 1].set(rng[1])
-    packed = jnp.concatenate([rows, tail], axis=0)
+    (cache, state), packed = jax.lax.scan(body, (cache, state),
+                                          length=num_rounds)
     return cache, state, packed
 
 

@@ -35,6 +35,11 @@ class GenerationConfig:
     min_p: float = 0.0
     temperature: float = 0.8
     repetition_penalty: float = 1.0
+    # additive penalty on previously-seen tokens (the reference's
+    # RepetitionPenaltyType::Additive, BaseSamplingLayer.cc:177-179 —
+    # selected there by passing `presence_penalty` instead of
+    # `repetition_penalty`); 0 disables
+    presence_penalty: float = 0.0
     ignore_eos: bool = False
     random_seed: Optional[int] = None
     stop_words: Optional[List[int]] = None   # token ids that stop generation

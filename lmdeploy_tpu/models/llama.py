@@ -31,9 +31,11 @@ import numpy as np
 from ..config import ModelConfig
 from ..kvcache.paged import KVCache, gather_kv_layer, write_kv
 from ..ops.attention import gqa_attention
-from ..ops.linear import QuantizedWeight, linear, quantize_weight_int4
+from ..ops.linear import (PackedInt4Weight, QuantizedWeight, linear,
+                          pack_quantized, quant_matmul_packed,
+                          quantize_weight_int4)
 from ..ops.norms import rms_norm
-from ..ops.rope import rope_qk
+from ..ops.rope import apply_rope_qk, rope_tables
 from ..utils.debug import dbg
 
 
@@ -126,6 +128,19 @@ def quantize_params(params: Dict[str, Any], cfg: ModelConfig,
     return out
 
 
+def pack_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert stacked :class:`QuantizedWeight` layers to true sub-byte
+    :class:`PackedInt4Weight` residency (halves W4A16 HBM traffic and
+    weight memory; decode rides the Pallas packed kernel)."""
+    layers = dict(params['layers'])
+    for name, w in list(layers.items()):
+        if isinstance(w, QuantizedWeight):
+            layers[name] = pack_quantized(w)
+    out = dict(params)
+    out['layers'] = layers
+    return out
+
+
 def _split_qkv(qkv: jnp.ndarray, cfg: ModelConfig, tp: int = 1):
     """[B, T, (H + 2KH)/tp * Dh] -> q [B,T,H/tp,Dh], k/v [B,T,KH/tp,Dh]."""
     b, t, _ = qkv.shape
@@ -162,7 +177,24 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
     emb = params['tok_embedding']
     h_res = emb[batch.ids]  # [B, T, D] (vocab padding rows never indexed)
 
+    # cos/sin (+ logn scale) are position-only and identical for every
+    # layer — computed ONCE here, closed over by the scan body
+    rope_tabs = rope_tables(
+        batch.positions, batch.context_len,
+        rotary_dim=cfg.rotary_embedding, base=cfg.rope_theta,
+        max_position_embeddings=cfg.max_position_embeddings,
+        use_dynamic_ntk=cfg.use_dynamic_ntk,
+        use_logn_attn=cfg.use_logn_attn)
+
     kq = (cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)
+
+    # TRUE sub-byte weights stay OUT of the scan xs: an xs dynamic-slice
+    # feeding a pallas_call would materialize a per-layer copy, so the
+    # packed [L, K/2, N] arrays are closed over whole and the kernel's
+    # scalar-prefetch layer index selects the tiles (the same pattern as
+    # the paged KV pool below).
+    packed_w = {n: w for n, w in params['layers'].items()
+                if isinstance(w, PackedInt4Weight)}
 
     def layer_fn(carry, xs):
         # The cache rides the CARRY; KV writes scatter into the full pool
@@ -171,16 +203,23 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
         # the multi-GB pool every step.
         h, cache_k, cache_v, layer = carry
         lw, k_scale, k_zp, v_scale, v_zp = xs
+
+        def lin(xx, name, bias=None):
+            if name in packed_w:
+                lead = xx.shape[:-1]
+                x2 = xx.reshape(-1, xx.shape[-1])
+                out = quant_matmul_packed(x2, packed_w[name], layer)
+                out = out.reshape(*lead, -1).astype(xx.dtype)
+                if bias is not None:
+                    out = out + bias.astype(out.dtype)
+                return out
+            return linear(xx, lw[name], bias)
         qparams = ((k_scale, k_zp, v_scale, v_zp)
                    if cache.quantized else None)
         x = rms_norm(h, lw['attn_norm'], cfg.norm_eps)
-        qkv = linear(x, lw['wqkv'], lw.get('bqkv'))
+        qkv = lin(x, 'wqkv', lw.get('bqkv'))
         q, k, v = _split_qkv(qkv, cfg, tp)
-        q, k = rope_qk(q, k, batch.positions, batch.context_len,
-                       rotary_dim=cfg.rotary_embedding, base=cfg.rope_theta,
-                       max_position_embeddings=cfg.max_position_embeddings,
-                       use_dynamic_ntk=cfg.use_dynamic_ntk,
-                       use_logn_attn=cfg.use_logn_attn)
+        q, k = apply_rope_qk(q, k, rope_tabs)   # tables hoisted (below)
         fused_write = (use_pallas_attn and is_decode
                        and _fused_write_enabled())
         if not fused_write:
@@ -233,24 +272,25 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
                                      dtype=q.dtype)
             o = gqa_attention(q, kk, vv, batch.positions, batch.context_len)
         o = o.reshape(b, t, -1)
-        o = linear(o, lw['wo'])
+        o = lin(o, 'wo')
         if axis:
             o = jax.lax.psum(o, axis)
         if 'bo' in lw:
             o = o + lw['bo']
         h = h + o
         x = rms_norm(h, lw['ffn_norm'], cfg.norm_eps)
-        gate = linear(x, lw['w1'])
-        up = linear(x, lw['w3'])
-        f = linear(jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype)
-                   * up, lw['w2'])
+        gate = lin(x, 'w1')
+        up = lin(x, 'w3')
+        f = lin(jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype)
+                * up, 'w2')
         if axis:
             f = jax.lax.psum(f, axis)
         h = h + f
         dbg('layer_out', h)   # golden-file debugging (utils/debug.py)
         return (h, cache_k, cache_v, layer + 1), None
 
-    lw_stacked = dict(params['layers'])
+    lw_stacked = {n: w for n, w in params['layers'].items()
+                  if n not in packed_w}
     xs = (lw_stacked, cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)
     (h_out, new_k, new_v, _), _ = jax.lax.scan(
         layer_fn, (h_res, cache.k, cache.v, jnp.int32(0)), xs)
@@ -292,5 +332,5 @@ def mask_vocab_padding(logits: jnp.ndarray, vocab_size: int) -> jnp.ndarray:
     return jnp.where(pad_mask, -1e30, logits)
 
 
-__all__ = ['StepBatch', 'init_params', 'quantize_params', 'forward',
-           'vocab_padded', 'mask_vocab_padding']
+__all__ = ['StepBatch', 'init_params', 'quantize_params', 'pack_params',
+           'forward', 'vocab_padded', 'mask_vocab_padding']

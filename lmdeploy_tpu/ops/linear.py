@@ -196,6 +196,85 @@ def quant_matmul_a8(x2: jnp.ndarray, qw: QuantizedWeight) -> jnp.ndarray:
     return out
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedInt4Weight:
+    """TRUE sub-byte W4A16 residency: one uint8 byte holds TWO int4
+    values (``pack_nibbles`` half-split layout), stacked over layers.
+    The reference streams 4-bit packed weights into an in-register
+    dequant GEMM (gemm_s_f16/common.h:115-156); here the Pallas kernel
+    ops/pallas/quant_matmul.py plays that role — HBM traffic is half of
+    :class:`QuantizedWeight`'s byte-per-int4 and weight residency halves.
+    """
+    packed: jnp.ndarray   # uint8 [L, K/2, N]
+    scales: jnp.ndarray   # [L, G, N] float
+    sz: jnp.ndarray       # [L, G, N] float — scales * zeros, precomputed
+
+    @property
+    def k(self) -> int:
+        return self.packed.shape[-2] * 2
+
+    @property
+    def n(self) -> int:
+        return self.packed.shape[-1]
+
+
+def pack_quantized(qw: QuantizedWeight) -> PackedInt4Weight:
+    """Byte-per-int4 [L?, K, N] -> nibble-packed [L?, K/2, N] residency."""
+    from .pallas.quant_matmul import pack_nibbles
+    q = np.asarray(qw.qvals, np.uint8)
+    if q.ndim == 2:
+        q = q[None]
+    s = jnp.asarray(qw.scales)
+    z = jnp.asarray(qw.zeros)
+    if s.ndim == 2:
+        s, z = s[None], z[None]
+    return PackedInt4Weight(
+        packed=jnp.asarray(pack_nibbles(q)),
+        scales=s,
+        sz=(s.astype(jnp.float32)
+            * z.astype(jnp.float32)).astype(s.dtype),
+    )
+
+
+# static-M threshold where the packed path switches from the Pallas
+# decode kernel to the XLA unpack-into-group-dot formulation (prefill is
+# compute-bound at large M; the kernel's tiny-M MXU tiles stop paying)
+_PACKED_PALLAS_MAX_M = 64
+
+
+def quant_matmul_packed(x2: jnp.ndarray, pw: PackedInt4Weight, layer,
+                        *, interpret: bool = False) -> jnp.ndarray:
+    """x2 [M, K] @ dequant(pw[layer]) -> [M, N] f32, true 4-bit HBM
+    traffic.  Scale term in-kernel per group; the asymmetric zero-point
+    term is the same algebraic rowsum dot as :func:`quant_matmul`."""
+    from .pallas.quant_matmul import packed_int4_matmul, unpack_nibbles_jax
+    m, k = x2.shape
+    g = pw.scales.shape[-2]
+    group = k // g
+    if m <= _PACKED_PALLAS_MAX_M:
+        out = packed_int4_matmul(x2, pw.packed, pw.scales, layer,
+                                 interpret=interpret)
+    else:
+        # large-M regime: unpack the layer's bytes and ride the measured
+        # batched-group convert-fused dot (same u8 bytes read twice ==
+        # the byte-per-int4 path's traffic; compute-bound here anyway)
+        p = jax.lax.dynamic_index_in_dim(pw.packed, layer, 0,
+                                         keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(pw.scales, layer, 0,
+                                         keepdims=False)
+        qb = unpack_nibbles_jax(p).reshape(g, group, -1).astype(jnp.bfloat16)
+        xg = x2.astype(jnp.bfloat16).reshape(m, g, group).transpose(1, 0, 2)
+        dots = jax.lax.dot_general(xg, qb, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.bfloat16)
+        out = jnp.einsum('gmn,gn->mn', dots, s.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    sums = jnp.sum(x2.astype(jnp.float32).reshape(m, g, group), axis=2)
+    sz = jax.lax.dynamic_index_in_dim(pw.sz, layer, 0, keepdims=False)
+    return out - jnp.dot(sums, sz.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+
+
 def quant_matmul_dequant(x2: jnp.ndarray, qw: QuantizedWeight) -> jnp.ndarray:
     """Prefill (large-M) regime: dequantize the weight once to bf16 and
     run a plain MXU dot.  At big M the matmul is compute-bound, so the
@@ -253,5 +332,6 @@ def linear(x: jnp.ndarray, w, bias: Optional[jnp.ndarray] = None,
     return out
 
 
-__all__ = ['QuantizedWeight', 'pack_int4', 'unpack_int4',
-           'quantize_weight_int4', 'dequantize', 'quant_matmul', 'linear']
+__all__ = ['QuantizedWeight', 'PackedInt4Weight', 'pack_int4',
+           'unpack_int4', 'pack_quantized', 'quantize_weight_int4',
+           'dequantize', 'quant_matmul', 'quant_matmul_packed', 'linear']

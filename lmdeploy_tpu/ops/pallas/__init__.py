@@ -1,10 +1,11 @@
 """Pallas TPU kernels.
 
 paged_attention.py — fused paged decode attention (the reference's
-decoder_masked_multihead_attention rebuilt for TPU).  The W4A16 matmul
-deliberately has NO Pallas kernel: XLA's convert-fused dot measured 10x
-faster than anything expressible in Mosaic on this stack (details in
-ops/linear.py's docstring).
+decoder_masked_multihead_attention rebuilt for TPU).
+quant_matmul.py — packed-int4 matmul: nibbles unpack INSIDE the dot
+pipeline for true 4-bit HBM traffic (the reference's gemm_s_f16 role;
+every earlier standalone-unpack attempt measured 10x slower — details
+in ops/linear.py's docstring).
 """
 import jax
 

@@ -77,16 +77,18 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return rotated
 
 
-def rope_qk(q, k, positions, context_len, *, rotary_dim: int, base: float,
-            max_position_embeddings: int, use_dynamic_ntk: bool = False,
-            use_logn_attn: bool = False):
-    """Rotate q and k; optionally apply per-sequence NTK base and logn q-scale.
+def rope_tables(positions, context_len, *, rotary_dim: int, base: float,
+                max_position_embeddings: int, use_dynamic_ntk: bool = False,
+                use_logn_attn: bool = False):
+    """Precompute (cos, sin, logn_scale_or_None) for one step — these are
+    position-only and LAYER-INVARIANT, so the caller hoists them out of
+    the per-layer scan (the reference likewise builds cos/sin once per
+    step and reuses them in every layer's kernel launch).
 
     Args:
-      q: [B, T, Hq, D]; k: [B, T, Hk, D]
       positions: int32 [B, T] absolute positions of these tokens.
-      context_len: int32 [B] total sequence length (history + new tokens) —
-        the quantity the reference feeds to both NTK and logn.
+      context_len: int32 [B] total sequence length (history + new tokens)
+        — the quantity the reference feeds to both NTK and logn.
     """
     if use_dynamic_ntk:
         eff_base = ntk_rope_base(context_len, max_position_embeddings,
@@ -94,17 +96,38 @@ def rope_qk(q, k, positions, context_len, *, rotary_dim: int, base: float,
     else:
         eff_base = jnp.full(positions.shape[:1] + (1,), base, jnp.float32)
     cos, sin = rope_cos_sin(positions, rotary_dim, eff_base)  # [B,T,half]
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    scale = None
     if use_logn_attn:
         # The reference scales q by logn(timestep+1) per *token position*
         # during prefill (unfused_attention_kernels.cu:943-950) and by the
         # context length during decode; positions+1 covers both.
         scale = logn_scaling(positions.astype(jnp.float32) + 1.0,
                              max_position_embeddings)
+    return cos, sin, scale
+
+
+def apply_rope_qk(q, k, tables):
+    """Rotate q [B,T,Hq,D] and k [B,T,Hk,D] with precomputed
+    :func:`rope_tables` (+ the optional logn q-scale)."""
+    cos, sin, scale = tables
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if scale is not None:
         q = (q.astype(jnp.float32) * scale[..., None, None]).astype(q.dtype)
     return q, k
 
 
+def rope_qk(q, k, positions, context_len, *, rotary_dim: int, base: float,
+            max_position_embeddings: int, use_dynamic_ntk: bool = False,
+            use_logn_attn: bool = False):
+    """One-shot rotate (tests / non-scan callers): tables + apply."""
+    tables = rope_tables(positions, context_len, rotary_dim=rotary_dim,
+                         base=base,
+                         max_position_embeddings=max_position_embeddings,
+                         use_dynamic_ntk=use_dynamic_ntk,
+                         use_logn_attn=use_logn_attn)
+    return apply_rope_qk(q, k, tables)
+
+
 __all__ = ['ntk_rope_base', 'logn_scaling', 'rope_cos_sin', 'apply_rope',
-           'rope_qk']
+           'rope_tables', 'apply_rope_qk', 'rope_qk']

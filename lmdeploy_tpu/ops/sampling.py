@@ -33,6 +33,7 @@ class SamplingState:
     min_p: jnp.ndarray              # f32 [B]; 0.0 disables
     temperature: jnp.ndarray        # f32 [B]
     repetition_penalty: jnp.ndarray  # f32 [B]; 1.0 disables
+    presence_penalty: jnp.ndarray   # f32 [B]; 0.0 disables (additive)
     rng_key: jnp.ndarray            # uint32 [B, 2] (threefry key data)
     bad_words: jnp.ndarray          # int32 [B, MAX_BAD]; pad with -1
     stop_words: jnp.ndarray         # int32 [B, MAX_STOP]; pad with -1
@@ -51,6 +52,7 @@ class SamplingState:
             min_p=jnp.zeros((batch,), jnp.float32),
             temperature=jnp.ones((batch,), jnp.float32),
             repetition_penalty=jnp.ones((batch,), jnp.float32),
+            presence_penalty=jnp.zeros((batch,), jnp.float32),
             rng_key=jnp.zeros((batch, 2), jnp.uint32),
             bad_words=jnp.full((batch, max_bad), -1, jnp.int32),
             stop_words=jnp.full((batch, max_stop), -1, jnp.int32),
@@ -61,16 +63,21 @@ class SamplingState:
         )
 
 
-def apply_repetition_penalty(logits, history, history_len, penalty):
+def apply_repetition_penalty(logits, history, history_len, penalty,
+                             presence=None):
     """Divide positive / multiply negative logits of previously seen tokens
     (reference: sampling_penalty_kernels.cu repetition penalty over the full
-    output-id history including the prompt).
+    output-id history including the prompt).  ``presence`` adds the
+    reference's Additive variant (sampling_penalty_kernels.cu:255-258,
+    selected by the `presence_penalty` runtime arg): a flat subtraction
+    from every seen token's logit.
 
     Args:
       logits: f32 [B, V]
       history: int32 [B, S] token ids (prompt + generated), padded arbitrarily
       history_len: int32 [B] number of valid entries in ``history``
-      penalty: f32 [B]
+      penalty: f32 [B] multiplicative (1.0 = off)
+      presence: f32 [B] additive (0.0 = off) or None
     """
     b, v = logits.shape
     s = history.shape[1]
@@ -80,7 +87,11 @@ def apply_repetition_penalty(logits, history, history_len, penalty):
         jnp.arange(b)[:, None], idx].max(valid, mode='drop')
     pen = penalty[:, None]
     penalized = jnp.where(logits > 0, logits / pen, logits * pen)
-    return jnp.where(seen & (pen != 1.0), penalized, logits)
+    if presence is not None:
+        penalized = penalized - presence[:, None]
+    changed = (pen != 1.0) if presence is None \
+        else (pen != 1.0) | (presence[:, None] != 0.0)
+    return jnp.where(seen & changed, penalized, logits)
 
 
 def ban_words(logits, word_ids):
@@ -97,6 +108,17 @@ def mask_eos_below_min_len(logits, eos_id, generated, min_new_tokens):
     idx = jnp.where(block, eos_id, v)
     return logits.at[jnp.arange(b), idx].set(NEG_INF, mode='drop')
 
+
+# ---------------------------------------------------------------------------
+# Reference oracles.  top_k_mask / top_p_mask / min_p_mask are the
+# full-vocab [B, V] definitions of the three filters, kept as the golden
+# models that tests/test_sampling.py checks `sample_step` against (the
+# reference's kernel-vs-naive test style, tests/csrc/unittests).  The hot
+# path in `sample_step` intentionally reimplements them on the sorted
+# top-C candidate representation — one top_k sort feeds all three filters,
+# which is the entire point of the candidates pipeline; do NOT "reuse"
+# these here (each would re-sort or re-scatter the full vocab).
+# ---------------------------------------------------------------------------
 
 def top_k_mask(logits, k):
     """Keep the k largest per row; k<=0 disables. Vectorized over mixed k."""
@@ -168,9 +190,11 @@ def sample_step(logits, state: SamplingState, history, history_len,
     logits = mask_eos_below_min_len(logits, state.eos_id, generated,
                                     state.min_new_tokens)
     logits = jax.lax.cond(
-        jnp.any(state.repetition_penalty != 1.0),
+        jnp.any(state.repetition_penalty != 1.0)
+        | jnp.any(state.presence_penalty != 0.0),
         lambda lg: apply_repetition_penalty(lg, history, history_len,
-                                            state.repetition_penalty),
+                                            state.repetition_penalty,
+                                            state.presence_penalty),
         lambda lg: lg, logits)
 
     # keys advance every step regardless of path so interleaving greedy

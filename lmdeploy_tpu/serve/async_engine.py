@@ -56,11 +56,24 @@ class AsyncEngine:
         return self.tokenizer.encode(prompt)
 
     def _gen_config(self, request_output_len, top_k, top_p, temperature,
-                    repetition_penalty, ignore_eos, seed) -> GenerationConfig:
-        stop_words = [w for w in (self.model.stop_words or [])]
+                    repetition_penalty, ignore_eos, seed,
+                    stop_strings=None,
+                    presence_penalty=0.0) -> GenerationConfig:
+        # template stop words are token ids; user stop STRINGS expand via
+        # the tokenizer (vocab-scan single tokens, else multi-token stop
+        # sequences — strings encoding to >1 id must not vanish here)
+        stop_words: List = [w for w in (self.model.stop_words or [])]
+        if stop_strings:
+            if isinstance(stop_strings, str):
+                stop_strings = [stop_strings]
+            expand = getattr(self.tokenizer, 'stop_sequences_for', None)
+            if expand is not None:
+                for seq in expand(list(stop_strings)):
+                    stop_words.append(seq[0] if len(seq) == 1 else seq)
         return GenerationConfig(
             max_new_tokens=request_output_len, top_k=top_k, top_p=top_p,
             temperature=temperature, repetition_penalty=repetition_penalty,
+            presence_penalty=presence_penalty,
             ignore_eos=ignore_eos, random_seed=seed,
             stop_words=stop_words or None)
 
@@ -79,6 +92,8 @@ class AsyncEngine:
         temperature: float = 0.8,
         repetition_penalty: float = 1.0,
         ignore_eos: bool = False,
+        stop_strings: Optional[Union[str, List[str]]] = None,
+        presence_penalty: float = 0.0,
     ):
         """Stream GenOut for one request (reference: async_engine.py:68)."""
         instance = self.generators[session_id % self.instance_num]
@@ -101,7 +116,9 @@ class AsyncEngine:
             return
         gen_config = self._gen_config(request_output_len, top_k, top_p,
                                       temperature, repetition_penalty,
-                                      ignore_eos, seed)
+                                      ignore_eos, seed,
+                                      stop_strings=stop_strings,
+                                      presence_penalty=presence_penalty)
         response_size = 0
         tokens = 0
         finish_reason = None
@@ -145,6 +162,8 @@ class AsyncEngine:
         temperature: float = 0.8,
         repetition_penalty: float = 1.0,
         ignore_eos: bool = False,
+        stop_strings: Optional[Union[str, List[str]]] = None,
+        presence_penalty: float = 0.0,
     ):
         """OpenAI-flavored generate: session continues until renew_session
         (reference: async_engine.py:154)."""
@@ -160,7 +179,8 @@ class AsyncEngine:
                 request_output_len=request_output_len, stop=stop,
                 top_k=top_k, top_p=top_p, temperature=temperature,
                 repetition_penalty=repetition_penalty,
-                ignore_eos=ignore_eos):
+                ignore_eos=ignore_eos, stop_strings=stop_strings,
+                presence_penalty=presence_penalty):
             yield out
 
     def shutdown(self):

@@ -85,13 +85,19 @@ async def chat_completions_v1(raw: web.Request) -> web.StreamResponse:
         return err
     engine = VariableInterface.async_engine
     session_id = _session_id(raw)
+    # `stop`: bool interrupts the session (lmdeploy extension); a string
+    # or list is the OpenAI stop-strings contract — tokenized into stop
+    # sequences (multi-token strings included) by the serving engine
+    stop_flag = req.stop if isinstance(req.stop, bool) else False
+    stop_strings = None if isinstance(req.stop, bool) else req.stop
     gen = engine.generate_openai(
         req.messages, session_id, stream_response=bool(req.stream),
         renew_session=bool(req.renew_session),
-        request_output_len=req.max_tokens or 512, stop=bool(req.stop),
+        request_output_len=req.max_tokens or 512, stop=stop_flag,
         top_p=req.top_p, temperature=req.temperature,
         repetition_penalty=req.repetition_penalty,
-        ignore_eos=bool(req.ignore_eos))
+        presence_penalty=req.presence_penalty or 0.0,
+        ignore_eos=bool(req.ignore_eos), stop_strings=stop_strings)
 
     model_name = req.model
     if req.stream:

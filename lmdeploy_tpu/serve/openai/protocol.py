@@ -66,7 +66,10 @@ class ChatCompletionRequest(BaseModel):
     top_p: Optional[float] = 1.0
     n: Optional[int] = 1
     max_tokens: Optional[int] = 512
-    stop: Optional[bool] = False
+    # bool = interrupt the session (lmdeploy extension, reference
+    # protocol.py); str / list of str = OpenAI stop strings, expanded to
+    # stop token sequences by the tokenizer
+    stop: Optional[Union[bool, str, List[str]]] = False
     stream: Optional[bool] = False
     presence_penalty: Optional[float] = 0.0
     frequency_penalty: Optional[float] = 0.0

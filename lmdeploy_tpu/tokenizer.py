@@ -48,6 +48,21 @@ class HuggingFaceTokenizer:
             }
         return self._no_prefix_space_tokens
 
+    def indexes_containing_token(self, token: str) -> List[int]:
+        """Every vocab id whose PIECE TEXT contains ``token`` — the
+        vocab-scan stop-word expansion (reference behavior:
+        lmdeploy/turbomind/tokenizer.py; a stop word like '<eoa>' may be
+        merged inside larger pieces, and any of those pieces ending the
+        stream must trigger the stop)."""
+        if not hasattr(self, '_piece_text'):
+            vocab = self.model.convert_ids_to_tokens(
+                list(range(self.vocab_size)))
+            self._piece_text = [
+                (tok or '').replace(self._heading_space_symbol, ' ')
+                for tok in vocab]
+        return [i for i, txt in enumerate(self._piece_text)
+                if token in txt]
+
     def _maybe_add_prefix_space(self, tokens: Sequence[int], decoded: str) -> str:
         if len(tokens) and not decoded.startswith(' ') \
                 and tokens[0] not in self.no_prefix_space_tokens:
@@ -112,13 +127,36 @@ class Tokenizer:
         return self.model.decode(t, offset)
 
     def indexes_containing_token(self, token: str) -> List[int]:
-        """All vocab ids whose decoded text equals ``token`` — used to expand
-        stop *words* into stop token-id lists (reference:
-        lmdeploy/turbomind/tokenizer.py HuggingFaceTokenizer)."""
+        """All vocab ids whose piece text CONTAINS ``token`` — vocab-scan
+        stop-word expansion (reference: lmdeploy/turbomind/tokenizer.py).
+        Falls back to the exact single-token encoding for backends
+        without a piece vocabulary."""
+        scan = getattr(self.model, 'indexes_containing_token', None)
+        if scan is not None:
+            ids = scan(token)
+            if ids:
+                return ids
         encoded = self.model.encode(token, add_bos=False)
         if len(encoded) > 1:
             return []
         return encoded
+
+    def stop_sequences_for(self, words: Sequence[str]) -> List[List[int]]:
+        """Expand stop *strings* into engine stop sequences: single-token
+        matches (incl. vocab-scan containment hits) become 1-token stops;
+        strings that only encode to >1 token become multi-token stop
+        sequences (the engine's host-side stop_sequences matcher) instead
+        of being silently dropped."""
+        out: List[List[int]] = []
+        for w in words:
+            singles = self.indexes_containing_token(w)
+            if singles:
+                out.extend([s] for s in singles)
+                continue
+            ids = self.model.encode(w, add_bos=False)
+            if ids:
+                out.append(list(ids))
+        return out
 
     def __call__(self, s):
         return self.model(s)
@@ -159,3 +197,11 @@ class DummyTokenizer:
     def indexes_containing_token(self, token: str) -> List[int]:
         ids = self.encode(token)
         return ids if len(ids) == 1 else []
+
+    def stop_sequences_for(self, words: Sequence[str]) -> List[List[int]]:
+        out = []
+        for w in words:
+            ids = self.encode(w)
+            if ids:
+                out.append(list(ids))
+        return out

@@ -170,7 +170,6 @@ def test_prefill_decode_interleaving():
     beyond-reference: the reference stalls generation for the whole
     context decode).  Streams must stay exactly equal to solo runs."""
     import threading
-    import time as _t
 
     ecfg = EngineConfig(max_batch_size=4, session_len=128, page_size=8,
                         num_pages=80, max_context_token_num=8,
@@ -189,22 +188,24 @@ def test_prefill_decode_interleaving():
 
         results = {}
 
-        def run_a():
-            results['a'] = collect(inst.stream_infer(
-                3, [5, 9, 13], greedy(60),
-                sequence_end=True))[-1].token_ids
-
         def run_b():
-            _t.sleep(0.05)  # let A start decoding first
             results['b'] = collect(inst.stream_infer(
                 4, long_prompt, greedy(4),
                 sequence_end=True))[-1].token_ids
 
-        ta, tb = threading.Thread(target=run_a), threading.Thread(
-            target=run_b)
-        ta.start(), tb.start()
-        ta.join(), tb.join()
-        assert results['a'] == solo_a
+        # deterministic overlap: submit B only after A streamed its
+        # first token (so A is mid-decode), then drain A on this thread —
+        # A still has ~59 tokens / 15+ rounds left when B's 8-chunk
+        # prefill runs, so the interleaved rounds must fire
+        gen_a = inst.stream_infer(3, [5, 9, 13], greedy(60),
+                                  sequence_end=True)
+        out_a = next(gen_a)
+        tb = threading.Thread(target=run_b)
+        tb.start()
+        for out_a in gen_a:
+            pass
+        tb.join()
+        assert out_a.token_ids == solo_a
         assert results['b'] == solo_b
         assert eng.stats['interleaved_rounds'] > 0
     finally:

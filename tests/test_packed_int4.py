@@ -1,0 +1,133 @@
+"""Packed-nibble int4 matmul (ops/pallas/quant_matmul.py) vs the
+byte-per-int4 oracle — the sub-byte residency path (reference analogue:
+gemm_s_f16 in-register dequant GEMM, tests = numerics vs cublas fp16)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lmdeploy_tpu.ops.linear import (PackedInt4Weight, QuantizedWeight,
+                                     dequantize, pack_quantized,
+                                     quant_matmul, quant_matmul_packed,
+                                     quantize_weight_int4)
+from lmdeploy_tpu.ops.pallas.quant_matmul import (pack_nibbles,
+                                                  packed_int4_matmul,
+                                                  unpack_nibbles_jax)
+
+
+def _mk(k=512, n=256, group=128, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.1
+    return quantize_weight_int4(w, group)
+
+
+def test_pack_roundtrip():
+    rng = np.random.default_rng(1)
+    q = rng.integers(0, 16, size=(3, 8, 16), dtype=np.uint8)
+    p = pack_nibbles(q)
+    assert p.shape == (3, 4, 16)
+    np.testing.assert_array_equal(np.asarray(unpack_nibbles_jax(p)), q)
+
+
+@pytest.mark.parametrize('m', [1, 4, 40, 128])
+def test_packed_matches_byte_oracle(m):
+    qw = _mk()
+    pw = pack_quantized(qw)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(m, qw.k)), jnp.bfloat16)
+    ref = quant_matmul(x, qw)                       # byte-per-int4 oracle
+    got = quant_matmul_packed(x, pw, jnp.int32(0), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=0.5)
+
+
+def test_packed_exact_vs_dense_dequant():
+    """f32 x makes the kernel's scale-term math near-exact vs a dense
+    dequantized matmul (bf16 dot rounding only)."""
+    qw = _mk(k=256, n=128)
+    pw = pack_quantized(qw)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, qw.k)), jnp.float32)
+    w = np.asarray(dequantize(qw, jnp.float32))
+    ref = np.asarray(x, np.float32) @ w
+    got = np.asarray(quant_matmul_packed(x, pw, jnp.int32(0),
+                                         interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=0.02, atol=0.5)
+
+
+def test_layer_prefetch_selects_layer():
+    """Stacked [L] weights: the scalar-prefetch layer index must pick the
+    right layer's tiles (the in-scan usage)."""
+    qws = [_mk(seed=s) for s in (10, 11, 12)]
+    stacked = QuantizedWeight(
+        qvals=jnp.stack([q.qvals for q in qws]),
+        scales=jnp.stack([q.scales for q in qws]),
+        zeros=jnp.stack([q.zeros for q in qws]))
+    pw = pack_quantized(stacked)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, qws[0].k)), jnp.bfloat16)
+    for li, qw in enumerate(qws):
+        ref = quant_matmul(x, qw)
+        got = quant_matmul_packed(x, pw, jnp.int32(li), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0.05, atol=0.5)
+
+
+def test_large_m_xla_regime():
+    """M past _PACKED_PALLAS_MAX_M rides the XLA unpack formulation —
+    same numbers."""
+    qw = _mk(k=256, n=128)
+    pw = pack_quantized(qw)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(96, qw.k)), jnp.bfloat16)
+    ref = quant_matmul(x, qw)
+    got = quant_matmul_packed(x, pw, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=1.0)
+
+
+def test_forward_parity_packed_vs_byte():
+    """Full model forward: pack_params output must produce the same
+    logits as the byte-per-int4 params (decode T=1 -> Pallas kernel
+    regime; prefill T=9 -> XLA regime)."""
+    from lmdeploy_tpu.config import ModelConfig
+    from lmdeploy_tpu.kvcache.paged import init_cache
+    from lmdeploy_tpu.models.llama import (StepBatch, forward, init_params,
+                                           pack_params, quantize_params)
+    cfg = ModelConfig(head_num=2, kv_head_num=2, size_per_head=32,
+                      inter_size=256, num_layer=2, vocab_size=256,
+                      rotary_embedding=32, max_position_embeddings=128,
+                      session_len=128)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_params(params, cfg, group_size=32)
+    pparams = pack_params(qparams)
+
+    page_size, max_pages = 8, 4
+    rng = np.random.default_rng(7)
+    for t in (9, 1):
+        ids = rng.integers(0, 256, size=(2, t))
+        pt = np.arange(2 * max_pages, dtype=np.int32).reshape(2, max_pages)
+        batch = StepBatch(
+            ids=jnp.asarray(ids, jnp.int32),
+            positions=jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32),
+                                       (2, t)),
+            valid=jnp.ones((2, t), bool),
+            context_len=jnp.full((2,), t, jnp.int32),
+            page_table=jnp.asarray(pt))
+        cache = init_cache(cfg.num_layer, 2 * max_pages + 1, page_size,
+                           cfg.kv_head_num, cfg.size_per_head, jnp.bfloat16)
+        ref, _ = forward(qparams, cache, batch, cfg)
+        got, _ = forward(pparams, cache, batch, cfg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0.05, atol=0.5)
+
+
+def test_kernel_odd_m_padding():
+    qw = _mk(k=256, n=128)
+    pw = pack_quantized(qw)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(5, qw.k)), jnp.bfloat16)
+    got = packed_int4_matmul(x, pw.packed, pw.scales, jnp.int32(0),
+                             interpret=True)
+    assert got.shape == (5, qw.n)

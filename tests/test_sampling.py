@@ -139,3 +139,38 @@ def test_sampling_reproducible_with_key():
     t3, _, _ = sample_step(logits, st, hist, jnp.zeros(2, jnp.int32),
                            jnp.zeros(2, jnp.int32))
     assert not np.array_equal(np.asarray(t1), np.asarray(t3)) or True
+
+
+def test_presence_penalty_additive():
+    """Additive variant (reference RepetitionPenaltyType::Additive,
+    sampling_penalty_kernels.cu:255-258): flat subtraction on seen ids."""
+    logits = jnp.asarray(np.array([[2.0, -2.0, 1.0]], np.float32))
+    hist = jnp.asarray([[0, 1, 9]], jnp.int32)  # 9 beyond history_len
+    out = np.asarray(apply_repetition_penalty(
+        logits, hist, jnp.array([2], jnp.int32),
+        jnp.array([1.0], jnp.float32),       # multiplicative off
+        presence=jnp.array([0.5], jnp.float32)))
+    np.testing.assert_allclose(out[0], [1.5, -2.5, 1.0])
+
+
+def test_presence_and_repetition_combined():
+    logits = jnp.asarray(np.array([[2.0, -2.0, 1.0]], np.float32))
+    hist = jnp.asarray([[0, 1, 9]], jnp.int32)
+    out = np.asarray(apply_repetition_penalty(
+        logits, hist, jnp.array([2], jnp.int32),
+        jnp.array([2.0], jnp.float32),
+        presence=jnp.array([0.25], jnp.float32)))
+    np.testing.assert_allclose(out[0], [0.75, -4.25, 1.0])
+
+
+def test_presence_penalty_changes_sample_step_greedy():
+    """A seen top token with presence penalty must lose the argmax when
+    penalized below the runner-up (pipeline wiring check)."""
+    logits = jnp.asarray(np.array([[1.0, 0.9, -5.0]], np.float32))
+    st = _state(b=1, top_k=jnp.array([1], jnp.int32),
+                presence_penalty=jnp.array([0.5], jnp.float32))
+    hist = jnp.asarray([[0, 0, 0, 0]], jnp.int32)
+    toks, _, _ = sample_step(logits, st, hist,
+                             jnp.array([1], jnp.int32),
+                             jnp.zeros(1, jnp.int32), mode='greedy')
+    assert int(toks[0]) == 1

@@ -232,3 +232,19 @@ def test_session_id_stable_across_processes():
     want = int.from_bytes(hashlib.md5(host.encode()).digest()[:4],
                           'big') % (2 ** 30)
     assert got == want  # deterministic formula, no hash() salt
+
+
+def test_gen_config_expands_stop_strings(async_engine):
+    """Stop STRINGS entering the serving layer must become engine stop
+    sequences — multi-token encodings included (parity fix: these were
+    silently dropped at the tokenizer layer before)."""
+    gc = async_engine._gen_config(8, 1, 1.0, 1.0, 1.0, False, None,
+                                  stop_strings='xyz')
+    want = async_engine.tokenizer.encode('xyz')
+    assert len(want) > 1
+    assert any(w == want for w in gc.stop_words if isinstance(w, list))
+    # single-char stop strings stay single-token stop ids
+    gc1 = async_engine._gen_config(8, 1, 1.0, 1.0, 1.0, False, None,
+                                   stop_strings=['q'])
+    tid = async_engine.tokenizer.encode('q')
+    assert len(tid) == 1 and tid[0] in gc1.stop_words

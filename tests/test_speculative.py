@@ -180,3 +180,31 @@ def test_spec_respects_max_new_tokens_and_continuation():
         assert len(o2.token_ids) == 7
     finally:
         eng.shutdown()
+
+
+def test_spec_gate_excludes_logit_transforms():
+    """Greedy requests using repetition/presence penalty, bad words or
+    min_new_tokens must ride the PLAIN path (the verify step argmaxes
+    raw logits): token streams must equal the spec-disabled engine's."""
+    spec = dataclasses.replace(ECFG, speculative_k=4)
+    params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
+    for kw in ({'repetition_penalty': 1.3},
+               {'presence_penalty': 0.4},
+               {'bad_words': [5]},
+               {'min_new_tokens': 6}):
+        want_eng = TPUEngine(CFG, ECFG, params)
+        got_eng = TPUEngine(CFG, spec, params)
+        try:
+            gen = GenerationConfig(max_new_tokens=10, top_k=1,
+                                   ignore_eos=True, **kw)
+            want = want_eng.create_instance().infer(
+                1, [3, 4, 5, 3, 4, 5], gen_config=gen,
+                sequence_end=True).token_ids
+            got = got_eng.create_instance().infer(
+                1, [3, 4, 5, 3, 4, 5], gen_config=gen,
+                sequence_end=True).token_ids
+            assert got == want, kw
+            assert got_eng.stats['spec_rounds'] == 0, kw
+        finally:
+            want_eng.shutdown()
+            got_eng.shutdown()

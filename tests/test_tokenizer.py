@@ -60,3 +60,43 @@ def test_hf_tokenizer_when_available(tmp_path):
     assert len(ids) == 2
     out = tok.decode(ids)
     assert 'hello' in out and 'world' in out
+
+
+def test_dummy_stop_sequences_for():
+    tok = DummyTokenizer(vocab_size=512)
+    seqs = tok.stop_sequences_for(['x', 'xyz'])
+    assert seqs[0] == tok.encode('x') and len(seqs[0]) == 1
+    assert seqs[1] == tok.encode('xyz') and len(seqs[1]) == 3
+
+
+def test_hf_vocab_scan_stop_expansion(tmp_path):
+    """indexes_containing_token must scan PIECE TEXT for containment
+    (reference tokenizer behavior), and stop_sequences_for must route
+    multi-token stop strings into id sequences instead of dropping."""
+    tokenizers = pytest.importorskip('tokenizers')
+    from tokenizers import Tokenizer as RawTok
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from tokenizers.trainers import WordLevelTrainer
+
+    raw = RawTok(WordLevel(unk_token='<unk>'))
+    raw.pre_tokenizer = Whitespace()
+    trainer = WordLevelTrainer(special_tokens=['<unk>', '<s>', '</s>'])
+    raw.train_from_iterator(['hello world helloish bar'] * 4, trainer)
+    raw.save(str(tmp_path / 'tokenizer.json'))
+    import json
+    with open(tmp_path / 'tokenizer_config.json', 'w') as f:
+        json.dump({'bos_token': '<s>', 'eos_token': '</s>',
+                   'model_max_length': 512,
+                   'tokenizer_class': 'PreTrainedTokenizerFast'}, f)
+
+    from lmdeploy_tpu.tokenizer import Tokenizer
+    tok = Tokenizer(str(tmp_path))
+    hello = tok.encode('hello')[0]
+    helloish = tok.encode('helloish')[0]
+    # containment scan: both pieces contain 'hello'
+    ids = tok.indexes_containing_token('hello')
+    assert hello in ids and helloish in ids
+    # multi-token stop string -> one multi-token stop sequence
+    seqs = tok.stop_sequences_for(['hello world'])
+    assert [tok.encode('hello world')] == seqs
