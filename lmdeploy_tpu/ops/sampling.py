@@ -153,6 +153,13 @@ def min_p_mask(logits, min_p):
     return jnp.where(keep, logits, NEG_INF)
 
 
+def _approx_topk() -> bool:
+    """Blockwise candidates top-k (LMDEPLOY_TPU_APPROX_TOPK, default on;
+    0 restores the exact full-vocab sort)."""
+    import os
+    return os.environ.get('LMDEPLOY_TPU_APPROX_TOPK', '1') == '1'
+
+
 def sample_step(logits, state: SamplingState, history, history_len,
                 generated, run=None, mode: str = 'candidates'):
     """Run the full sampling pipeline for one decode step.
@@ -216,7 +223,16 @@ def sample_step(logits, state: SamplingState, history, history_len,
 
     c = v if (mode == 'full' or v <= MAX_TOPK) else MAX_TOPK
     lg = logits / jnp.maximum(state.temperature, 1e-5)[:, None]
-    vals, idx = jax.lax.top_k(lg, c)                  # [B, C] desc-sorted
+    if mode == 'candidates' and c < v and _approx_topk():
+        # TPU-native blockwise top-k (XLA ApproxTopK PartialReduce):
+        # coarse per-tile reduction + exact aggregation of the winners —
+        # the reference's TopK stage is likewise a two-pass block reduce
+        # (sampling_topk_kernels.cu topk_stage1/2).  recall 0.95 may drop
+        # ~5% of DEEP-tail candidates (ranks far below the nucleus);
+        # the 'full' mode stays exact.
+        vals, idx = jax.lax.approx_max_k(lg, c, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(lg, c)              # [B, C] desc-sorted
     pos = jnp.arange(c)[None]
     kk = jnp.where(state.top_k <= 0, c,
                    jnp.clip(state.top_k, 1, c))[:, None]
