@@ -135,6 +135,13 @@ class TPUEngine:
                                       dp_shard_batch=self.dp > 1)
         else:
             self.mesh = None
+            if self._packed_int4_enabled():
+                # true sub-byte W4A16 residency: half the weight HBM
+                # traffic/memory; decode rides the Pallas packed kernel
+                # (ops/pallas/quant_matmul.py). Single-device only — the
+                # TP repack doesn't know the packed layout yet.
+                from ..models.llama import pack_params
+                self.params = pack_params(self.params)
             self.cache, self.state = self._alloc_device_state()
             self.fns = CompiledStepFns(model_cfg,
                                        use_pallas_attn=self._pallas_enabled())
@@ -235,6 +242,15 @@ class TPUEngine:
             return False
         from ..ops import pallas as pallas_ops
         return getattr(pallas_ops, 'PAGED_ATTENTION_AVAILABLE', False)
+
+    def _packed_int4_enabled(self) -> bool:
+        """Opt-in (LMDEPLOY_TPU_PACKED_INT4=1) true 4-bit packed weight
+        residency until the on-chip A/B lands; requires the Pallas path
+        and int4 weights."""
+        import os
+        if os.environ.get('LMDEPLOY_TPU_PACKED_INT4', '0') != '1':
+            return False
+        return self.cfg.weight_type == 'int4' and self._pallas_enabled()
 
     def _derive_num_pages(self) -> int:
         """Size the page pool from a fraction of free device memory
