@@ -148,6 +148,52 @@ def build_and_train(dst: str, corpus: str, steps: int = 400,
     print(f'proxy model -> {dst}')
 
 
+def spec_acceptance(dst: str, gen_tokens: int = 64, k: int = 4,
+                    n_prompts: int = 6, prompt_len: int = 48) -> dict:
+    """Prompt-lookup speculative acceptance on the TRAINED proxy model —
+    the strongest offline stand-in for "real-text" acceptance (VERDICT
+    r2: the random-weight headline leans on greedy-cycle artifacts).
+    The proxy model has LEARNED the templated log/config distribution,
+    so its continuations genuinely reuse n-grams from the prompt the way
+    real models do on structured text; acceptance here is a property of
+    text statistics, not of random-logit cycles.  Also asserts token
+    identity vs the spec-off engine (the spec contract)."""
+    import dataclasses
+
+    from benchmark.ppl import build_variant, load_samples
+
+    engine_kw = {'session_len': 256, 'max_context_token_num': 128,
+                 'prefill_buckets': (16, 64, 128)}
+    samples = load_samples(dst, f'file:{osp.join(dst, "eval.txt")}',
+                           n_prompts, prompt_len)
+    from lmdeploy_tpu.messages import GenerationConfig
+    gen = GenerationConfig(max_new_tokens=gen_tokens, top_k=1,
+                           ignore_eos=True)
+
+    plain = build_variant(dst, 'bf16', 64, dict(engine_kw))
+    spec = build_variant(dst, 'bf16', 64,
+                         dict(engine_kw, speculative_k=k))
+    try:
+        pi, si = plain.create_instance(), spec.create_instance()
+        mismatches = 0
+        for n, ids in enumerate(samples):
+            want = pi.infer(100 + n, ids, gen_config=gen,
+                            sequence_end=True).token_ids
+            got = si.infer(100 + n, ids, gen_config=gen,
+                           sequence_end=True).token_ids
+            mismatches += want != got
+        rounds = spec.stats['spec_rounds']
+        emitted = spec.stats['spec_emitted']
+        accept = emitted / max(rounds, 1)
+    finally:
+        plain.shutdown()
+        spec.shutdown()
+    return {'spec_accept_tokens_per_round': round(accept, 3),
+            'spec_rounds': int(rounds), 'spec_k': k,
+            'prompts': len(samples), 'gen_tokens': gen_tokens,
+            'token_identity_mismatches': int(mismatches)}
+
+
 def run(dst: str = '/tmp/lmdeploy_tpu_proxy', steps: int = 400,
         nsamples: int = 8, seqlen: int = 128, group_size: int = 64,
         rebuild: bool = False) -> dict:
@@ -176,7 +222,8 @@ def run(dst: str = '/tmp/lmdeploy_tpu_proxy', steps: int = 400,
     awq_wins = results['w4a16_awq'] < results['w4a16']
     out = {'table': table, 'awq_beats_minmax': bool(awq_wins),
            'awq_delta_vs_minmax': round(
-               results['w4a16_awq'] - results['w4a16'], 4)}
+               results['w4a16_awq'] - results['w4a16'], 4),
+           'spec': spec_acceptance(dst)}
     print(json.dumps(out, indent=2))
     return out
 
