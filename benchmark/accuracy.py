@@ -136,8 +136,10 @@ def build_and_train(dst: str, corpus: str, steps: int = 400,
     for step in range(steps):
         starts = [rng.randrange(n) for _ in range(batch)]
         x = torch.stack([ids[s:s + seqlen] for s in starts])
-        y = torch.stack([ids[s + 1:s + seqlen + 1] for s in starts])
-        out = model(input_ids=x, labels=y)
+        # HF causal-LM loss shifts labels INTERNALLY — pass the inputs
+        # unshifted (labels=x), else the model trains to predict two
+        # tokens ahead and teacher-forced eval ppl collapses to uniform
+        out = model(input_ids=x, labels=x)
         opt.zero_grad()
         out.loss.backward()
         opt.step()
@@ -194,11 +196,8 @@ def spec_acceptance(dst: str, gen_tokens: int = 64, k: int = 4,
             'token_identity_mismatches': int(mismatches)}
 
 
-def run(dst: str = '/tmp/lmdeploy_tpu_proxy', steps: int = 400,
-        nsamples: int = 8, seqlen: int = 128, group_size: int = 64,
-        rebuild: bool = False) -> dict:
-    from benchmark.ppl import run as ppl_run
-
+def ensure_proxy(dst: str, steps: int = 400, rebuild: bool = False) -> None:
+    """Build corpus + tokenizer + trained model into ``dst`` if absent."""
     corpus_path = osp.join(dst, 'corpus.txt')
     if rebuild or not osp.exists(osp.join(dst, 'model.safetensors')):
         corpus = build_corpus()
@@ -211,6 +210,15 @@ def run(dst: str = '/tmp/lmdeploy_tpu_proxy', steps: int = 400,
     if not osp.exists(eval_path):
         with open(eval_path, 'w') as f:
             f.write(build_corpus(n_lines=2000, seed=1))
+
+
+def run(dst: str = '/tmp/lmdeploy_tpu_proxy', steps: int = 400,
+        nsamples: int = 8, seqlen: int = 128, group_size: int = 64,
+        rebuild: bool = False) -> dict:
+    from benchmark.ppl import run as ppl_run
+
+    ensure_proxy(dst, steps, rebuild)
+    eval_path = osp.join(dst, 'eval.txt')
 
     results = ppl_run(
         dst, dataset=f'file:{eval_path}', nsamples=nsamples, seqlen=seqlen,
@@ -238,7 +246,26 @@ def main():
     ap.add_argument('--group-size', type=int, default=64)
     ap.add_argument('--rebuild', action='store_true')
     ap.add_argument('--json', default='')
+    ap.add_argument('--tpu', action='store_true',
+                    help='run on the TPU backend (default: CPU — this '
+                         'harness is CPU-sized and must not contend '
+                         'with chip jobs)')
+    ap.add_argument('--spec-only', action='store_true',
+                    help='only the speculative-acceptance phase (bench.py '
+                         'calls this as a CPU subprocess for the real-'
+                         'text acceptance number)')
     args = ap.parse_args()
+    if not args.tpu:
+        from lmdeploy_tpu.utils.platform import force_cpu_platform
+        force_cpu_platform()
+    if args.spec_only:
+        ensure_proxy(args.dst, args.steps, args.rebuild)
+        out = spec_acceptance(args.dst)
+        print(json.dumps(out))
+        if args.json:
+            with open(args.json, 'w') as f:
+                json.dump(out, f, indent=2)
+        return
     out = run(args.dst, args.steps, args.nsamples, args.seqlen,
               args.group_size, args.rebuild)
     if args.json:

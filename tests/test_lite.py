@@ -220,3 +220,45 @@ def test_w4a16_logits_close_to_fp(tiny_hf_llama, tmp_path):
         assert agree >= 0.75, agree
     finally:
         eng.shutdown()
+
+
+def test_calib_dataloader_file_and_dir(tmp_path):
+    """file:<path> calibration source contract: a plain-text file (or a
+    directory of .txt files, concatenated sorted-by-name) is tokenized
+    whole and sampled into nsamples [1, seqlen] LongTensor chunks,
+    repeating the text when it is shorter than nsamples*seqlen
+    (reference analogue: calib_dataloader.py get_calib_loaders)."""
+    from benchmark.accuracy import train_tokenizer
+    from transformers import AutoTokenizer
+
+    from lmdeploy_tpu.lite.utils.calib_dataloader import get_calib_loaders
+
+    tok_dir = tmp_path / 'tok'
+    tok_dir.mkdir()
+    train_tokenizer('the model streams tokens through the cache '
+                    'attention layers quantize weights pages hold keys '
+                    'and values tiny corpus', str(tok_dir))
+    tok = AutoTokenizer.from_pretrained(str(tok_dir))
+
+    one = tmp_path / 'corpus.txt'
+    one.write_text('the model streams tokens through the cache. ' * 40)
+    samples = get_calib_loaders(f'file:{one}', tok, nsamples=3, seqlen=16)
+    assert len(samples) == 3
+    for s in samples:
+        assert tuple(s.shape) == (1, 16) and s.dtype == torch.long
+
+    d = tmp_path / 'corpus_dir'
+    d.mkdir()
+    (d / 'b.txt').write_text('attention layers quantize weights. ' * 30)
+    (d / 'a.txt').write_text('pages hold keys and values. ' * 30)
+    samples = get_calib_loaders(f'file:{d}', tok, nsamples=2, seqlen=8)
+    assert len(samples) == 2 and tuple(samples[0].shape) == (1, 8)
+
+    # short text repeats rather than underfilling
+    short = tmp_path / 'short.txt'
+    short.write_text('tiny corpus')
+    samples = get_calib_loaders(f'file:{short}', tok, nsamples=2, seqlen=32)
+    assert len(samples) == 2 and tuple(samples[0].shape) == (1, 32)
+
+    with pytest.raises(ValueError, match='unknown calib dataset'):
+        get_calib_loaders('nope', tok, nsamples=1, seqlen=8)
