@@ -101,6 +101,32 @@ def bf16_tok_s(cfg, ecfg):
         return None
 
 
+def spec_accept_real_text(timeout: float = 1500.0):
+    """Real-text speculative acceptance (VERDICT r2: the random-weight
+    headline's acceptance is a greedy-cycle artifact).  Runs
+    benchmark/accuracy.py --spec-only in a CPU subprocess: a proxy model
+    TRAINED on a structured log/config corpus through a real tokenizer,
+    measured for prompt-lookup acceptance + token identity vs plain
+    greedy.  CPU because acceptance is a property of the text/model, not
+    the chip — and the chip stays free for the timed phases.  Reuses the
+    trained proxy at /tmp/lmdeploy_tpu_proxy when present (training adds
+    ~4 min otherwise)."""
+    import json as _json
+    import subprocess
+    import sys
+    try:
+        out = subprocess.run(
+            [sys.executable, '-m', 'benchmark.accuracy', '--spec-only'],
+            capture_output=True, text=True, timeout=timeout,
+            cwd='/root/repo')
+        last = out.stdout.strip().splitlines()[-1]
+        return _json.loads(last)
+    except Exception as e:
+        print(f'# spec_accept_real_text skipped: {type(e).__name__}',
+              flush=True)
+        return None
+
+
 def main():
     import gc
 
@@ -197,6 +223,9 @@ def main():
     bf16 = bf16_tok_s(cfg, _dc.replace(ecfg, speculative_k=0))
     ratio = round(toks_nospec / bf16, 2) if bf16 else None
 
+    # real-text acceptance evidence (CPU subprocess, trained proxy)
+    spec_real = spec_accept_real_text()
+
     print(json.dumps({
         'metric': 'llama2-7b w4a16 decode tok/s (bs1, 1 in / 512 out)',
         'value': round(toks, 1),
@@ -206,6 +235,12 @@ def main():
             'ttft_ms': round((t_first - t0) * 1e3, 1) if t_first else None,
             'bs1_no_spec_tok_s': round(toks_nospec, 1),
             'spec_accept_tokens_per_round': round(accept, 2),
+            'spec_accept_real_text': (
+                spec_real['spec_accept_tokens_per_round']
+                if spec_real else None),
+            'spec_real_text_identity_mismatches': (
+                spec_real['token_identity_mismatches']
+                if spec_real else None),
             'bs8_throughput_tok_s': round(batch_toks, 1),
             'bf16_bs1_tok_s': round(bf16, 1) if bf16 else None,
             'int4_vs_bf16_speedup': ratio,
@@ -215,8 +250,12 @@ def main():
                      'decoding (speculative_k=4) — output is token-'
                      'identical to plain greedy; acceptance on this '
                      'random-weight workload (greedy chains cycle) is '
-                     'spec_accept_tokens_per_round, real-text rates '
-                     'vary. Plain-decode floor ~98 tok/s on v5e: every '
+                     'spec_accept_tokens_per_round — an ARTIFACT; the '
+                     'evidential number is spec_accept_real_text, '
+                     'measured on a proxy model trained on structured '
+                     'log/config text through a real tokenizer '
+                     '(benchmark/accuracy.py). '
+                     'Plain-decode floor ~98 tok/s on v5e: every '
                      'sub-byte weight path is broken on this jax/libtpu '
                      'stack so int4 streams as bytes at 660GB/s (the '
                      '206.4 baseline is a 1TB/s RTX 4090 with true '
