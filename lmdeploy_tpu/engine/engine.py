@@ -841,25 +841,35 @@ class TPUEngine:
         # exists for exact unconstrained sampling (top_k=0).
         cfgs = [s.request.gen_config for s in self.slots
                 if s is not None and not s.done and not s.prefilling]
-        # speculative rounds: greedy-only (the classic restriction) and
-        # only when no slot wants logprobs (spec logprobs are all-zero
-        # greedy anyway, but keep the contract tight).  The verify step
-        # argmaxes RAW logits, so any slot using the plain path's logit
-        # transforms (repetition penalty, bad words, min-length EOS mask)
-        # would get different tokens — those slots must ride plain
-        # rounds to keep the token-identity invariant.
+        # speculative rounds.  Mode is static like the plain path's:
+        #   'greedy'     — every slot is plain greedy (no penalties /
+        #                  bad words / min-len): raw-argmax verify.
+        #   'candidates' — any sampled or penalized slot: exact
+        #                  rejection sampling against the processed
+        #                  distribution (greedy slots in the mix stay
+        #                  token-identical; sampled slots keep the exact
+        #                  plain-path marginal at every position).
+        #   'full'       — a top_k<=0 slot needs the exact full-vocab
+        #                  sort (no top-1024 truncation).
+        # Only output_logprobs slots are excluded (the spec path has no
+        # per-token logprob stream).
         running = len(cfgs)
+        spec_mode = None
         if self.ecfg.speculative_k > 0 and cfgs \
                 and running * (self.ecfg.speculative_k + 1) \
                 <= self.SPEC_MAX_VERIFY_ROWS \
-                and all((g.top_k or 0) == 1 and not g.output_logprobs
-                        and g.repetition_penalty == 1.0
-                        and g.presence_penalty == 0.0
-                        and not g.bad_words and g.min_new_tokens == 0
-                        for g in cfgs):
+                and not any(g.output_logprobs for g in cfgs):
+            if all((g.top_k or 0) == 1 and g.repetition_penalty == 1.0
+                   and g.presence_penalty == 0.0 and not g.bad_words
+                   and g.min_new_tokens == 0 for g in cfgs):
+                spec_mode = 'greedy'
+            elif self.ecfg.speculative_sampled:
+                spec_mode = 'full' if any((g.top_k or 0) <= 0
+                                          for g in cfgs) else 'candidates'
+        if spec_mode is not None:
             if self._spec_cooloff <= 0:
                 try:
-                    self._spec_round(k)
+                    self._spec_round(k, spec_mode)
                     return
                 except Exception:
                     # this backend occasionally throws opaque transient
@@ -893,7 +903,7 @@ class TPUEngine:
             if not any(s is not None and not s.done for s in self.slots):
                 return
 
-    def _spec_round(self, rounds: int):
+    def _spec_round(self, rounds: int, sampling: str = 'greedy'):
         """Speculative (prompt-lookup) decode rounds: each dispatch runs
         ``rounds`` draft-verify-accept rounds on device; every round
         yields >= 1 token per running slot and up to speculative_k + 1."""
@@ -902,7 +912,8 @@ class TPUEngine:
         self._grow_pages(rounds * kp1)
         self.cache, self.state, packed = self.fns.spec_decode_rounds(
             self.params, self.cache, self.state, num_rounds=rounds,
-            k_draft=kd, ngram=self.ecfg.speculative_ngram)
+            k_draft=kd, ngram=self.ecfg.speculative_ngram,
+            sampling=sampling)
         arr = np.asarray(packed)            # [R, 2*kp1+3, B]
         # adaptive gating: EMA of per-slot accepted tokens/round over
         # this dispatch; below break-even, cool off to plain rounds.

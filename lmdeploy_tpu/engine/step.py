@@ -153,18 +153,28 @@ def decode_steps(params, cache: KVCache, state: DecodeState,
 
 def spec_decode_round(params, cache: KVCache, state: DecodeState,
                       cfg: ModelConfig, *, k_draft: int, ngram: int = 3,
-                      use_pallas_attn: bool = False, axis: str = None):
-    """One speculative round for every running GREEDY slot: propose
-    ``k_draft`` tokens by in-jit prompt lookup, verify all of them plus
-    the model's own next token in ONE [B, K+1]-position forward, accept
-    the matched prefix.  bs1 decode is weight-bandwidth-bound, so the
-    verify streams the same bytes as a single decode step — rejected
-    drafts are nearly free (ops/speculative.py).
+                      use_pallas_attn: bool = False, axis: str = None,
+                      sampling: str = 'greedy'):
+    """One speculative round for every running slot: propose ``k_draft``
+    tokens by in-jit prompt lookup, verify all of them plus the model's
+    own next token in ONE [B, K+1]-position forward, accept the matched
+    prefix.  bs1 decode is weight-bandwidth-bound, so the verify streams
+    the same bytes as a single decode step — rejected drafts are nearly
+    free (ops/speculative.py).
+
+    ``sampling`` is static, chosen by the host like decode_step's mode:
+      * 'greedy'     — raw-argmax verify (every slot is plain greedy).
+      * 'candidates' — exact rejection sampling against the full
+        processed distribution (top-1024 candidate pipeline); serves
+        mixed greedy/sampled batches, greedy slots stay token-identical.
+      * 'full'       — same but with the exact full-vocab sort, for
+        batches containing top_k<=0 slots.
 
     Returns (cache, state, g [B, K+1] candidate tokens, fin_emit
     [B, K+1] finish flag per emitted token, n [B] tokens emitted).
     """
-    from ..ops.speculative import greedy_argmax, ngram_propose
+    from ..ops.speculative import (greedy_argmax, ngram_propose,
+                                   spec_verify_sample)
 
     b = state.tokens.shape[0]
     kp1 = k_draft + 1
@@ -184,10 +194,21 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
                             return_all_logits=True, logits_count=kp1,
                             axis=axis, use_pallas_attn=use_pallas_attn)
     logits = mask_vocab_padding(logits, cfg.vocab_size)       # [B,K+1,V]
-    g = greedy_argmax(logits)                                 # [B, K+1]
 
     smp = state.sampling
-    match = (draft == g[:, :-1]) & run[:, None]               # [B, K]
+    # keys advance once per round in every mode (greedy consumes no
+    # randomness; sampled rounds burn one key's worth of draws)
+    keys = jax.vmap(jax.random.wrap_key_data)(smp.rng_key)
+    split = jax.vmap(jax.random.split)(keys)                  # [B, 2]
+    new_keys = jax.vmap(jax.random.key_data)(split[:, 0])
+    if sampling == 'greedy':
+        g = greedy_argmax(logits)                             # [B, K+1]
+        match = (draft == g[:, :-1]) & run[:, None]           # [B, K]
+    else:
+        g, accept = spec_verify_sample(
+            logits, draft, smp, state.history, state.history_len,
+            state.generated, split[:, 1], mode=sampling)
+        match = accept & run[:, None]                         # [B, K]
     acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
     cand = jnp.arange(kp1)[None] <= acc[:, None]              # [B, K+1]
     # positions past the session cap can never be emitted
@@ -213,24 +234,20 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
     history = state.history.at[
         jnp.arange(b)[:, None], write_idx].set(g, mode='drop')
     finished = state.finished | jnp.any(fin_emit, axis=1)
-    # keys advance once per round (greedy consumes no randomness)
-    keys = jax.vmap(jax.random.wrap_key_data)(smp.rng_key)
-    new_keys = jax.vmap(lambda k: jax.random.key_data(
-        jax.random.split(k)[0]))(keys)
-    sampling = dataclasses.replace(
+    new_smp = dataclasses.replace(
         smp, rng_key=jnp.where(run[:, None], new_keys, smp.rng_key))
     new_state = dataclasses.replace(
         state, tokens=new_tok, context_len=state.context_len + n,
         history=history, history_len=state.history_len + n,
         generated=state.generated + n, finished=finished,
-        sampling=sampling)
+        sampling=new_smp)
     return cache, new_state, g, fin_emit, n
 
 
 def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
                        cfg: ModelConfig, *, num_rounds: int, k_draft: int,
                        ngram: int = 3, use_pallas_attn: bool = False,
-                       axis: str = None):
+                       axis: str = None, sampling: str = 'greedy'):
     """``num_rounds`` speculative rounds in one device program.
 
     Returns (cache, state, packed int32 [R, 2*(K+1)+3, B]): per round,
@@ -247,7 +264,7 @@ def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
         cache, state = carry
         cache, state, g, fin_emit, n = spec_decode_round(
             params, cache, state, cfg, k_draft=k_draft, ngram=ngram,
-            use_pallas_attn=use_pallas_attn, axis=axis)
+            use_pallas_attn=use_pallas_attn, axis=axis, sampling=sampling)
         rng = jax.lax.bitcast_convert_type(state.sampling.rng_key,
                                            jnp.int32).T        # [2, B]
         row = jnp.concatenate([g.T, fin_emit.astype(jnp.int32).T,
@@ -449,7 +466,7 @@ class CompiledStepFns:
             static_argnames=('num_steps', 'sampling_mode'))
         self.spec_decode_rounds = jax.jit(
             partial(spec_decode_rounds, **kw), donate_argnums=(1, 2),
-            static_argnames=('num_rounds', 'k_draft', 'ngram'))
+            static_argnames=('num_rounds', 'k_draft', 'ngram', 'sampling'))
         self.prefill_chunk = jax.jit(
             partial(prefill_chunk, **kw), donate_argnums=(1,))
         self.prefill_chunks = jax.jit(

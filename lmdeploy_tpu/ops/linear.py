@@ -290,13 +290,24 @@ def quant_matmul_dequant(x2: jnp.ndarray, qw: QuantizedWeight) -> jnp.ndarray:
 
 
 def _dequant_min_m() -> int:
-    """Static-M threshold where the dequant regime takes over.  OPT-IN
-    via LMDEPLOY_TPU_DEQUANT_MIN_M (e.g. 256): the regime is untested on
-    the live TPU runtime (the A/B got cut short by a chip wedge) and
-    this runtime has a history of pathological compiles for novel
-    matmul formulations — default keeps the proven batched-group path
-    for every M.  benchmark/autotune.py --mm-regime measures the
-    crossover when hardware is available."""
+    """Static-M threshold where the dequant regime takes over.
+
+    MEASURED on the live chip (v5e, 2026-08-17, benchmark/autotune.py
+    --mm-regime over all five 7B GEMM shapes, 20-iter fori loops):
+
+        M=4   group  8.69 ms   dequant  9.89 ms   -> group  (+14%)
+        M=16  group 11.54 ms   dequant 11.06 ms   -> dequant (+4%)
+        M=64  group 18.33 ms   dequant 18.58 ms   -> group   (+1%)
+
+    No crossover up to M=64: the two regimes are within ~4% at every
+    prefill/verify row count that the engine's buckets actually emit, so
+    the default keeps the batched-group path for every M (one compiled
+    formulation, no regime-switch recompiles).  The M=128 point wedged
+    the runtime mid-compile (3 h no progress, killed) — consistent with
+    this stack's history of pathological compiles for novel matmul
+    formulations; do not re-measure without a runtime upgrade.  The
+    dequant regime stays available via LMDEPLOY_TPU_DEQUANT_MIN_M
+    (e.g. 16) for future runtimes where big-M behavior may differ."""
     import os
     return int(os.environ.get('LMDEPLOY_TPU_DEQUANT_MIN_M', str(1 << 30)))
 

@@ -64,6 +64,119 @@ def ngram_propose(history: jnp.ndarray, history_len: jnp.ndarray,
     return jnp.where(ok, draft, 0).astype(jnp.int32)
 
 
+def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
+                       history: jnp.ndarray, history_len: jnp.ndarray,
+                       generated: jnp.ndarray, sample_keys,
+                       mode: str = 'candidates'):
+    """Exact rejection-sampling verification of deterministic drafts.
+
+    Prompt-lookup drafts are point masses (q = delta at the drafted
+    token), so the speculative-sampling accept rule (Leviathan/Chen:
+    accept x ~ q with prob min(1, p(x)/q(x)), resample the residual
+    max(0, p-q) on rejection) collapses to: accept draft d_i with
+    probability p_i(d_i); on rejection sample from p_i with d_i masked
+    out, renormalized.  The emitted marginal at every position is
+    EXACTLY p_i — the same post-processed distribution the plain path's
+    sample_step draws from, including ban-words, min-length EOS masking,
+    repetition/presence penalties (seen-set extended with the draft
+    prefix: position i is only reachable when drafts 0..i-1 were
+    accepted, so its true context IS history + draft[:i]), temperature,
+    and the top-k/top-p/min-p filters.
+
+    For a top_k==1 slot the filtered distribution is a point mass on the
+    processed argmax, so accept/resample degenerate to the greedy
+    match-or-correct rule — one compiled program serves mixed
+    greedy/sampled batches with per-slot exactness.
+
+    Args:
+      logits: [B, K+1, V] raw verify logits (vocab padding masked).
+      draft: int32 [B, K] proposed tokens.
+      smp: SamplingState ([B] parameters).
+      history / history_len: as DecodeState (history[:hl] ends with the
+        current input token).
+      generated: int32 [B] tokens generated before this round.
+      sample_keys: [B] jax PRNG keys consumed by this round's draws.
+      mode: 'candidates' (top-1024 pipeline) or 'full' (exact full-vocab
+        sort for top_k<=0 slots) — mirrors sample_step's static modes.
+    Returns:
+      (g int32 [B, K+1], accept bool [B, K]): g[:, i] = draft token where
+      accepted else the rejection resample; g[:, K] = the bonus sample.
+    """
+    from .sampling import (MAX_TOPK, NEG_INF, _approx_topk,
+                           apply_repetition_penalty, ban_words,
+                           mask_eos_below_min_len)
+    b, kp1, v = logits.shape
+    k = kp1 - 1
+
+    def rep(a):  # per-slot param -> per-(slot, position) rows
+        return jnp.repeat(a, kp1, axis=0)
+
+    lgf = logits.astype(jnp.float32).reshape(b * kp1, v)
+    lgf = jax.lax.cond(
+        jnp.any(smp.bad_words >= 0),
+        lambda lg: ban_words(lg, rep(smp.bad_words)), lambda lg: lg, lgf)
+    t_idx = jnp.arange(kp1, dtype=jnp.int32)[None]
+    gen_i = (generated[:, None] + t_idx).reshape(-1)
+    lgf = mask_eos_below_min_len(lgf, rep(smp.eos_id), gen_i,
+                                 rep(smp.min_new_tokens))
+    # scatter the drafts at history_len.. so position i's validity
+    # window (iota < history_len + i) covers exactly draft[:i]
+    d_pos = history_len[:, None] + jnp.arange(k, dtype=jnp.int32)[None]
+    hist_ext = history.at[
+        jnp.arange(b)[:, None], d_pos].set(draft, mode='drop')
+    hl_i = (history_len[:, None] + t_idx).reshape(-1)
+    lgf = jax.lax.cond(
+        jnp.any(smp.repetition_penalty != 1.0)
+        | jnp.any(smp.presence_penalty != 0.0),
+        lambda lg: apply_repetition_penalty(
+            lg, rep(hist_ext), hl_i, rep(smp.repetition_penalty),
+            rep(smp.presence_penalty)),
+        lambda lg: lg, lgf)
+    lgf = lgf / jnp.maximum(rep(smp.temperature), 1e-5)[:, None]
+
+    c = v if (mode == 'full' or v <= MAX_TOPK) else MAX_TOPK
+    if c < v and _approx_topk():
+        vals, idx = jax.lax.approx_max_k(lgf, c, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(lgf, c)
+    # same filter cascade as sample_step's candidate pipeline
+    pos_c = jnp.arange(c)[None]
+    kk = jnp.where(smp.top_k <= 0, c, jnp.clip(smp.top_k, 1, c))
+    vals = jnp.where(pos_c < rep(kk)[:, None], vals, NEG_INF)
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    inside = (cum - probs) < rep(smp.top_p)[:, None]
+    vals = jnp.where(inside, vals, NEG_INF)
+    cutoff = probs[:, :1] * rep(smp.min_p)[:, None]
+    vals = jnp.where((probs >= cutoff) | (rep(smp.min_p)[:, None] <= 0.0),
+                     vals, NEG_INF)
+
+    vals3 = vals.reshape(b, kp1, c)
+    idx3 = idx.reshape(b, kp1, c)
+    probs_f = jax.nn.softmax(vals3, axis=-1)            # final p_i
+    is_draft = idx3[:, :k] == draft[:, :, None]         # [B, K, C]
+    p_draft = jnp.sum(jnp.where(is_draft, probs_f[:, :k], 0.0), axis=-1)
+
+    ks = jax.vmap(jax.random.split)(sample_keys)        # [B, 2] keys
+    u = jax.vmap(lambda key: jax.random.uniform(key, (k,)))(ks[:, 0])
+    accept = u < p_draft                                # [B, K]
+
+    # residual rows: draft candidate masked for i<K; bonus row unmasked.
+    # If masking empties a row (top_k==1 and draft == argmax) the
+    # rejection branch has probability <= float-eps — fall back to the
+    # unmasked row so the categorical never sees an all -inf input.
+    mask_d = jnp.concatenate(
+        [is_draft, jnp.zeros((b, 1, c), bool)], axis=1)
+    vals_rs = jnp.where(mask_d, NEG_INF, vals3)
+    empty = jnp.all(vals_rs <= NEG_INF, axis=-1, keepdims=True)
+    vals_rs = jnp.where(empty, vals3, vals_rs)
+    tok_c = jax.vmap(jax.random.categorical)(ks[:, 1], vals_rs)  # [B,K+1]
+    samp = jnp.take_along_axis(idx3, tok_c[..., None], axis=-1)[..., 0]
+    g = jnp.concatenate(
+        [jnp.where(accept, draft, samp[:, :k]), samp[:, k:]], axis=1)
+    return g.astype(jnp.int32), accept
+
+
 def greedy_argmax(logits: jnp.ndarray) -> jnp.ndarray:
     """Argmax over the last dim via max + first-match iota.
 
@@ -79,4 +192,4 @@ def greedy_argmax(logits: jnp.ndarray) -> jnp.ndarray:
         .astype(jnp.int32)
 
 
-__all__ = ['ngram_propose', 'greedy_argmax']
+__all__ = ['ngram_propose', 'greedy_argmax', 'spec_verify_sample']

@@ -307,10 +307,12 @@ class ShardedStepFns:
         self._make_decode_steps = make_decode_steps
         self._decode_steps_cache = {}
 
-        def make_spec_rounds(params_spec, num_rounds, k_draft, ngram):
+        def make_spec_rounds(params_spec, num_rounds, k_draft, ngram,
+                             sampling='greedy'):
             fn = partial(_step.spec_decode_rounds, cfg=cfg, axis=TP_AXIS,
                          num_rounds=num_rounds, k_draft=k_draft,
-                         ngram=ngram, use_pallas_attn=use_pallas_attn)
+                         ngram=ngram, use_pallas_attn=use_pallas_attn,
+                         sampling=sampling)
             return jax.jit(
                 smap(fn, in_specs=(params_spec, pspecs_cache, rep),
                      out_specs=(pspecs_cache, rep, packed_spec)),
@@ -378,8 +380,9 @@ class ShardedStepFns:
                                       start_pos, lengths)
 
     def spec_decode_rounds(self, params, cache, state, num_rounds: int,
-                           k_draft: int, ngram: int = 3):
-        key = (num_rounds, k_draft, ngram)
+                           k_draft: int, ngram: int = 3,
+                           sampling: str = 'greedy'):
+        key = (num_rounds, k_draft, ngram, sampling)
         fn = self._spec_rounds_cache.get(key)
         if fn is None:
             fn = self._make_spec_rounds(param_pspecs(params), *key)

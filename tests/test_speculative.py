@@ -104,10 +104,11 @@ def test_spec_on_dp_tp_mesh_matches_single_device():
     assert stats['spec_rounds'] > 0
 
 
-def test_sampled_request_falls_back_to_normal_path():
-    """With speculative_k set, a non-greedy request must use the normal
-    sampling pipeline (spec is greedy-only) and still behave."""
-    spec = dataclasses.replace(ECFG, speculative_k=4)
+def test_sampled_spec_disabled_falls_back_to_normal_path():
+    """With speculative_sampled=False, a non-greedy request must use the
+    normal sampling pipeline (spec restricted to greedy) and behave."""
+    spec = dataclasses.replace(ECFG, speculative_k=4,
+                               speculative_sampled=False)
     params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
     eng = TPUEngine(CFG, spec, params)
     try:
@@ -117,6 +118,28 @@ def test_sampled_request_falls_back_to_normal_path():
             random_seed=7, ignore_eos=True), sequence_end=True)
         assert len(out.token_ids) == 6
         assert eng.stats['spec_rounds'] == 0  # sampled -> no spec rounds
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.parametrize('gen_kw', [
+    {'top_k': 20, 'top_p': 0.9, 'temperature': 1.0},   # candidates mode
+    {'top_k': 0, 'temperature': 0.9},                  # full-vocab mode
+])
+def test_sampled_request_rides_spec_rounds(gen_kw):
+    """By default sampled requests ride speculative rounds via exact
+    rejection sampling (beyond-reference; the greedy restriction of the
+    classic formulation is lifted for deterministic drafts)."""
+    spec = dataclasses.replace(ECFG, speculative_k=4)
+    params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
+    eng = TPUEngine(CFG, spec, params)
+    try:
+        inst = eng.create_instance()
+        out = inst.infer(7, [3, 4, 5, 3, 4, 5], gen_config=GenerationConfig(
+            max_new_tokens=12, random_seed=7, ignore_eos=True, **gen_kw),
+            sequence_end=True)
+        assert len(out.token_ids) == 12
+        assert eng.stats['spec_rounds'] > 0
     finally:
         eng.shutdown()
 
@@ -182,10 +205,12 @@ def test_spec_respects_max_new_tokens_and_continuation():
         eng.shutdown()
 
 
-def test_spec_gate_excludes_logit_transforms():
+def test_spec_logit_transforms_stay_token_identical():
     """Greedy requests using repetition/presence penalty, bad words or
-    min_new_tokens must ride the PLAIN path (the verify step argmaxes
-    raw logits): token streams must equal the spec-disabled engine's."""
+    min_new_tokens ride the rejection-sampling verify ('candidates'
+    mode), which applies the full logit pipeline per verify position —
+    token streams must equal the spec-disabled engine's EXACTLY, and
+    speculation must actually engage."""
     spec = dataclasses.replace(ECFG, speculative_k=4)
     params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
     for kw in ({'repetition_penalty': 1.3},
@@ -204,7 +229,113 @@ def test_spec_gate_excludes_logit_transforms():
                 1, [3, 4, 5, 3, 4, 5], gen_config=gen,
                 sequence_end=True).token_ids
             assert got == want, kw
-            assert got_eng.stats['spec_rounds'] == 0, kw
+            assert got_eng.stats['spec_rounds'] > 0, kw
         finally:
             want_eng.shutdown()
             got_eng.shutdown()
+
+
+def test_spec_transforms_excluded_when_sampled_spec_off():
+    """speculative_sampled=False restores the strict greedy-only gate:
+    penalized requests take the plain path."""
+    spec = dataclasses.replace(ECFG, speculative_k=4,
+                               speculative_sampled=False)
+    params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
+    eng = TPUEngine(CFG, spec, params)
+    try:
+        out = eng.create_instance().infer(
+            1, [3, 4, 5, 3, 4, 5], gen_config=GenerationConfig(
+                max_new_tokens=8, top_k=1, ignore_eos=True,
+                repetition_penalty=1.3), sequence_end=True)
+        assert len(out.token_ids) == 8
+        assert eng.stats['spec_rounds'] == 0
+    finally:
+        eng.shutdown()
+
+
+def test_spec_verify_sample_marginal_is_exact():
+    """The rejection-sampling verify must emit EXACTLY the plain-path
+    processed distribution at every position (speculation accelerates,
+    never approximates).  Checks the position-0 marginal, the acceptance
+    probability, and the position-1 marginal conditioned on acceptance
+    (whose penalty seen-set must include the accepted draft) against the
+    full-vocab oracle pipeline, over 8192 independent keys."""
+    from lmdeploy_tpu.ops.sampling import (SamplingState,
+                                           apply_repetition_penalty,
+                                           top_k_mask, top_p_mask)
+    from lmdeploy_tpu.ops.speculative import spec_verify_sample
+
+    rng = np.random.default_rng(0)
+    B, K, V = 2, 2, 64
+    logits = jnp.asarray(rng.normal(size=(B, K + 1, V)) * 2.0, jnp.float32)
+    draft = jnp.asarray([[3, 7], [10, 11]], jnp.int32)
+    smp = SamplingState.init(B, eos_id=1)
+    smp = dataclasses.replace(
+        smp,
+        top_k=jnp.asarray([8, 0], jnp.int32),        # slot1: full vocab
+        top_p=jnp.asarray([0.85, 1.0], jnp.float32),
+        temperature=jnp.asarray([0.7, 1.0], jnp.float32),
+        repetition_penalty=jnp.asarray([1.0, 1.4], jnp.float32))
+    hist = jnp.asarray(rng.integers(0, V, (B, 24)), jnp.int32)
+    hl = jnp.asarray([10, 12], jnp.int32)
+    gen = jnp.asarray([4, 6], jnp.int32)
+
+    def oracle(pos, hist_o, hl_o):
+        lg = logits[:, pos].astype(jnp.float32)
+        lg = apply_repetition_penalty(lg, hist_o, hl_o,
+                                      smp.repetition_penalty,
+                                      smp.presence_penalty)
+        lg = lg / smp.temperature[:, None]
+        lg = top_k_mask(lg, smp.top_k)
+        lg = top_p_mask(lg, smp.top_p)
+        return np.asarray(jax.nn.softmax(lg, axis=-1), np.float64)
+
+    p0 = oracle(0, hist, hl)
+    # position-1 context: history + the accepted draft[:, 0]
+    hist1 = hist.at[jnp.arange(B), hl].set(draft[:, 0])
+    p1 = oracle(1, hist1, hl + 1)
+
+    fn = jax.jit(lambda keys: spec_verify_sample(
+        logits, draft, smp, hist, hl, gen, keys))
+    keys = jax.random.split(jax.random.PRNGKey(42), (8192, B))
+    g, accept = jax.vmap(fn)(keys)
+    g, accept = np.asarray(g), np.asarray(accept)
+
+    for b in range(B):
+        emp0 = np.bincount(g[:, b, 0], minlength=V) / g.shape[0]
+        assert 0.5 * np.abs(emp0 - p0[b]).sum() < 0.06, b
+        # acceptance prob == p0(draft)
+        assert abs(accept[:, b, 0].mean() - p0[b, draft[b, 0]]) < 0.03, b
+        # conditional position-1 marginal given acceptance at 0
+        sel = g[accept[:, b, 0], b, 1]
+        if sel.size > 500:
+            emp1 = np.bincount(sel, minlength=V) / sel.size
+            assert 0.5 * np.abs(emp1 - p1[b]).sum() < 0.08, b
+
+
+def test_spec_verify_sample_greedy_degenerates_to_argmax():
+    """top_k==1 slots under the rejection-sampling verify must behave
+    exactly like the greedy match-or-correct rule, deterministically."""
+    from lmdeploy_tpu.ops.sampling import SamplingState
+    from lmdeploy_tpu.ops.speculative import spec_verify_sample
+
+    rng = np.random.default_rng(1)
+    B, K, V = 2, 2, 64
+    logits = jnp.asarray(rng.normal(size=(B, K + 1, V)), jnp.float32)
+    am = np.asarray(logits).argmax(-1)                 # [B, K+1]
+    # slot0 draft matches the argmax chain; slot1 diverges at 0
+    draft = jnp.asarray([[am[0, 0], am[0, 1]],
+                         [(am[1, 0] + 1) % V, am[1, 1]]], jnp.int32)
+    smp = SamplingState.init(B, eos_id=1)
+    smp = dataclasses.replace(smp, top_k=jnp.ones((B,), jnp.int32))
+    hist = jnp.zeros((B, 16), jnp.int32)
+    hl = jnp.asarray([4, 4], jnp.int32)
+    gen = jnp.asarray([2, 2], jnp.int32)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), (32, B))
+    g, accept = jax.vmap(lambda kk: spec_verify_sample(
+        logits, draft, smp, hist, hl, gen, kk))(keys)
+    g, accept = np.asarray(g), np.asarray(accept)
+    assert (g == am[None]).all()                      # always argmax
+    assert accept[:, 0].all()                         # matching drafts
+    assert not accept[:, 1, 0].any()                  # diverging draft
