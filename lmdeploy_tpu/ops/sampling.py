@@ -153,6 +153,26 @@ def min_p_mask(logits, min_p):
     return jnp.where(keep, logits, NEG_INF)
 
 
+def filter_candidates(vals, top_k, top_p, min_p):
+    """Apply the top-k -> top-p -> min-p mask cascade to desc-sorted
+    candidate logits ``vals`` [R, C] with per-row params [R].  One
+    top-k sort upstream feeds all three filters — shared by
+    ``sample_step`` and the speculative verify
+    (ops/speculative.spec_verify_sample) so the two paths cannot
+    drift."""
+    c = vals.shape[-1]
+    pos = jnp.arange(c)[None]
+    kk = jnp.where(top_k <= 0, c, jnp.clip(top_k, 1, c))[:, None]
+    vals = jnp.where(pos < kk, vals, NEG_INF)
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    inside = (cum - probs) < top_p[:, None]     # keeps >= 1 token
+    vals = jnp.where(inside, vals, NEG_INF)
+    cutoff = probs[:, :1] * min_p[:, None]      # max prob is first
+    return jnp.where((probs >= cutoff) | (min_p[:, None] <= 0.0),
+                     vals, NEG_INF)
+
+
 def _approx_topk() -> bool:
     """Blockwise candidates top-k (LMDEPLOY_TPU_APPROX_TOPK, default on;
     0 restores the exact full-vocab sort)."""
@@ -233,17 +253,7 @@ def sample_step(logits, state: SamplingState, history, history_len,
         vals, idx = jax.lax.approx_max_k(lg, c, recall_target=0.95)
     else:
         vals, idx = jax.lax.top_k(lg, c)              # [B, C] desc-sorted
-    pos = jnp.arange(c)[None]
-    kk = jnp.where(state.top_k <= 0, c,
-                   jnp.clip(state.top_k, 1, c))[:, None]
-    vals = jnp.where(pos < kk, vals, NEG_INF)
-    probs = jax.nn.softmax(vals, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    inside = (cum - probs) < state.top_p[:, None]     # keeps >= 1 token
-    vals = jnp.where(inside, vals, NEG_INF)
-    cutoff = probs[:, :1] * state.min_p[:, None]      # max prob is first
-    vals = jnp.where((probs >= cutoff) | (state.min_p[:, None] <= 0.0),
-                     vals, NEG_INF)
+    vals = filter_candidates(vals, state.top_k, state.top_p, state.min_p)
     tok_c = jax.vmap(lambda k, l: jax.random.categorical(k, l))(
         sample_keys, vals)                            # [B] candidate index
     tokens = jnp.take_along_axis(idx, tok_c[:, None], axis=1)[:, 0]
@@ -271,5 +281,6 @@ def make_rng_keys(seeds) -> jnp.ndarray:
 
 
 __all__ = ['SamplingState', 'sample_step', 'check_stop', 'make_rng_keys',
-           'apply_repetition_penalty', 'ban_words', 'top_k_mask',
-           'top_p_mask', 'min_p_mask', 'mask_eos_below_min_len']
+           'apply_repetition_penalty', 'ban_words', 'filter_candidates',
+           'top_k_mask', 'top_p_mask', 'min_p_mask',
+           'mask_eos_below_min_len']

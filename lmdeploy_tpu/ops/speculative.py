@@ -104,7 +104,7 @@ def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
     """
     from .sampling import (MAX_TOPK, NEG_INF, _approx_topk,
                            apply_repetition_penalty, ban_words,
-                           mask_eos_below_min_len)
+                           filter_candidates, mask_eos_below_min_len)
     b, kp1, v = logits.shape
     k = kp1 - 1
 
@@ -139,17 +139,9 @@ def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
         vals, idx = jax.lax.approx_max_k(lgf, c, recall_target=0.95)
     else:
         vals, idx = jax.lax.top_k(lgf, c)
-    # same filter cascade as sample_step's candidate pipeline
-    pos_c = jnp.arange(c)[None]
-    kk = jnp.where(smp.top_k <= 0, c, jnp.clip(smp.top_k, 1, c))
-    vals = jnp.where(pos_c < rep(kk)[:, None], vals, NEG_INF)
-    probs = jax.nn.softmax(vals, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    inside = (cum - probs) < rep(smp.top_p)[:, None]
-    vals = jnp.where(inside, vals, NEG_INF)
-    cutoff = probs[:, :1] * rep(smp.min_p)[:, None]
-    vals = jnp.where((probs >= cutoff) | (rep(smp.min_p)[:, None] <= 0.0),
-                     vals, NEG_INF)
+    # the exact filter cascade of sample_step's candidate pipeline
+    vals = filter_candidates(vals, rep(smp.top_k), rep(smp.top_p),
+                             rep(smp.min_p))
 
     vals3 = vals.reshape(b, kp1, c)
     idx3 = idx.reshape(b, kp1, c)
