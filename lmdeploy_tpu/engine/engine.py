@@ -160,15 +160,18 @@ class TPUEngine:
                 from ..kvcache.native import NativeSequenceManager, load
                 if load() is not None:
                     managers = [NativeSequenceManager(
-                        pages_local, page, engine_cfg.cache_max_entry_count)
+                        pages_local, page, engine_cfg.cache_max_entry_count,
+                        enable_prefix_cache=engine_cfg.enable_prefix_caching)
                         for _ in range(self.dp)]
             except Exception:
                 log.exception('native cache manager unavailable; '
                               'falling back to Python')
         if managers is None:
-            managers = [SequenceManager(PageAllocator(pages_local), page,
-                                        engine_cfg.cache_max_entry_count)
-                        for _ in range(self.dp)]
+            managers = [SequenceManager(
+                PageAllocator(pages_local), page,
+                engine_cfg.cache_max_entry_count,
+                enable_prefix_cache=engine_cfg.enable_prefix_caching)
+                for _ in range(self.dp)]
         self.seqs = GroupedSequenceManager(managers)
         self._scratch_id = -(1 << 40)  # logits-path scratch session ids
 
@@ -180,7 +183,7 @@ class TPUEngine:
                       'errors': 0, 'rejected': 0, 'timeout': 0,
                       'generated_tokens': 0, 'spec_rounds': 0,
                       'spec_emitted': 0, 'spec_fallbacks': 0,
-                      'interleaved_rounds': 0}
+                      'interleaved_rounds': 0, 'prefix_hit_tokens': 0}
         # adaptive speculative gating: EMA of accepted tokens/round;
         # below break-even the engine falls back to plain rounds and
         # re-probes after a cooloff (speculation must never cost more
@@ -571,9 +574,12 @@ class TPUEngine:
         else:
             seq = self.seqs.fetch(req.session_id)
             if req.step and req.step < len(seq.token_ids):
-                # rewind KV to an earlier step (interactive API)
+                # rewind KV to an earlier step (interactive API); shared
+                # prefix pages at/after the rewrite point are privatized
+                # (prefix caching invariant: shared pages are immutable)
                 seq.token_ids = seq.token_ids[:req.step]
-                seq.cache_len = min(seq.cache_len, req.step)
+                seq.cache_len = self.seqs.prepare_rewrite(
+                    seq, min(seq.cache_len, req.step))
 
         new_ids = list(map(int, req.input_ids))
         # cache-miss re-decode: evicted sequences lost pages, so everything
@@ -592,6 +598,16 @@ class TPUEngine:
             out_q.put(EngineOutput(ResponseType.INPUT_TOO_LONG, [], 0,
                                    finished=True))
             return
+
+        # cross-session prefix caching (beyond-reference, vLLM-style):
+        # a pageless sequence — fresh, or evicted and about to re-decode —
+        # attaches published pages covering its page-aligned prompt
+        # prefix and skips their prefill entirely
+        if self.ecfg.enable_prefix_caching and not seq.pages \
+                and seq.cache_len == 0:
+            hit = self.seqs.match_prefix(seq, all_ids)
+            if hit:
+                self.stats['prefix_hit_tokens'] += hit
 
         seq.active = True
         self.seqs.grow(seq, total_len)  # pages for the prompt
@@ -1020,6 +1036,13 @@ class TPUEngine:
             slot.seq.rng_key = np.asarray(
                 self.state.sampling.rng_key[slot_idx])
         self.state = self.fns.clear_slot(self.state, slot_idx)
+        if self.ecfg.enable_prefix_caching:
+            # publish the session's full KV pages into the prefix index
+            # (unbound from the slot now, so page adoption is safe even
+            # though erase may free the rest) — future sessions sharing
+            # the prompt prefix skip its prefill entirely
+            self.seqs.release(slot.seq)
+            self.seqs.publish(slot.seq)
         if slot.request.sequence_end:
             self.seqs.erase(slot.request.session_id)
         else:

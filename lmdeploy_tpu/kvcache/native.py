@@ -64,6 +64,15 @@ def load():
         'cm_set_rng': ([c.c_void_p, c.c_int64, c.c_uint32, c.c_uint32],
                        None),
         'cm_get_rng': ([c.c_void_p, c.c_int64, c.c_void_p], c.c_int32),
+        'cm_set_prefix_cache': ([c.c_void_p, c.c_int32], None),
+        'cm_match_prefix': ([c.c_void_p, c.c_int64, c.c_void_p, c.c_int32],
+                            c.c_int32),
+        'cm_publish': ([c.c_void_p, c.c_int64], None),
+        'cm_prepare_rewrite': ([c.c_void_p, c.c_int64, c.c_int32],
+                               c.c_int32),
+        'cm_flush_prefix': ([c.c_void_p], None),
+        'cm_prefix_stats': ([c.c_void_p, c.c_void_p, c.c_void_p], None),
+        'cm_shared_pages': ([c.c_void_p, c.c_int64], c.c_int32),
     }
     for name, (argtypes, restype) in sig.items():
         fn = getattr(lib, name)
@@ -142,6 +151,11 @@ class NativeSequence:
         return self._mgr._lib.cm_get_tokens(self._mgr._h, self.seq_id,
                                             None, 0)
 
+    @property
+    def shared_pages(self) -> int:
+        return max(0, self._mgr._lib.cm_shared_pages(self._mgr._h,
+                                                     self.seq_id))
+
 
 class _TokenList:
     """List-like view over the native token history (supports the engine's
@@ -190,12 +204,15 @@ class NativeSequenceManager:
     """Drop-in for kvcache.manager.SequenceManager over the C++ core."""
 
     def __init__(self, num_pages: int, page_size: int,
-                 max_entries: int = 0):
+                 max_entries: int = 0, enable_prefix_cache: bool = True):
         self._lib = load()
         assert self._lib is not None, 'libtpucache.so unavailable'
         self._h = self._lib.cm_create(num_pages, page_size, max_entries)
         self.page_size = page_size
         self.num_pages = num_pages
+        self.enable_prefix_cache = enable_prefix_cache
+        if not enable_prefix_cache:
+            self._lib.cm_set_prefix_cache(self._h, 0)
 
     def __del__(self):
         try:
@@ -237,6 +254,45 @@ class NativeSequenceManager:
 
     def truncate(self, seq: NativeSequence, n: int) -> None:
         self._lib.cm_truncate_tokens(self._h, seq.seq_id, int(n))
+
+    # -- prefix caching (mirrors manager.SequenceManager) -------------------
+
+    def match_prefix(self, seq: NativeSequence, all_ids) -> int:
+        arr = np.asarray(list(all_ids), np.int32)
+        r = self._lib.cm_match_prefix(
+            self._h, seq.seq_id, arr.ctypes.data_as(ctypes.c_void_p),
+            len(arr))
+        return max(0, r)
+
+    def publish(self, seq: NativeSequence) -> None:
+        self._lib.cm_publish(self._h, seq.seq_id)
+
+    def prepare_rewrite(self, seq: NativeSequence,
+                        new_cache_len: int) -> int:
+        r = self._lib.cm_prepare_rewrite(self._h, seq.seq_id,
+                                         int(new_cache_len))
+        if r < 0:
+            raise NoFreePages(f'cannot privatize seq {seq.seq_id}')
+        return r
+
+    def flush_prefix(self) -> None:
+        self._lib.cm_flush_prefix(self._h)
+
+    @property
+    def prefix_hits(self) -> int:
+        h = ctypes.c_int64(0)
+        lo = ctypes.c_int64(0)
+        self._lib.cm_prefix_stats(self._h, ctypes.byref(h),
+                                  ctypes.byref(lo))
+        return h.value
+
+    @property
+    def prefix_lookups(self) -> int:
+        h = ctypes.c_int64(0)
+        lo = ctypes.c_int64(0)
+        self._lib.cm_prefix_stats(self._h, ctypes.byref(h),
+                                  ctypes.byref(lo))
+        return lo.value
 
 
 __all__ = ['NativeSequenceManager', 'NativeSequence', 'NoFreePages',
