@@ -237,14 +237,18 @@ class CacheManager {
     return s.cache_len;
   }
 
-  // Publish every full cached page into the index (adopting existing
-  // copies).  Only safe when the sequence is not bound to a batch slot.
+  // Publish every full cached page into the index.  Adoption of an
+  // existing copy is only safe when the sequence is not bound to a
+  // batch slot (the device page row is rebuilt at next admission); an
+  // ACTIVE sequence publishes insert-only — its pages become shareable
+  // right after prefill, duplicates dedupe at retirement.
   void publish(int64_t id) {
     std::lock_guard<std::mutex> g(mu_);
     auto it = seqs_.find(id);
     if (it == seqs_.end()) return;
     Sequence& s = it->second;
-    if (!prefix_enabled_ || s.active) return;
+    if (!prefix_enabled_) return;
+    const bool adopt = !s.active;
     int32_t full = s.cache_len / page_size_;
     if (full > static_cast<int32_t>(s.pages.size()))
       full = static_cast<int32_t>(s.pages.size());
@@ -260,6 +264,13 @@ class CacheManager {
           std::memcmp(pit->second.tokens.data(), span,
                       page_size_ * sizeof(int32_t)) == 0) {
         if (pit->second.page != s.pages[i]) {
+          if (!adopt) {
+            // keep the private duplicate while the device page row
+            // points at it; shared_upto must not advance past it
+            // (leading-prefix ownership invariant) — stop here.
+            pit->second.stamp = ++clock_;
+            break;
+          }
           if (i < s.shared)
             deref_locked(s.pages[i]);
           else

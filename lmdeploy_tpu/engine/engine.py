@@ -810,6 +810,12 @@ class TPUEngine:
             slot.seq.cache_len = start + len(ids)
             slot.prefilling = False
             self.state = self.fns.set_active(self.state, slot_idx, True)
+            if self.ecfg.enable_prefix_caching:
+                # insert-only publish (sequence still active): the
+                # freshly prefilled prompt becomes shareable NOW, not at
+                # retirement — followers of a long-running generation
+                # skip its prompt prefill
+                self.seqs.publish(slot.seq)
         # the freshly activated slots deserve a short first round (TTFT)
         self._fresh_admission = True
 

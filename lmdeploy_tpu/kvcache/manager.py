@@ -278,11 +278,16 @@ class SequenceManager:
         """Publish every full cached page of ``seq`` into the prefix
         index.  Pages whose digest is already published are swapped for
         the existing copy (the duplicate goes back to the allocator) —
-        only safe when the sequence is NOT bound to a batch slot (the
-        device page-table row is rebuilt at next admission)."""
+        adoption is only safe when the sequence is NOT bound to a batch
+        slot (the device page-table row is rebuilt at next admission),
+        so an ACTIVE sequence publishes in insert-only mode: new content
+        becomes shareable immediately after its prefill (long-running
+        generations expose their prompt to followers without waiting for
+        retirement), duplicates are deduped at retirement."""
         ps = self.page_size
-        if not self.enable_prefix_cache or seq.active:
+        if not self.enable_prefix_cache:
             return
+        adopt = not seq.active
         full = min(seq.cache_len // ps, len(seq.pages))
         now = time.monotonic()
         shared_upto = seq.shared_pages
@@ -294,6 +299,13 @@ class SequenceManager:
                 ent = self._prefix.get(d)
                 if ent is not None and ent.tokens == span:
                     if ent.page != seq.pages[i]:
+                        if not adopt:
+                            # keep the private duplicate while the
+                            # device page row points at it; dedupe at
+                            # retirement.  shared_upto must NOT advance
+                            # past this unpublished page.
+                            ent.last_use = now
+                            break
                         # adopt the published copy, drop the duplicate
                         if i < seq.shared_pages:
                             self._deref_locked(seq.pages[i])

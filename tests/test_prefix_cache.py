@@ -212,3 +212,39 @@ def test_engine_prefix_cache_sampled_reproducible():
 
     off = dataclasses.replace(ECFG, enable_prefix_caching=False)
     assert drive(ECFG, 10) == drive(off, 20)
+
+
+def test_engine_publishes_prompt_during_generation():
+    """A long-running generation's prompt must be shareable right after
+    its prefill (insert-only publish), not just at retirement."""
+    import threading
+    import time as _t
+
+    params = init_params(CFG, jax.random.PRNGKey(2), jnp.float32)
+    eng = TPUEngine(CFG, ECFG, params)
+    try:
+        inst = eng.create_instance()
+        gen_long = GenerationConfig(max_new_tokens=40, top_k=1,
+                                    ignore_eos=True)
+        gen_a = inst.stream_infer(1, SYSTEM + [101], gen_long,
+                                  sequence_end=True)
+        next(gen_a)                       # A prefilled, mid-generation
+        results = {}
+
+        def run_b():
+            results['b'] = inst.infer(
+                2, SYSTEM + [107], gen_config=GenerationConfig(
+                    max_new_tokens=4, top_k=1, ignore_eos=True),
+                sequence_end=True).token_ids
+
+        tb = threading.Thread(target=run_b)
+        tb.start()
+        for _ in gen_a:
+            pass
+        tb.join()
+        assert len(results['b']) == 4
+        # B admitted while A was still generating: its prefix hit must
+        # come from A's insert-only publish
+        assert eng.stats['prefix_hit_tokens'] >= 16
+    finally:
+        eng.shutdown()
