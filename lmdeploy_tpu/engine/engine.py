@@ -873,14 +873,14 @@ class TPUEngine:
         #                  plain-path marginal at every position).
         #   'full'       — a top_k<=0 slot needs the exact full-vocab
         #                  sort (no top-1024 truncation).
-        # Only output_logprobs slots are excluded (the spec path has no
-        # per-token logprob stream).
+        # output_logprobs slots are served too: the packed rounds carry
+        # a per-token logprob plane (greedy logprobs are exactly 0, the
+        # plain path's convention).
         running = len(cfgs)
         spec_mode = None
         if self.ecfg.speculative_k > 0 and cfgs \
                 and running * (self.ecfg.speculative_k + 1) \
-                <= self.SPEC_MAX_VERIFY_ROWS \
-                and not any(g.output_logprobs for g in cfgs):
+                <= self.SPEC_MAX_VERIFY_ROWS:
             if all((g.top_k or 0) == 1 and g.repetition_penalty == 1.0
                    and g.presence_penalty == 0.0 and not g.bad_words
                    and g.min_new_tokens == 0 for g in cfgs):
@@ -936,7 +936,7 @@ class TPUEngine:
             self.params, self.cache, self.state, num_rounds=rounds,
             k_draft=kd, ngram=self.ecfg.speculative_ngram,
             sampling=sampling)
-        arr = np.asarray(packed)            # [R, 2*kp1+3, B]
+        arr = np.asarray(packed)            # [R, 3*kp1+3, B]
         # adaptive gating: EMA of per-slot accepted tokens/round over
         # this dispatch; below break-even, cool off to plain rounds.
         # Short dispatches (the TTFT ramp's 1-round burst right after
@@ -955,18 +955,20 @@ class TPUEngine:
                 self._spec_cooloff = self.SPEC_COOLOFF_DISPATCHES
         for r in range(arr.shape[0]):
             g, fin, n = arr[r, :kp1], arr[r, kp1:2 * kp1], arr[r, 2 * kp1]
+            logp = np.ascontiguousarray(
+                arr[r, 2 * kp1 + 1:3 * kp1 + 1]).view(np.float32)
             # per-round rng snapshot (keys advance once per spec round):
             # a slot retired by a host stop sequence during round r saves
             # the key as of round r, not dispatch end
             self._rng_now = np.ascontiguousarray(
-                arr[r, 2 * kp1 + 1:2 * kp1 + 3].T).view(np.uint32)
+                arr[r, 3 * kp1 + 1:3 * kp1 + 3].T).view(np.uint32)
             self.stats['spec_rounds'] += 1
             self.stats['spec_emitted'] += int(n.sum())
             for t in range(kp1):
                 mask = t < n
                 if not mask.any():
                     break
-                self._emit(g[t], fin[t], None, mask=mask)
+                self._emit(g[t], fin[t], logp[t], mask=mask)
                 if not any(s is not None and not s.done
                            for s in self.slots):
                     return

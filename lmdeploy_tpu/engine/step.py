@@ -204,8 +204,10 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
     if sampling == 'greedy':
         g = greedy_argmax(logits)                             # [B, K+1]
         match = (draft == g[:, :-1]) & run[:, None]           # [B, K]
+        # a top_k==1 post-filter candidate set is {argmax}: logprob 0
+        logp = jnp.zeros(g.shape, jnp.float32)
     else:
-        g, accept = spec_verify_sample(
+        g, accept, logp = spec_verify_sample(
             logits, draft, smp, state.history, state.history_len,
             state.generated, split[:, 1], mode=sampling)
         match = accept & run[:, None]                         # [B, K]
@@ -241,7 +243,7 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
         history=history, history_len=state.history_len + n,
         generated=state.generated + n, finished=finished,
         sampling=new_smp)
-    return cache, new_state, g, fin_emit, n
+    return cache, new_state, g, fin_emit, n, logp
 
 
 def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
@@ -250,25 +252,29 @@ def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
                        axis: str = None, sampling: str = 'greedy'):
     """``num_rounds`` speculative rounds in one device program.
 
-    Returns (cache, state, packed int32 [R, 2*(K+1)+3, B]): per round,
+    Returns (cache, state, packed int32 [R, 3*(K+1)+3, B]): per round,
     rows [0:K+1] = candidate tokens, rows [K+1:2K+2] = per-token finish
-    flags, row 2K+2 = emitted count, rows [2K+3:2K+5] = the rng key AFTER
-    this round (per-round snapshot: a slot retired mid-dispatch by a
-    host-side stop sequence must save the key as of ITS round, matching
-    decode_steps' per-substep rng planes / the reference's curand save at
-    the exact stop step, LlamaBatch.cc:1097).
+    flags, row 2K+2 = emitted count, rows [2K+3:3K+4] = per-token logprob
+    f32 bits (the plain path's logprob stream, logprob_kernels.cu
+    analogue), rows [3K+4:3K+6] = the rng key AFTER this round
+    (per-round snapshot: a slot retired mid-dispatch by a host-side stop
+    sequence must save the key as of ITS round, matching decode_steps'
+    per-substep rng planes / the reference's curand save at the exact
+    stop step, LlamaBatch.cc:1097).
     """
     kp1 = k_draft + 1
 
     def body(carry, _):
         cache, state = carry
-        cache, state, g, fin_emit, n = spec_decode_round(
+        cache, state, g, fin_emit, n, logp = spec_decode_round(
             params, cache, state, cfg, k_draft=k_draft, ngram=ngram,
             use_pallas_attn=use_pallas_attn, axis=axis, sampling=sampling)
         rng = jax.lax.bitcast_convert_type(state.sampling.rng_key,
                                            jnp.int32).T        # [2, B]
+        lp = jax.lax.bitcast_convert_type(logp.astype(jnp.float32),
+                                          jnp.int32).T         # [kp1, B]
         row = jnp.concatenate([g.T, fin_emit.astype(jnp.int32).T,
-                               n[None], rng], axis=0)  # [2*kp1+3, B]
+                               n[None], lp, rng], axis=0)  # [3*kp1+3, B]
         return (cache, state), row
 
     (cache, state), packed = jax.lax.scan(body, (cache, state),

@@ -99,8 +99,11 @@ def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
       mode: 'candidates' (top-1024 pipeline) or 'full' (exact full-vocab
         sort for top_k<=0 slots) — mirrors sample_step's static modes.
     Returns:
-      (g int32 [B, K+1], accept bool [B, K]): g[:, i] = draft token where
-      accepted else the rejection resample; g[:, K] = the bonus sample.
+      (g int32 [B, K+1], accept bool [B, K], logp f32 [B, K+1]):
+      g[:, i] = draft token where accepted else the rejection resample;
+      g[:, K] = the bonus sample; logp[:, i] = log p_i(g_i) under the
+      processed distribution (the plain path's logprob semantics — a
+      top_k==1 slot gets exactly 0).
     """
     from .sampling import (MAX_TOPK, NEG_INF, _approx_topk,
                            apply_repetition_penalty, ban_words,
@@ -166,7 +169,13 @@ def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
     samp = jnp.take_along_axis(idx3, tok_c[..., None], axis=-1)[..., 0]
     g = jnp.concatenate(
         [jnp.where(accept, draft, samp[:, :k]), samp[:, k:]], axis=1)
-    return g.astype(jnp.int32), accept
+    g = g.astype(jnp.int32)
+    # emitted-token logprob under the PROCESSED distribution (plain-path
+    # semantics: the token's probability after all filters, NOT the
+    # residual it may have been resampled from)
+    p_g = jnp.sum(jnp.where(idx3 == g[..., None], probs_f, 0.0), axis=-1)
+    logp = jnp.log(jnp.maximum(p_g, 1e-30))
+    return g, accept, logp
 
 
 def greedy_argmax(logits: jnp.ndarray) -> jnp.ndarray:

@@ -171,20 +171,29 @@ def test_spec_adaptive_fallback_on_low_acceptance():
     assert stats['spec_emitted'] < len(got)    # plain rounds did the rest
 
 
-def test_spec_skips_logprobs_requests():
-    """output_logprobs needs the per-token logprob stream — such
-    requests must take the normal path even when greedy."""
+def test_spec_serves_logprobs_requests():
+    """The packed spec rounds carry a per-token logprob plane, so
+    output_logprobs requests ride speculation: greedy logprobs are
+    exactly 0 (the plain path's convention) with token-identical
+    streams; sampled logprobs are finite and <= 0."""
     spec = dataclasses.replace(ECFG, speculative_k=4)
     params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
+    want, _ = _run(ECFG, [3, 4, 5, 3, 4, 5], 99, max_new=6)
     eng = TPUEngine(CFG, spec, params)
     try:
         inst = eng.create_instance()
         out = inst.infer(11, [3, 4, 5, 3, 4, 5], gen_config=GenerationConfig(
             max_new_tokens=6, top_k=1, ignore_eos=True,
             output_logprobs=True), sequence_end=True)
-        assert len(out.token_ids) == 6
-        assert out.logprobs is not None and len(out.logprobs) == 6
-        assert eng.stats['spec_rounds'] == 0
+        assert out.token_ids == want
+        assert out.logprobs == [0.0] * 6
+        assert eng.stats['spec_rounds'] > 0
+        samp = inst.infer(12, [3, 4, 5, 3, 4, 5], gen_config=GenerationConfig(
+            max_new_tokens=6, top_k=20, top_p=0.9, temperature=0.9,
+            random_seed=3, ignore_eos=True, output_logprobs=True),
+            sequence_end=True)
+        assert len(samp.logprobs) == len(samp.token_ids) == 6
+        assert all(np.isfinite(lp) and lp <= 0.0 for lp in samp.logprobs)
     finally:
         eng.shutdown()
 
@@ -298,8 +307,12 @@ def test_spec_verify_sample_marginal_is_exact():
     fn = jax.jit(lambda keys: spec_verify_sample(
         logits, draft, smp, hist, hl, gen, keys))
     keys = jax.random.split(jax.random.PRNGKey(42), (8192, B))
-    g, accept = jax.vmap(fn)(keys)
-    g, accept = np.asarray(g), np.asarray(accept)
+    g, accept, logp = jax.vmap(fn)(keys)
+    g, accept, logp = np.asarray(g), np.asarray(accept), np.asarray(logp)
+    # emitted-token logprob == log p0 of that token (plain-path semantics)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.exp(logp[:100, b, 0]), p0[b, g[:100, b, 0]], rtol=2e-3)
 
     for b in range(B):
         emp0 = np.bincount(g[:, b, 0], minlength=V) / g.shape[0]
@@ -333,9 +346,10 @@ def test_spec_verify_sample_greedy_degenerates_to_argmax():
     gen = jnp.asarray([2, 2], jnp.int32)
 
     keys = jax.random.split(jax.random.PRNGKey(7), (32, B))
-    g, accept = jax.vmap(lambda kk: spec_verify_sample(
+    g, accept, logp = jax.vmap(lambda kk: spec_verify_sample(
         logits, draft, smp, hist, hl, gen, kk))(keys)
-    g, accept = np.asarray(g), np.asarray(accept)
+    g, accept, logp = np.asarray(g), np.asarray(accept), np.asarray(logp)
     assert (g == am[None]).all()                      # always argmax
     assert accept[:, 0].all()                         # matching drafts
     assert not accept[:, 1, 0].any()                  # diverging draft
+    assert (logp == 0.0).all()                        # top_k==1 -> log 1
