@@ -89,7 +89,9 @@ class EngineConfig:
     # prefill chunk passes so running sessions keep streaming during a
     # long admission (SARATHI-style chunked-prefill scheduling; 0 = off)
     speculative_k: int = 0               # prompt-lookup draft length; 0=off
-    speculative_ngram: int = 3           # suffix length for draft lookup
+    speculative_ngram: int = 3           # longest suffix for draft lookup
+    speculative_ngram_min: int = 2       # cascade floor: fall back to
+    # shorter suffix matches (longest wins); == ngram disables cascade
     speculative_sampled: bool = True     # rejection-sampling verify for
     # sampled slots (exact marginals); False restricts spec to greedy
     enable_prefix_caching: bool = True   # cross-session shared prompt-

@@ -935,7 +935,7 @@ class TPUEngine:
         self.cache, self.state, packed = self.fns.spec_decode_rounds(
             self.params, self.cache, self.state, num_rounds=rounds,
             k_draft=kd, ngram=self.ecfg.speculative_ngram,
-            sampling=sampling)
+            ngram_min=self.ecfg.speculative_ngram_min, sampling=sampling)
         arr = np.asarray(packed)            # [R, 3*kp1+3, B]
         # adaptive gating: EMA of per-slot accepted tokens/round over
         # this dispatch; below break-even, cool off to plain rounds.

@@ -153,8 +153,8 @@ def decode_steps(params, cache: KVCache, state: DecodeState,
 
 def spec_decode_round(params, cache: KVCache, state: DecodeState,
                       cfg: ModelConfig, *, k_draft: int, ngram: int = 3,
-                      use_pallas_attn: bool = False, axis: str = None,
-                      sampling: str = 'greedy'):
+                      ngram_min: int = 0, use_pallas_attn: bool = False,
+                      axis: str = None, sampling: str = 'greedy'):
     """One speculative round for every running slot: propose ``k_draft``
     tokens by in-jit prompt lookup, verify all of them plus the model's
     own next token in ONE [B, K+1]-position forward, accept the matched
@@ -181,7 +181,7 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
     cap = state.history.shape[1]
     run = state.active & ~state.finished
     draft = ngram_propose(state.history, state.history_len, k_draft,
-                          ngram)                              # [B, K]
+                          ngram, ngram_min)                   # [B, K]
     ids = jnp.concatenate([state.tokens[:, None], draft], axis=1)
     t_idx = jnp.arange(kp1, dtype=jnp.int32)[None]
     pos = state.context_len[:, None] + t_idx                  # [B, K+1]
@@ -248,7 +248,8 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
 
 def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
                        cfg: ModelConfig, *, num_rounds: int, k_draft: int,
-                       ngram: int = 3, use_pallas_attn: bool = False,
+                       ngram: int = 3, ngram_min: int = 0,
+                       use_pallas_attn: bool = False,
                        axis: str = None, sampling: str = 'greedy'):
     """``num_rounds`` speculative rounds in one device program.
 
@@ -268,7 +269,8 @@ def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
         cache, state = carry
         cache, state, g, fin_emit, n, logp = spec_decode_round(
             params, cache, state, cfg, k_draft=k_draft, ngram=ngram,
-            use_pallas_attn=use_pallas_attn, axis=axis, sampling=sampling)
+            ngram_min=ngram_min, use_pallas_attn=use_pallas_attn,
+            axis=axis, sampling=sampling)
         rng = jax.lax.bitcast_convert_type(state.sampling.rng_key,
                                            jnp.int32).T        # [2, B]
         lp = jax.lax.bitcast_convert_type(logp.astype(jnp.float32),
@@ -472,7 +474,8 @@ class CompiledStepFns:
             static_argnames=('num_steps', 'sampling_mode'))
         self.spec_decode_rounds = jax.jit(
             partial(spec_decode_rounds, **kw), donate_argnums=(1, 2),
-            static_argnames=('num_rounds', 'k_draft', 'ngram', 'sampling'))
+            static_argnames=('num_rounds', 'k_draft', 'ngram',
+                             'ngram_min', 'sampling'))
         self.prefill_chunk = jax.jit(
             partial(prefill_chunk, **kw), donate_argnums=(1,))
         self.prefill_chunks = jax.jit(

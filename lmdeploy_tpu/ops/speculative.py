@@ -15,23 +15,9 @@ import jax
 import jax.numpy as jnp
 
 
-def ngram_propose(history: jnp.ndarray, history_len: jnp.ndarray,
-                  k: int, ngram: int = 3) -> jnp.ndarray:
-    """Propose ``k`` draft tokens per slot by prompt lookup.
-
-    Finds the most recent earlier position whose preceding ``ngram``
-    tokens equal the current suffix and proposes the tokens that followed
-    it (vLLM-style prompt-lookup decoding, device-side).
-
-    Args:
-      history: int32 [B, S] token history; history[:, :history_len] valid,
-        ending with the current last token.
-      history_len: int32 [B].
-      k: draft length.
-      ngram: suffix length to match.
-    Returns int32 [B, k] drafts (zeros when no match — they simply get
-    rejected by verification, which costs nothing extra).
-    """
+def _ngram_match_pos(history, history_len, ngram: int):
+    """Most recent position whose preceding ``ngram`` tokens equal the
+    current suffix; -1 where none.  Returns int32 [B]."""
     b, s = history.shape
     pos = jnp.arange(s)
 
@@ -50,10 +36,47 @@ def ngram_propose(history: jnp.ndarray, history_len: jnp.ndarray,
     # leave the suffix itself out (otherwise it trivially matches itself)
     match &= (pos[None] < history_len[:, None] - 1) \
         & (pos[None] >= ngram)
+    # a suffix shorter than ngram (fresh session) must not match
+    long_enough = history_len >= ngram + 1
 
     # most recent match: max masked index
     j = jnp.max(jnp.where(match, pos[None], -1), axis=1)        # [B]
+    return jnp.where(long_enough, j, -1)
+
+
+def ngram_propose(history: jnp.ndarray, history_len: jnp.ndarray,
+                  k: int, ngram: int = 3, ngram_min: int = 0) -> jnp.ndarray:
+    """Propose ``k`` draft tokens per slot by prompt lookup.
+
+    Finds the most recent earlier position whose preceding suffix equals
+    the current suffix and proposes the tokens that followed it
+    (vLLM-style prompt-lookup decoding, device-side).  With
+    ``ngram_min`` < ``ngram`` the lookup CASCADES longest-match-first:
+    an ``ngram``-token suffix match is preferred (more context, higher
+    acceptance), falling back to shorter suffixes down to ``ngram_min``
+    so slots without a long match still get a draft.  The extra match
+    passes are trivial elementwise work over the device-resident
+    history — acceptance is what the verify round's HBM bytes buy.
+
+    Args:
+      history: int32 [B, S] token history; history[:, :history_len] valid,
+        ending with the current last token.
+      history_len: int32 [B].
+      k: draft length.
+      ngram: longest suffix length to try.
+      ngram_min: shortest suffix length to fall back to (0/None -> no
+        cascade, exactly ``ngram`` like the classic formulation).
+    Returns int32 [B, k] drafts (zeros when no match — they simply get
+    rejected by verification, which costs nothing extra).
+    """
+    b, s = history.shape
+    lo = ngram_min if ngram_min and ngram_min < ngram else ngram
+    j = jnp.full((b,), -1, jnp.int32)
+    for n in range(ngram, lo - 1, -1):     # longest match wins
+        jn = _ngram_match_pos(history, history_len, n)
+        j = jnp.where(j >= 0, j, jn)
     has = j >= 0
+    j = jnp.maximum(j, 0)
 
     draft_idx = j[:, None] + jnp.arange(k)[None]                # [B, k]
     draft_idx = jnp.minimum(draft_idx, s - 1)

@@ -308,10 +308,11 @@ class ShardedStepFns:
         self._decode_steps_cache = {}
 
         def make_spec_rounds(params_spec, num_rounds, k_draft, ngram,
-                             sampling='greedy'):
+                             ngram_min=0, sampling='greedy'):
             fn = partial(_step.spec_decode_rounds, cfg=cfg, axis=TP_AXIS,
                          num_rounds=num_rounds, k_draft=k_draft,
-                         ngram=ngram, use_pallas_attn=use_pallas_attn,
+                         ngram=ngram, ngram_min=ngram_min,
+                         use_pallas_attn=use_pallas_attn,
                          sampling=sampling)
             return jax.jit(
                 smap(fn, in_specs=(params_spec, pspecs_cache, rep),
@@ -381,8 +382,8 @@ class ShardedStepFns:
 
     def spec_decode_rounds(self, params, cache, state, num_rounds: int,
                            k_draft: int, ngram: int = 3,
-                           sampling: str = 'greedy'):
-        key = (num_rounds, k_draft, ngram, sampling)
+                           ngram_min: int = 0, sampling: str = 'greedy'):
+        key = (num_rounds, k_draft, ngram, ngram_min, sampling)
         fn = self._spec_rounds_cache.get(key)
         if fn is None:
             fn = self._make_spec_rounds(param_pspecs(params), *key)

@@ -353,3 +353,26 @@ def test_spec_verify_sample_greedy_degenerates_to_argmax():
     assert accept[:, 0].all()                         # matching drafts
     assert not accept[:, 1, 0].any()                  # diverging draft
     assert (logp == 0.0).all()                        # top_k==1 -> log 1
+
+
+def test_ngram_cascade_falls_back_to_shorter_match():
+    """Longest-match-first cascade: a slot with only a 2-gram match gets
+    a draft when ngram_min=2, none at fixed ngram=3; a slot with both
+    prefers the 3-gram match."""
+    from lmdeploy_tpu.ops.speculative import ngram_propose
+    hist = np.zeros((2, 32), np.int32)
+    # slot 0: suffix (8, 9); (8,9) seen earlier followed by 5 5; the
+    # 3-gram suffix (7, 8, 9)... make sure no 3-gram match: earlier
+    # context before (8,9) is 1, suffix context is 7.
+    hist[0, :9] = [1, 8, 9, 5, 5, 2, 7, 8, 9]
+    # slot 1: full 3-gram repeat (5, 6, 7) -> followed by 9 8
+    hist[1, :11] = [5, 6, 7, 9, 8, 1, 1, 2, 5, 6, 7]
+    hl = np.asarray([9, 11], np.int32)
+    fixed = np.asarray(ngram_propose(jnp.asarray(hist), jnp.asarray(hl),
+                                     k=2, ngram=3))
+    assert fixed[0].tolist() == [0, 0]          # no 3-gram match
+    assert fixed[1].tolist() == [9, 8]
+    casc = np.asarray(ngram_propose(jnp.asarray(hist), jnp.asarray(hl),
+                                    k=2, ngram=3, ngram_min=2))
+    assert casc[0].tolist() == [5, 5]           # 2-gram fallback fired
+    assert casc[1].tolist() == [9, 8]           # 3-gram still preferred
