@@ -60,6 +60,14 @@ def _fused_write_enabled() -> bool:
     return os.environ.get('LMDEPLOY_TPU_FUSED_ATTN', '1') == '1'
 
 
+def _fused_rope_enabled() -> bool:
+    """Rope fused INTO the decode append+attend kernel (one kernel per
+    layer, like the reference mmha cuh:1381-1434).  Off until measured
+    on-chip; enable via LMDEPLOY_TPU_FUSED_ROPE=1."""
+    import os
+    return os.environ.get('LMDEPLOY_TPU_FUSED_ROPE', '0') == '1'
+
+
 def vocab_padded(cfg: ModelConfig, tp: int = 1) -> int:
     """Pad vocab to a multiple of 128*tp so the TP-split lm_head tiles the
     MXU (reference pads to a multiple of tp: LlamaV2.cc:96-97)."""
@@ -188,6 +196,19 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
 
     kq = (cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)
 
+    # decode-only full fusion: rope rides inside the append+attend kernel;
+    # the full-width cos/sin tables are position-only and layer-invariant,
+    # built once here
+    fused_rope = (use_pallas_attn and is_decode and _fused_write_enabled()
+                  and _fused_rope_enabled())
+    if fused_rope:
+        from ..ops.pallas.paged_attention import rope_full_tables
+        cos_f, sin_f = rope_full_tables(rope_tabs[0][:, 0],
+                                        rope_tabs[1][:, 0], dh)
+        logn = rope_tabs[2]
+        qscale = (logn[:, 0].astype(jnp.float32) if logn is not None
+                  else jnp.ones((b,), jnp.float32))
+
     # TRUE sub-byte weights stay OUT of the scan xs: an xs dynamic-slice
     # feeding a pallas_call would materialize a per-layer copy, so the
     # packed [L, K/2, N] arrays are closed over whole and the kernel's
@@ -219,14 +240,28 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
         x = rms_norm(h, lw['attn_norm'], cfg.norm_eps)
         qkv = lin(x, 'wqkv', lw.get('bqkv'))
         q, k, v = _split_qkv(qkv, cfg, tp)
-        q, k = apply_rope_qk(q, k, rope_tabs)   # tables hoisted (below)
+        if not fused_rope:
+            q, k = apply_rope_qk(q, k, rope_tabs)  # tables hoisted (below)
         fused_write = (use_pallas_attn and is_decode
                        and _fused_write_enabled())
         if not fused_write:
             cache_k, cache_v = write_kv(cache_k, cache_v, layer, k, v,
                                         batch.positions, batch.page_table,
                                         batch.valid, qparams)
-        if fused_write:
+        if fused_rope:
+            # rope + append + attend, one kernel per layer (mmha parity:
+            # cuh:1381-1434); q/k arrive unrotated
+            from ..ops.pallas.paged_attention import \
+                paged_decode_attention_rope_write
+            qp4 = jnp.stack([k_scale, k_zp, v_scale, v_zp])
+            cache_k, cache_v, o = paged_decode_attention_rope_write(
+                q[:, 0], k[:, 0], v[:, 0], cos_f, sin_f, qscale,
+                cache_k, cache_v, layer, batch.page_table,
+                batch.context_len, batch.valid[:, 0], qp4,
+                half=cfg.rotary_embedding // 2,
+                quantized=cache.quantized)
+            o = o[:, None]
+        elif fused_write:
             # fused append+attend kernel: the reference mmha's design
             # (store at cuh:1434 + attend in one kernel); kills the
             # per-layer XLA scatter

@@ -26,24 +26,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _decode_kernel(page_tables_ref, ctx_len_ref, layer_ref,  # scalar prefetch
-                   q_ref, k_hbm, v_hbm, qp_ref,              # inputs
-                   o_ref,                                    # output
-                   k_buf, v_buf, sem,                        # scratch
-                   *, page_size: int, kh: int, g: int, dh: int,
-                   quantized: bool, scale: float):
-    b = pl.program_id(0)
-    ctx = ctx_len_ref[b]
-    layer = layer_ref[0]
-    num_pages = jax.lax.div(ctx + page_size - 1, page_size)
+def _online_attend(b, ctx, layer, q, page_tables_ref, k_src, v_src,
+                   k_buf, v_buf, sem, qp_ref, *, page_size: int, kh: int,
+                   g: int, dh: int, quantized: bool):
+    """Shared double-buffered page walk + fp32 online-softmax attend.
 
-    q = q_ref[:].astype(jnp.float32) * scale             # [KH*G, Dh]
+    q: [KH*G, Dh] float32, already scaled.  Returns [KH*G, Dh] float32.
+    """
+    num_pages = jax.lax.div(ctx + page_size - 1, page_size)
 
     def dma(slot, page_idx):
         phys = page_tables_ref[b, page_idx]
-        return (pltpu.make_async_copy(k_hbm.at[layer, phys], k_buf.at[slot],
+        return (pltpu.make_async_copy(k_src.at[layer, phys], k_buf.at[slot],
                                       sem.at[slot, 0]),
-                pltpu.make_async_copy(v_hbm.at[layer, phys], v_buf.at[slot],
+                pltpu.make_async_copy(v_src.at[layer, phys], v_buf.at[slot],
                                       sem.at[slot, 1]))
 
     for c in dma(0, 0):
@@ -92,7 +88,23 @@ def _decode_kernel(page_tables_ref, ctx_len_ref, layer_ref,  # scalar prefetch
     acc0 = jnp.zeros((kh, g, dh), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-20)[..., None]
-    o_ref[:] = out.reshape(kh * g, dh).astype(o_ref.dtype)
+    return out.reshape(kh * g, dh)
+
+
+def _decode_kernel(page_tables_ref, ctx_len_ref, layer_ref,  # scalar prefetch
+                   q_ref, k_hbm, v_hbm, qp_ref,              # inputs
+                   o_ref,                                    # output
+                   k_buf, v_buf, sem,                        # scratch
+                   *, page_size: int, kh: int, g: int, dh: int,
+                   quantized: bool, scale: float):
+    b = pl.program_id(0)
+    ctx = ctx_len_ref[b]
+    layer = layer_ref[0]
+    q = q_ref[:].astype(jnp.float32) * scale             # [KH*G, Dh]
+    out = _online_attend(b, ctx, layer, q, page_tables_ref, k_hbm, v_hbm,
+                         k_buf, v_buf, sem, qp_ref, page_size=page_size,
+                         kh=kh, g=g, dh=dh, quantized=quantized)
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 def _decode_write_kernel(page_tables_ref, ctx_len_ref, layer_ref,
@@ -147,61 +159,83 @@ def _decode_write_kernel(page_tables_ref, ctx_len_ref, layer_ref,
         wv.wait()
 
     q = q_ref[0].astype(jnp.float32) * scale             # [KH*G, Dh]
+    out = _online_attend(b, ctx, layer, q, page_tables_ref, k_out, v_out,
+                         k_buf, v_buf, sem, qp_ref, page_size=page_size,
+                         kh=kh, g=g, dh=dh, quantized=quantized)
+    o_ref[0] = out.astype(o_ref.dtype)
 
-    def dma(slot, page_idx):
-        phys = page_tables_ref[b, page_idx]
-        return (pltpu.make_async_copy(k_out.at[layer, phys], k_buf.at[slot],
-                                      sem.at[slot, 0]),
-                pltpu.make_async_copy(v_out.at[layer, phys], v_buf.at[slot],
-                                      sem.at[slot, 1]))
 
-    for c in dma(0, 0):
-        c.start()
+def _rope_full(x, cos_f, sin_f, half: int):
+    """Rotate-half rope on [H, Dh] rows with FULL-width [Dh] tables:
+    rope(x) = x * cos_f + rothalf(x) * sin_f where cos_f = (cos|cos|1…)
+    and sin_f = (-sin|sin|0…) — the tail past 2*half (partial-rotary
+    models) rides through untouched because cos=1/sin=0 there, and the
+    rotated partner concat keeps every op full-lane-width friendly."""
+    x = x.astype(jnp.float32)
+    x1 = x[:, :half]
+    x2 = x[:, half:2 * half]
+    rh = jnp.concatenate([x2, x1], axis=-1)
+    if x.shape[-1] > 2 * half:
+        rh = jnp.concatenate([rh, x[:, 2 * half:]], axis=-1)
+    return x * cos_f[None, :] + rh * sin_f[None, :]
 
-    def body(i, carry):
-        m, l, acc = carry
-        slot = jax.lax.rem(i, 2)
 
-        @pl.when(i + 1 < num_pages)
-        def _():
-            for c in dma(jax.lax.rem(i + 1, 2), i + 1):
-                c.start()
+def _decode_rope_write_kernel(page_tables_ref, ctx_len_ref, layer_ref,
+                              valid_ref,                       # prefetch
+                              q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
+                              k_in, v_in, qp_ref, qs_ref,
+                              k_out, v_out, o_ref,
+                              kq_buf, vq_buf, k_buf, v_buf, sem, wsem,
+                              *, page_size: int, kh: int, g: int, dh: int,
+                              half: int, quantized: bool, scale: float):
+    """Fully fused decode attention layer: rope(q,k) + KV-append +
+    paged attend in ONE kernel — the reference mmha applies rope at
+    cuh:1381-1401, stores at cuh:1434 and attends, all in one kernel;
+    this is the complete TPU equivalent (the unfused path leaves rope
+    to XLA between the qkv matmul and the attention kernel, costing a
+    per-layer fusion boundary on tiny [B,H,Dh] tensors)."""
+    b = pl.program_id(0)
+    ctx = ctx_len_ref[b]
+    layer = layer_ref[0]
+    pos = ctx - 1                      # write position of the new token
+    wr_page = jax.lax.div(pos, page_size)
+    wr_slot = jax.lax.rem(pos, page_size)
+    phys_w = page_tables_ref[b, wr_page]
 
-        for c in dma(slot, i):
-            c.wait()
-        k = k_buf[slot]                                   # [page, KH, Dh]
-        v = v_buf[slot]
-        if quantized:
-            k = (k.astype(jnp.float32) - qp_ref[1]) * qp_ref[0]
-            v = (v.astype(jnp.float32) - qp_ref[3]) * qp_ref[2]
-        else:
-            k = k.astype(jnp.float32)
-            v = v.astype(jnp.float32)
-        k_t = k.transpose(1, 2, 0)                        # [KH, Dh, page]
-        v_t = v.transpose(1, 0, 2)                        # [KH, page, Dh]
-        qh = q.reshape(kh, g, dh)
-        s = jax.lax.dot_general(                          # [KH, G, page]
-            qh, k_t, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        p_pos = i * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, page_size), 2)
-        s = jnp.where(p_pos < ctx, s, -1e30)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))       # [KH, G]
-        p = jnp.exp(s - m_new[..., None])
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1)
-        pv = jax.lax.dot_general(                         # [KH, G, Dh]
-            p, v_t, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        acc = acc * alpha[..., None] + pv
-        return m_new, l_new, acc
+    cos_f = cos_ref[0]                                    # [Dh] f32
+    sin_f = sin_ref[0]
+    k_rot = _rope_full(kn_ref[0], cos_f, sin_f, half)     # [KH, Dh] f32
 
-    m0 = jnp.full((kh, g), -1e30, jnp.float32)
-    l0 = jnp.zeros((kh, g), jnp.float32)
-    acc0 = jnp.zeros((kh, g, dh), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
-    out = acc / jnp.maximum(l, 1e-20)[..., None]
-    o_ref[0] = out.reshape(kh * g, dh).astype(o_ref.dtype)
+    if quantized:
+        kq = jnp.round(k_rot / qp_ref[0] + qp_ref[1])
+        vq = jnp.round(vn_ref[0].astype(jnp.float32) / qp_ref[2]
+                       + qp_ref[3])
+        kq_buf[:] = jnp.clip(kq, -128, 127).astype(k_out.dtype)
+        vq_buf[:] = jnp.clip(vq, -128, 127).astype(v_out.dtype)
+    else:
+        kq_buf[:] = k_rot.astype(k_out.dtype)
+        vq_buf[:] = vn_ref[0].astype(v_out.dtype)
+
+    @pl.when(valid_ref[b] != 0)
+    def _store():
+        wk = pltpu.make_async_copy(kq_buf,
+                                   k_out.at[layer, phys_w, wr_slot],
+                                   wsem.at[0])
+        wv = pltpu.make_async_copy(vq_buf,
+                                   v_out.at[layer, phys_w, wr_slot],
+                                   wsem.at[1])
+        wk.start()
+        wv.start()
+        wk.wait()
+        wv.wait()
+
+    # logn attention scaling rides the per-slot q scale (qs_ref); 1.0
+    # for models without it
+    q = _rope_full(q_ref[0], cos_f, sin_f, half) * (scale * qs_ref[b])
+    out = _online_attend(b, ctx, layer, q, page_tables_ref, k_out, v_out,
+                         k_buf, v_buf, sem, qp_ref, page_size=page_size,
+                         kh=kh, g=g, dh=dh, quantized=quantized)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def paged_decode_attention_write(q, k_new, v_new, k_cache, v_cache, layer,
@@ -274,6 +308,100 @@ def paged_decode_attention_write(q, k_new, v_new, k_cache, v_cache, layer,
       k_cache, v_cache, jnp.asarray(qparams4, jnp.float32))
 
 
+def rope_full_tables(cos: jnp.ndarray, sin: jnp.ndarray, dh: int):
+    """Expand [B, half] rope tables to the full-width [B, Dh] form the
+    fused kernel consumes: cos_f = (cos|cos|1…), sin_f = (-sin|sin|0…)
+    (sign folded in so the kernel's rotated-partner concat needs no
+    negate).  Built ONCE per step outside the layer scan."""
+    b, half = cos.shape
+    tail = dh - 2 * half
+    cos_f = jnp.concatenate([cos, cos], axis=-1).astype(jnp.float32)
+    sin_f = jnp.concatenate([-sin, sin], axis=-1).astype(jnp.float32)
+    if tail:
+        cos_f = jnp.concatenate(
+            [cos_f, jnp.ones((b, tail), jnp.float32)], axis=-1)
+        sin_f = jnp.concatenate(
+            [sin_f, jnp.zeros((b, tail), jnp.float32)], axis=-1)
+    return cos_f, sin_f
+
+
+def paged_decode_attention_rope_write(q, k_new, v_new, cos_f, sin_f,
+                                      qscale, k_cache, v_cache, layer,
+                                      page_table, context_len, valid,
+                                      qparams4, *, half: int,
+                                      quantized: bool,
+                                      interpret: bool = False):
+    """Fully fused decode layer attention: in-kernel rope on q/k_new,
+    append at position context_len-1 (INT8 quant when the pool is int8),
+    then paged attend.  Args as :func:`paged_decode_attention_write`
+    except q/k_new arrive UNROTATED and:
+
+      cos_f/sin_f: f32 [B, Dh] full-width tables from
+        :func:`rope_full_tables` (position-only, built once per step).
+      qscale: f32 [B] extra per-slot q multiplier (logn attention
+        scaling; ones when unused).
+      half: static rotary_dim // 2.
+    """
+    b, h, dh = q.shape
+    kh = k_cache.shape[-2]
+    g = h // kh
+    page_size = k_cache.shape[-3]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kh, dh), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kh, dh), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kh, dh), k_cache.dtype),
+            pltpu.VMEM((kh, dh), v_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dh), k_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dh), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_rope_write_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
+        half=half, quantized=quantized, scale=dh ** -0.5)
+    # inputs (after the 4 prefetch args): q, k_new, v_new, cos_f, sin_f,
+    # k_cache, v_cache, qp, qs -> alias pool inputs onto outputs 0/1
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+        ],
+        input_output_aliases={9: 0, 10: 1},
+        interpret=interpret,
+    )(jnp.maximum(page_table, 0), context_len,
+      jnp.reshape(layer, (1,)).astype(jnp.int32),
+      valid.astype(jnp.int32), q, k_new, v_new, cos_f, sin_f,
+      k_cache, v_cache, jnp.asarray(qparams4, jnp.float32),
+      qscale.astype(jnp.float32))
+
+
 def paged_decode_attention(q, k_cache, v_cache, layer, page_table,
                            context_len, qparams4, *, quantized: bool,
                            interpret: bool = False):
@@ -333,4 +461,5 @@ def paged_decode_attention(q, k_cache, v_cache, layer, page_table,
       jnp.asarray(qparams4, jnp.float32))
 
 
-__all__ = ['paged_decode_attention', 'paged_decode_attention_write']
+__all__ = ['paged_decode_attention', 'paged_decode_attention_write',
+           'paged_decode_attention_rope_write', 'rope_full_tables']

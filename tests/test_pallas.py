@@ -253,3 +253,139 @@ def test_paged_prefill_attention_batched_multi_slot():
         np.testing.assert_allclose(np.asarray(got)[i, :n],
                                    np.asarray(want)[:n],
                                    rtol=2e-3, atol=2e-3, err_msg=f'row {i}')
+
+
+@pytest.mark.parametrize('quantized,rotary', [(False, 128), (True, 128),
+                                              (False, 64)])
+def test_fused_rope_write_attend_matches_unfused(quantized, rotary):
+    """The fully fused rope+append+attend kernel == rope applied outside
+    followed by the fused write kernel (mmha parity: rope at cuh:1381,
+    store at cuh:1434, attend — all one kernel).  Covers INT8 pools,
+    partial rotary dims and the logn q-scale."""
+    import dataclasses as dc
+
+    from lmdeploy_tpu.kvcache.paged import init_cache
+    from lmdeploy_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention_rope_write, paged_decode_attention_write,
+        rope_full_tables)
+    from lmdeploy_tpu.ops.rope import apply_rope, rope_cos_sin
+
+    rng = np.random.default_rng(13)
+    DH, PAGE, MAXP, P, L, B = 128, 16, 4, 12, 2, 3
+    kh, g = 2, 2
+    half = rotary // 2
+    dtype = jnp.int8 if quantized else jnp.float32
+    cache = init_cache(L, P, PAGE, kh, DH, dtype,
+                       kv_scales=([0.05, 0.04], [1.0, -2.0],
+                                  [0.06, 0.05], [0.0, 3.0])
+                       if quantized else None)
+    cache = dc.replace(
+        cache,
+        k=jnp.asarray(rng.integers(-100, 100, cache.k.shape), dtype),
+        v=jnp.asarray(rng.integers(-100, 100, cache.v.shape), dtype))
+    layer = 1
+    ctx = np.asarray([9, 17, 1], np.int32)
+    pt = np.full((B, MAXP), -1, np.int32)
+    for i in range(B):
+        need = -(-int(ctx[i]) // PAGE)
+        pt[i, :need] = rng.choice(P, size=need, replace=False)
+    q = jnp.asarray(rng.normal(size=(B, kh * g, DH)), jnp.float32)
+    k_new = jnp.asarray(rng.normal(size=(B, kh, DH)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(B, kh, DH)), jnp.float32)
+    qp = np.stack([np.asarray(x)[layer] for x in
+                   (cache.k_scale, cache.k_zp, cache.v_scale,
+                    cache.v_zp)])
+    qscale = jnp.asarray([1.0, 1.25, 0.8], jnp.float32)   # logn-style
+
+    pos = jnp.asarray(ctx - 1, jnp.int32)
+    cos, sin = rope_cos_sin(pos, rotary, 10000.0)          # [B, half]
+
+    # oracle: rope outside (+ q scale), then the fused-write kernel
+    q_rot = apply_rope(q[:, None], cos[:, None], sin[:, None])[:, 0]
+    q_rot = q_rot * qscale[:, None, None]
+    k_rot = apply_rope(k_new[:, None], cos[:, None], sin[:, None])[:, 0]
+    wk, wv, want = paged_decode_attention_write(
+        q_rot, k_rot, v_new, jnp.array(cache.k), jnp.array(cache.v),
+        jnp.int32(layer), jnp.asarray(pt), jnp.asarray(ctx),
+        jnp.ones((B,), jnp.int32), jnp.asarray(qp, jnp.float32),
+        quantized=quantized, interpret=True)
+
+    cos_f, sin_f = rope_full_tables(cos, sin, DH)
+    gk, gv, got = paged_decode_attention_rope_write(
+        q, k_new, v_new, cos_f, sin_f, qscale,
+        jnp.array(cache.k), jnp.array(cache.v), jnp.int32(layer),
+        jnp.asarray(pt), jnp.asarray(ctx), jnp.ones((B,), jnp.int32),
+        jnp.asarray(qp, jnp.float32), half=half, quantized=quantized,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(wk),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(wv),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+    # masked slots must not write
+    mk, mv, _ = paged_decode_attention_rope_write(
+        q, k_new, v_new, cos_f, sin_f, qscale,
+        jnp.array(cache.k), jnp.array(cache.v), jnp.int32(layer),
+        jnp.asarray(pt), jnp.asarray(ctx), jnp.zeros((B,), jnp.int32),
+        jnp.asarray(qp, jnp.float32), half=half, quantized=quantized,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(cache.k))
+    np.testing.assert_array_equal(np.asarray(mv), np.asarray(cache.v))
+
+
+def test_fused_rope_forward_token_parity(monkeypatch):
+    """Whole-model decode with LMDEPLOY_TPU_FUSED_ROPE=1 emits the same
+    tokens/logits as the unfused gather path (logn + NTK on so the
+    qscale and table plumbing is exercised; dh=128 so the Pallas gate
+    passes)."""
+    import dataclasses
+
+    from lmdeploy_tpu.config import ModelConfig
+    from lmdeploy_tpu.engine.step import decode_step, init_decode_state
+    from lmdeploy_tpu.kvcache.paged import init_cache
+    from lmdeploy_tpu.models.llama import init_params
+    from lmdeploy_tpu.ops.pallas import paged_attention as pa
+
+    for name in ('paged_decode_attention_write',
+                 'paged_decode_attention_rope_write'):
+        orig = getattr(pa, name)
+        monkeypatch.setattr(
+            pa, name,
+            lambda *a, _o=orig, **kw: _o(*a, **{**kw, 'interpret': True}))
+
+    cfg = ModelConfig(head_num=2, kv_head_num=2, size_per_head=128,
+                      inter_size=64, num_layer=2, vocab_size=128,
+                      rotary_embedding=128, max_position_embeddings=8,
+                      session_len=64, end_id=2, use_dynamic_ntk=True,
+                      use_logn_attn=True)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, MAXP, PAGE, NP = 2, 4, 8, 16
+    state = init_decode_state(B, MAXP, 64, eos_id=2)
+    pt = np.full((B, MAXP), -1, np.int32)
+    pt[0, :2] = [3, 7]
+    pt[1, :1] = [1]
+    state = dataclasses.replace(
+        state, tokens=jnp.asarray([5, 9], jnp.int32),
+        context_len=jnp.asarray([9, 3], jnp.int32),
+        history_len=jnp.asarray([10, 4], jnp.int32),
+        active=jnp.ones((B,), bool), page_table=jnp.asarray(pt),
+        history=jnp.asarray(np.zeros((B, 64), np.int32)),
+        sampling=dataclasses.replace(state.sampling,
+                                     top_k=jnp.ones((B,), jnp.int32)))
+    cache = init_cache(cfg.num_layer, NP, PAGE, cfg.kv_head_num,
+                       cfg.size_per_head, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    cache = dataclasses.replace(
+        cache, k=jax.random.normal(key, cache.k.shape, jnp.float32),
+        v=jax.random.normal(key, cache.v.shape, jnp.float32))
+
+    _, _, tok_ref, _, lp_ref = decode_step(params, cache, state, cfg,
+                                           use_pallas_attn=False)
+    monkeypatch.setenv('LMDEPLOY_TPU_FUSED_ROPE', '1')
+    _, _, tok_fr, _, lp_fr = decode_step(params, cache, state, cfg,
+                                         use_pallas_attn=True)
+    assert np.asarray(tok_ref).tolist() == np.asarray(tok_fr).tolist()
+    np.testing.assert_allclose(np.asarray(lp_ref), np.asarray(lp_fr),
+                               rtol=1e-3, atol=1e-3)
