@@ -58,6 +58,23 @@ def config_from_hf(hf_cfg: dict, model_name: str = '') -> ModelConfig:
         cfg.session_len = get('seq_length', 8192)
     if 'internlm' in arch:
         cfg.attn_bias = bool(get('bias', True))
+    scaling = get('rope_scaling') or {}
+    if scaling:
+        # HF rope_scaling: {"type"|"rope_type": linear|dynamic|yarn,
+        # "factor": f, ["original_max_position_embeddings": n]}
+        stype = scaling.get('type') or scaling.get('rope_type') or ''
+        if stype in ('linear', 'dynamic', 'yarn'):
+            cfg.rope_scaling_type = stype
+            cfg.rope_scaling_factor = float(scaling.get('factor', 1.0))
+            cfg.rope_original_max_position = int(
+                scaling.get('original_max_position_embeddings', 0))
+            # linear/yarn extend the usable context by `factor` beyond the
+            # trained length; dynamic grows on the fly (leave session_len)
+            if stype in ('linear', 'yarn'):
+                orig = (cfg.rope_original_max_position
+                        or cfg.max_position_embeddings)
+                cfg.session_len = max(cfg.session_len,
+                                      int(orig * cfg.rope_scaling_factor))
     cfg.session_len = max(cfg.session_len, cfg.max_position_embeddings)
     return cfg
 

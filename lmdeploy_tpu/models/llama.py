@@ -192,7 +192,10 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
         rotary_dim=cfg.rotary_embedding, base=cfg.rope_theta,
         max_position_embeddings=cfg.max_position_embeddings,
         use_dynamic_ntk=cfg.use_dynamic_ntk,
-        use_logn_attn=cfg.use_logn_attn)
+        use_logn_attn=cfg.use_logn_attn,
+        rope_scaling_type=cfg.rope_scaling_type,
+        rope_scaling_factor=cfg.rope_scaling_factor,
+        rope_original_max=cfg.rope_original_max_position)
 
     kq = (cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)
 

@@ -170,3 +170,31 @@ def test_workspace_roundtrip_int4(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params['layers']['wqkv'].qvals),
         np.asarray(params2['layers']['wqkv'].qvals))
+
+
+def test_config_from_hf_rope_scaling():
+    base = {
+        'num_attention_heads': 8, 'hidden_size': 512,
+        'num_hidden_layers': 2, 'vocab_size': 1000,
+        'max_position_embeddings': 2048,
+    }
+    cfg = config_from_hf({**base, 'rope_scaling': {
+        'type': 'linear', 'factor': 4.0}})
+    assert cfg.rope_scaling_type == 'linear'
+    assert cfg.rope_scaling_factor == 4.0
+    assert cfg.session_len >= 8192  # context extended by the factor
+
+    cfg = config_from_hf({**base, 'rope_scaling': {
+        'rope_type': 'yarn', 'factor': 8.0,
+        'original_max_position_embeddings': 1024}})
+    assert cfg.rope_scaling_type == 'yarn'
+    assert cfg.rope_original_max_position == 1024
+    assert cfg.session_len >= 8192
+
+    cfg = config_from_hf({**base, 'rope_scaling': {
+        'type': 'dynamic', 'factor': 2.0}})
+    assert cfg.rope_scaling_type == 'dynamic'
+    assert cfg.session_len == 2048  # dynamic grows on the fly
+
+    cfg = config_from_hf(dict(base))
+    assert cfg.rope_scaling_type == ''

@@ -499,3 +499,43 @@ def test_qwen_style_flags_end_to_end():
         assert out.token_ids == out2.token_ids
     finally:
         eng.shutdown()
+
+
+def test_rope_scaling_yarn_end_to_end():
+    """YaRN rope-scaled engine run: prompts past the original trained
+    length generate deterministically, and the scaled model diverges
+    from the unscaled one (the tables really changed)."""
+    kw = dict(head_num=2, kv_head_num=2, size_per_head=16,
+              inter_size=64, num_layer=2, vocab_size=128,
+              rotary_embedding=16, max_position_embeddings=32,
+              session_len=128, end_id=2)
+    ecfg = EngineConfig(max_batch_size=2, session_len=96, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=4)
+    prompt = list(np.random.default_rng(8).integers(3, 120, size=40))
+    outs = {}
+    for name, extra in [('plain', {}),
+                        ('yarn', dict(rope_scaling_type='yarn',
+                                      rope_scaling_factor=4.0,
+                                      rope_original_max_position=32))]:
+        cfg = ModelConfig(**kw, **extra)
+        params = init_params(cfg, jax.random.PRNGKey(5), jnp.float32)
+        # tiny random init makes q.k ~ 0 and softmax near-uniform, so
+        # rope barely moves the logits; amplify qkv so attention scores
+        # (and therefore the rope tables) actually steer the argmax
+        params['layers']['wqkv'] = params['layers']['wqkv'] * 8.0
+        eng = TPUEngine(cfg, ecfg, params)
+        try:
+            inst = eng.create_instance()
+            out = inst.infer(1, prompt, gen_config=greedy(6),
+                             sequence_end=True)
+            assert out.status == ResponseType.FINISH
+            assert len(out.token_ids) == 6
+            out2 = inst.infer(2, prompt, gen_config=greedy(6),
+                              sequence_end=True)
+            assert out.token_ids == out2.token_ids
+            outs[name] = out.token_ids
+        finally:
+            eng.shutdown()
+    assert outs['plain'] != outs['yarn']

@@ -153,3 +153,79 @@ def test_linear_fused_silu_gate():
     gate, up = full[:, :32], full[:, 32:]
     want = gate / (1 + np.exp(-gate)) * up
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------- rope scaling
+
+def _hf_rope_params(rope_scaling, dim=64, base=10000.0, max_pos=2048,
+                    seq_len=None):
+    """transformers' own rope-scaling math as the parity oracle."""
+    from transformers import LlamaConfig
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+    cfg = LlamaConfig(hidden_size=dim * 4, num_attention_heads=4,
+                      rope_theta=base, max_position_embeddings=max_pos,
+                      rope_scaling=dict(rope_scaling))
+    fn = ROPE_INIT_FUNCTIONS[rope_scaling['rope_type']]
+    inv_freq, attn_factor = fn(cfg, device=None, seq_len=seq_len)
+    return np.asarray(inv_freq), float(attn_factor)
+
+
+def test_yarn_matches_transformers():
+    from lmdeploy_tpu.ops.rope import yarn_inv_freq
+    for factor, orig in [(4.0, 2048), (8.0, 4096), (2.0, 1024)]:
+        want_if, want_af = _hf_rope_params(
+            {'rope_type': 'yarn', 'factor': factor,
+             'original_max_position_embeddings': orig},
+            dim=64, base=10000.0, max_pos=orig)
+        got_if, got_af = yarn_inv_freq(64, 10000.0, factor, orig)
+        np.testing.assert_allclose(np.asarray(got_if), want_if,
+                                   rtol=1e-5, atol=1e-7)
+        assert abs(got_af - want_af) < 1e-6
+
+
+def test_hf_dynamic_ntk_matches_transformers():
+    from lmdeploy_tpu.ops.rope import hf_dynamic_ntk_base
+    dim, base, orig, factor = 64, 10000.0, 2048, 4.0
+    for seq_len in [1024, 2048, 4096, 8192]:
+        want_if, _ = _hf_rope_params(
+            {'rope_type': 'dynamic', 'factor': factor},
+            dim=dim, base=base, max_pos=orig, seq_len=seq_len)
+        got_base = float(hf_dynamic_ntk_base(seq_len, orig, dim, base,
+                                             factor))
+        exponent = np.arange(0, dim, 2, dtype=np.float32) / dim
+        got_if = got_base ** -exponent
+        np.testing.assert_allclose(got_if, want_if, rtol=1e-5)
+
+
+def test_linear_scaling_tables():
+    """linear (position-interpolation) tables at factor f equal unscaled
+    tables at positions p/f, and match transformers' inv_freq/f."""
+    from lmdeploy_tpu.ops.rope import rope_tables
+    pos = jnp.asarray([[0, 7, 31, 100]], jnp.int32)
+    ctx = jnp.asarray([101], jnp.int32)
+    kw = dict(rotary_dim=32, base=10000.0, max_position_embeddings=128)
+    cos_s, sin_s, _ = rope_tables(pos, ctx, rope_scaling_type='linear',
+                                  rope_scaling_factor=4.0, **kw)
+    cos_u, sin_u, _ = rope_tables(pos / 4.0, ctx, **kw)
+    np.testing.assert_allclose(np.asarray(cos_s), np.asarray(cos_u),
+                               rtol=1e-5, atol=1e-6)
+    want_if, want_af = _hf_rope_params(
+        {'rope_type': 'linear', 'factor': 4.0}, dim=32, max_pos=128)
+    angle = np.asarray(pos, np.float32)[..., None] * want_if
+    np.testing.assert_allclose(np.asarray(cos_s), np.cos(angle) * want_af,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_yarn_tables_apply_attention_factor():
+    from lmdeploy_tpu.ops.rope import rope_tables, yarn_inv_freq
+    pos = jnp.asarray([[0, 5, 9000]], jnp.int32)
+    ctx = jnp.asarray([9001], jnp.int32)
+    cos, sin, _ = rope_tables(pos, ctx, rotary_dim=64, base=10000.0,
+                              max_position_embeddings=2048,
+                              rope_scaling_type='yarn',
+                              rope_scaling_factor=8.0)
+    inv_freq, af = yarn_inv_freq(64, 10000.0, 8.0, 2048)
+    angle = np.asarray(pos, np.float32)[..., None] * np.asarray(inv_freq)
+    np.testing.assert_allclose(np.asarray(cos), np.cos(angle) * af,
+                               rtol=1e-5, atol=1e-6)
+    assert float(np.abs(np.asarray(cos)).max()) <= af + 1e-6
