@@ -69,8 +69,11 @@ def _mm_kernel(layer_ref,                       # scalar prefetch
     g = pl.program_id(1)
 
     wp = w_ref[0]                               # [group, BN] u8
-    lo = (wp & 0xF).astype(jnp.bfloat16)
-    hi = (wp >> 4).astype(jnp.bfloat16)
+    # Mosaic has no native u8->bf16 convert (measured: unsupported cast
+    # error); widen through int32 on the VPU, then narrow into the MXU
+    # feed.  The nibble split itself is two VPU ops.
+    lo = (wp & 0xF).astype(jnp.int32).astype(jnp.bfloat16)
+    hi = (wp >> 4).astype(jnp.int32).astype(jnp.bfloat16)
     a = jax.lax.dot_general(xlo_ref[...], lo, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     b = jax.lax.dot_general(xhi_ref[...], hi, (((1,), (0,)), ((), ())),
@@ -112,6 +115,11 @@ def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
     g2 = g_groups // 2
     assert g2 * 2 == g_groups and k2 % group == 0 and k2 // group == g2
     bn = min(block_n, n)
+    if n % bn:
+        # largest lane-aligned divisor of n that fits the budget — e.g.
+        # the 7B FFN n=11008 (not a multiple of 512) tiles at 256
+        bn = max((d for d in range(128, block_n + 1, 128) if n % d == 0),
+                 default=n)
     assert n % bn == 0, (n, bn)
 
     # pad M to the bf16 sublane tile so Mosaic gets aligned blocks

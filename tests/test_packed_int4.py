@@ -131,3 +131,65 @@ def test_kernel_odd_m_padding():
     got = packed_int4_matmul(x, pw.packed, pw.scales, jnp.int32(0),
                              interpret=True)
     assert got.shape == (5, qw.n)
+
+
+def test_packed_with_fused_rope_decode_parity(monkeypatch):
+    """The best-case production stack — packed int4 weights + the fused
+    rope+append+attend kernel — must emit the same greedy tokens as the
+    plain byte-int4 XLA path (the exact flag combination the on-chip A/B
+    compiles; interpret-mode here so a numerics bug never burns chip
+    time)."""
+    import dataclasses
+
+    from lmdeploy_tpu.config import ModelConfig
+    from lmdeploy_tpu.engine.step import decode_step, init_decode_state
+    from lmdeploy_tpu.kvcache.paged import init_cache
+    from lmdeploy_tpu.models.llama import (init_params, pack_params,
+                                           quantize_params)
+    from lmdeploy_tpu.ops.pallas import paged_attention as pa
+
+    for name in ('paged_decode_attention_write',
+                 'paged_decode_attention_rope_write'):
+        orig = getattr(pa, name)
+        monkeypatch.setattr(
+            pa, name,
+            lambda *a, _o=orig, **kw: _o(*a, **{**kw, 'interpret': True}))
+
+    cfg = ModelConfig(head_num=2, kv_head_num=2, size_per_head=128,
+                      inter_size=64, num_layer=2, vocab_size=128,
+                      rotary_embedding=128, max_position_embeddings=64,
+                      session_len=64, end_id=2, weight_type='int4',
+                      group_size=32)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qparams = quantize_params(params, cfg, group_size=32)
+    pparams = pack_params(qparams)
+
+    B, MAXP, PAGE, NP = 2, 4, 8, 16
+    state = init_decode_state(B, MAXP, 64, eos_id=2)
+    pt = np.full((B, MAXP), -1, np.int32)
+    pt[0, :2] = [3, 7]
+    pt[1, :1] = [1]
+    state = dataclasses.replace(
+        state, tokens=jnp.asarray([5, 9], jnp.int32),
+        context_len=jnp.asarray([9, 3], jnp.int32),
+        history_len=jnp.asarray([10, 4], jnp.int32),
+        active=jnp.ones((B,), bool), page_table=jnp.asarray(pt),
+        history=jnp.asarray(np.zeros((B, 64), np.int32)),
+        sampling=dataclasses.replace(state.sampling,
+                                     top_k=jnp.ones((B,), jnp.int32)))
+    cache = init_cache(cfg.num_layer, NP, PAGE, cfg.kv_head_num,
+                       cfg.size_per_head, jnp.bfloat16)
+    key = jax.random.PRNGKey(3)
+    cache = dataclasses.replace(
+        cache,
+        k=jax.random.normal(key, cache.k.shape, jnp.bfloat16),
+        v=jax.random.normal(key, cache.v.shape, jnp.bfloat16))
+
+    _, _, tok_ref, _, lp_ref = decode_step(qparams, cache, state, cfg,
+                                           use_pallas_attn=False)
+    monkeypatch.setenv('LMDEPLOY_TPU_FUSED_ROPE', '1')
+    _, _, tok, _, lp = decode_step(pparams, cache, state, cfg,
+                                   use_pallas_attn=True)
+    assert np.asarray(tok_ref).tolist() == np.asarray(tok).tolist()
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
+                               rtol=0.05, atol=0.05)
