@@ -691,6 +691,7 @@ class TPUEngine:
             temperature=np.float32(gen.temperature),
             repetition_penalty=np.float32(gen.repetition_penalty),
             presence_penalty=np.float32(gen.presence_penalty),
+            frequency_penalty=np.float32(gen.frequency_penalty),
             rng_key=key,
             bad_words=bad,
             stop_words=stop,
@@ -882,7 +883,8 @@ class TPUEngine:
                 and running * (self.ecfg.speculative_k + 1) \
                 <= self.SPEC_MAX_VERIFY_ROWS:
             if all((g.top_k or 0) == 1 and g.repetition_penalty == 1.0
-                   and g.presence_penalty == 0.0 and not g.bad_words
+                   and g.presence_penalty == 0.0
+                   and g.frequency_penalty == 0.0 and not g.bad_words
                    and g.min_new_tokens == 0 for g in cfgs):
                 spec_mode = 'greedy'
             elif self.ecfg.speculative_sampled:

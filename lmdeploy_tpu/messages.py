@@ -40,6 +40,10 @@ class GenerationConfig:
     # selected there by passing `presence_penalty` instead of
     # `repetition_penalty`); 0 disables
     presence_penalty: float = 0.0
+    # OpenAI count-scaled additive penalty: each seen token's logit drops
+    # by frequency_penalty * times_seen (beyond-reference: the reference
+    # carries the protocol field but never applies it); 0 disables
+    frequency_penalty: float = 0.0
     ignore_eos: bool = False
     random_seed: Optional[int] = None
     stop_words: Optional[List[int]] = None   # token ids that stop generation

@@ -34,6 +34,7 @@ class SamplingState:
     temperature: jnp.ndarray        # f32 [B]
     repetition_penalty: jnp.ndarray  # f32 [B]; 1.0 disables
     presence_penalty: jnp.ndarray   # f32 [B]; 0.0 disables (additive)
+    frequency_penalty: jnp.ndarray  # f32 [B]; 0.0 disables (count-scaled)
     rng_key: jnp.ndarray            # uint32 [B, 2] (threefry key data)
     bad_words: jnp.ndarray          # int32 [B, MAX_BAD]; pad with -1
     stop_words: jnp.ndarray         # int32 [B, MAX_STOP]; pad with -1
@@ -53,6 +54,7 @@ class SamplingState:
             temperature=jnp.ones((batch,), jnp.float32),
             repetition_penalty=jnp.ones((batch,), jnp.float32),
             presence_penalty=jnp.zeros((batch,), jnp.float32),
+            frequency_penalty=jnp.zeros((batch,), jnp.float32),
             rng_key=jnp.zeros((batch, 2), jnp.uint32),
             bad_words=jnp.full((batch, max_bad), -1, jnp.int32),
             stop_words=jnp.full((batch, max_stop), -1, jnp.int32),
@@ -64,13 +66,16 @@ class SamplingState:
 
 
 def apply_repetition_penalty(logits, history, history_len, penalty,
-                             presence=None):
+                             presence=None, frequency=None):
     """Divide positive / multiply negative logits of previously seen tokens
     (reference: sampling_penalty_kernels.cu repetition penalty over the full
     output-id history including the prompt).  ``presence`` adds the
     reference's Additive variant (sampling_penalty_kernels.cu:255-258,
     selected by the `presence_penalty` runtime arg): a flat subtraction
-    from every seen token's logit.
+    from every seen token's logit.  ``frequency`` is the OpenAI
+    count-scaled additive penalty (beyond-reference: the reference
+    accepts the field in its protocol schema but never applies it) —
+    each seen token's logit drops by ``frequency * occurrence_count``.
 
     Args:
       logits: f32 [B, V]
@@ -78,19 +83,29 @@ def apply_repetition_penalty(logits, history, history_len, penalty,
       history_len: int32 [B] number of valid entries in ``history``
       penalty: f32 [B] multiplicative (1.0 = off)
       presence: f32 [B] additive (0.0 = off) or None
+      frequency: f32 [B] per-count additive (0.0 = off) or None
     """
     b, v = logits.shape
     s = history.shape[1]
     valid = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1) < history_len[:, None]
     idx = jnp.where(valid, history, v)  # out-of-range rows drop
-    seen = jnp.zeros((b, v), jnp.bool_).at[
-        jnp.arange(b)[:, None], idx].max(valid, mode='drop')
+    rows = jnp.arange(b)[:, None]
+    if frequency is None:
+        seen = jnp.zeros((b, v), jnp.bool_).at[rows, idx].max(valid,
+                                                              mode='drop')
+    else:
+        counts = jnp.zeros((b, v), jnp.float32).at[rows, idx].add(
+            valid.astype(jnp.float32), mode='drop')
+        seen = counts > 0
     pen = penalty[:, None]
     penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+    changed = pen != 1.0
     if presence is not None:
         penalized = penalized - presence[:, None]
-    changed = (pen != 1.0) if presence is None \
-        else (pen != 1.0) | (presence[:, None] != 0.0)
+        changed = changed | (presence[:, None] != 0.0)
+    if frequency is not None:
+        penalized = penalized - frequency[:, None] * counts
+        changed = changed | (frequency[:, None] != 0.0)
     return jnp.where(seen & changed, penalized, logits)
 
 
@@ -218,10 +233,12 @@ def sample_step(logits, state: SamplingState, history, history_len,
                                     state.min_new_tokens)
     logits = jax.lax.cond(
         jnp.any(state.repetition_penalty != 1.0)
-        | jnp.any(state.presence_penalty != 0.0),
+        | jnp.any(state.presence_penalty != 0.0)
+        | jnp.any(state.frequency_penalty != 0.0),
         lambda lg: apply_repetition_penalty(lg, history, history_len,
                                             state.repetition_penalty,
-                                            state.presence_penalty),
+                                            state.presence_penalty,
+                                            state.frequency_penalty),
         lambda lg: lg, logits)
 
     # keys advance every step regardless of path so interleaving greedy

@@ -153,10 +153,11 @@ def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
     hl_i = (history_len[:, None] + t_idx).reshape(-1)
     lgf = jax.lax.cond(
         jnp.any(smp.repetition_penalty != 1.0)
-        | jnp.any(smp.presence_penalty != 0.0),
+        | jnp.any(smp.presence_penalty != 0.0)
+        | jnp.any(smp.frequency_penalty != 0.0),
         lambda lg: apply_repetition_penalty(
             lg, rep(hist_ext), hl_i, rep(smp.repetition_penalty),
-            rep(smp.presence_penalty)),
+            rep(smp.presence_penalty), rep(smp.frequency_penalty)),
         lambda lg: lg, lgf)
     lgf = lgf / jnp.maximum(rep(smp.temperature), 1e-5)[:, None]
 

@@ -58,7 +58,8 @@ class AsyncEngine:
     def _gen_config(self, request_output_len, top_k, top_p, temperature,
                     repetition_penalty, ignore_eos, seed,
                     stop_strings=None,
-                    presence_penalty=0.0) -> GenerationConfig:
+                    presence_penalty=0.0,
+                    frequency_penalty=0.0) -> GenerationConfig:
         # template stop words are token ids; user stop STRINGS expand via
         # the tokenizer (vocab-scan single tokens, else multi-token stop
         # sequences — strings encoding to >1 id must not vanish here)
@@ -74,6 +75,7 @@ class AsyncEngine:
             max_new_tokens=request_output_len, top_k=top_k, top_p=top_p,
             temperature=temperature, repetition_penalty=repetition_penalty,
             presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty,
             ignore_eos=ignore_eos, random_seed=seed,
             stop_words=stop_words or None)
 
@@ -94,6 +96,7 @@ class AsyncEngine:
         ignore_eos: bool = False,
         stop_strings: Optional[Union[str, List[str]]] = None,
         presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
     ):
         """Stream GenOut for one request (reference: async_engine.py:68)."""
         instance = self.generators[session_id % self.instance_num]
@@ -118,7 +121,8 @@ class AsyncEngine:
                                       temperature, repetition_penalty,
                                       ignore_eos, seed,
                                       stop_strings=stop_strings,
-                                      presence_penalty=presence_penalty)
+                                      presence_penalty=presence_penalty,
+                                      frequency_penalty=frequency_penalty)
         response_size = 0
         tokens = 0
         finish_reason = None
@@ -164,6 +168,7 @@ class AsyncEngine:
         ignore_eos: bool = False,
         stop_strings: Optional[Union[str, List[str]]] = None,
         presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
     ):
         """OpenAI-flavored generate: session continues until renew_session
         (reference: async_engine.py:154)."""
@@ -180,7 +185,8 @@ class AsyncEngine:
                 top_k=top_k, top_p=top_p, temperature=temperature,
                 repetition_penalty=repetition_penalty,
                 ignore_eos=ignore_eos, stop_strings=stop_strings,
-                presence_penalty=presence_penalty):
+                presence_penalty=presence_penalty,
+                frequency_penalty=frequency_penalty):
             yield out
 
     def shutdown(self):

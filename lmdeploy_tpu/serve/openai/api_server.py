@@ -97,6 +97,7 @@ async def chat_completions_v1(raw: web.Request) -> web.StreamResponse:
         top_p=req.top_p, temperature=req.temperature,
         repetition_penalty=req.repetition_penalty,
         presence_penalty=req.presence_penalty or 0.0,
+        frequency_penalty=req.frequency_penalty or 0.0,
         ignore_eos=bool(req.ignore_eos), stop_strings=stop_strings)
 
     model_name = req.model

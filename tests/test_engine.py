@@ -539,3 +539,31 @@ def test_rope_scaling_yarn_end_to_end():
         finally:
             eng.shutdown()
     assert outs['plain'] != outs['yarn']
+
+
+def test_frequency_penalty_end_to_end():
+    """GenerationConfig.frequency_penalty reaches the device sampling
+    state: a strong count-scaled penalty must change the greedy stream
+    (it penalizes every seen token, prompt included), and stay
+    deterministic."""
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=16, max_context_token_num=16,
+                        prefill_buckets=(8,), use_pallas=False,
+                        step_length=4)
+    params = init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    eng = TPUEngine(CFG, ecfg, params)
+    try:
+        inst = eng.create_instance()
+        prompt = [5, 9, 13]
+        outs = {}
+        for fp in (0.0, 8.0):
+            gen = GenerationConfig(max_new_tokens=10, top_k=1,
+                                   ignore_eos=True, frequency_penalty=fp)
+            out = inst.infer(1, prompt, gen_config=gen, sequence_end=True)
+            assert out.status == ResponseType.FINISH
+            out2 = inst.infer(2, prompt, gen_config=gen, sequence_end=True)
+            assert out.token_ids == out2.token_ids
+            outs[fp] = out.token_ids
+        assert outs[0.0] != outs[8.0]
+    finally:
+        eng.shutdown()

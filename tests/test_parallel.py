@@ -41,6 +41,7 @@ def build_state(params, fns):
         top_k=jnp.int32(1), top_p=jnp.float32(1.0), min_p=jnp.float32(0.0),
         temperature=jnp.float32(1.0), repetition_penalty=jnp.float32(1.0),
         presence_penalty=jnp.float32(0.0),
+        frequency_penalty=jnp.float32(0.0),
         rng_key=jax.random.key_data(jax.random.PRNGKey(0)).astype(jnp.uint32),
         bad_words=jnp.full((32,), -1, jnp.int32),
         stop_words=jnp.full((32,), -1, jnp.int32),

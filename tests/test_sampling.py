@@ -174,3 +174,45 @@ def test_presence_penalty_changes_sample_step_greedy():
                              jnp.array([1], jnp.int32),
                              jnp.zeros(1, jnp.int32), mode='greedy')
     assert int(toks[0]) == 1
+
+
+def test_frequency_penalty_count_scaled():
+    """OpenAI count-scaled additive (beyond-reference: the reference's
+    protocol accepts the field but never applies it): a token seen
+    twice loses 2x the penalty, once loses 1x, unseen untouched."""
+    logits = jnp.asarray(np.array([[2.0, -2.0, 1.0]], np.float32))
+    hist = jnp.asarray([[0, 0, 1, 9]], jnp.int32)  # 9 beyond history_len
+    out = np.asarray(apply_repetition_penalty(
+        logits, hist, jnp.array([3], jnp.int32),
+        jnp.array([1.0], jnp.float32),
+        presence=jnp.array([0.0], jnp.float32),
+        frequency=jnp.array([0.5], jnp.float32)))
+    np.testing.assert_allclose(out[0], [1.0, -2.5, 1.0])
+
+
+def test_frequency_presence_repetition_stacked():
+    """All three penalties compose: multiplicative on sign, then flat
+    presence, then count-scaled frequency — on seen tokens only."""
+    logits = jnp.asarray(np.array([[2.0, -2.0, 1.0]], np.float32))
+    hist = jnp.asarray([[0, 0, 1, 9]], jnp.int32)
+    out = np.asarray(apply_repetition_penalty(
+        logits, hist, jnp.array([3], jnp.int32),
+        jnp.array([2.0], jnp.float32),
+        presence=jnp.array([0.25], jnp.float32),
+        frequency=jnp.array([0.5], jnp.float32)))
+    # tok0: 2/2 - 0.25 - 2*0.5 = -0.25 ; tok1: -4 - 0.25 - 0.5 = -4.75
+    np.testing.assert_allclose(out[0], [-0.25, -4.75, 1.0])
+
+
+def test_frequency_penalty_changes_sample_step_greedy():
+    """Pipeline wiring: a repeated top token must lose the argmax once
+    its count-scaled penalty drops it below the runner-up."""
+    logits = jnp.asarray(np.array([[1.0, 0.9, -5.0]], np.float32))
+    st = _state(b=1, top_k=jnp.array([1], jnp.int32),
+                frequency_penalty=jnp.array([0.3], jnp.float32))
+    hist = jnp.asarray([[0, 0, 2] + [0] * 13], jnp.int32)
+    tok, _, _ = sample_step(logits, st, hist,
+                            jnp.array([3], jnp.int32),
+                            jnp.zeros(1, jnp.int32), mode='greedy')
+    # token 0 seen 2x (in-window): 1.0 - 0.6 = 0.4 < 0.9 -> argmax flips
+    assert int(np.asarray(tok)[0]) == 1
