@@ -141,6 +141,13 @@ class AsyncEngine:
             if not stream_response and not out.finished:
                 continue
             text = self.tokenizer.decode(out.token_ids, offset=response_size)
+            # a multi-byte UTF-8 char split across byte-fallback tokens
+            # decodes to a trailing replacement char mid-stream; hold the
+            # frame until the char completes so clients never see '�'
+            # flicker (beyond-reference: the reference emits it,
+            # async_engine.py:141-147)
+            if not out.finished and text.endswith('�'):
+                continue
             response_size = tokens
             if out.finished:
                 finish_reason = ('stop' if out.status == ResponseType.FINISH

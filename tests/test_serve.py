@@ -248,3 +248,24 @@ def test_gen_config_expands_stop_strings(async_engine):
                                    stop_strings=['q'])
     tid = async_engine.tokenizer.encode('q')
     assert len(tid) == 1 and tid[0] in gc1.stop_words
+
+
+def test_stream_holds_partial_utf8_frames(async_engine, monkeypatch):
+    """A frame whose delta decodes to a trailing replacement char (a
+    multi-byte UTF-8 char split across byte-fallback tokens) is held
+    back and re-decoded with the next token, so clients never see '�'
+    flicker (beyond-reference: the reference emits it)."""
+    def fake_decode(ids, offset=None):
+        n = len(ids) - (offset or 0)
+        return '�' if n == 1 else 'y' * n
+
+    monkeypatch.setattr(async_engine.tokenizer, 'decode', fake_decode)
+    outs = drain(async_engine.generate('partial utf8', 31,
+                                       request_output_len=4,
+                                       ignore_eos=True, top_k=1,
+                                       sequence_end=True))
+    texts = [o.response for o in outs]
+    assert all('�' not in t for t in texts[:-1])
+    # held tokens are emitted once the char completes: all 4 tokens
+    # reach the client as 'y's across the stream
+    assert sum(t.count('y') for t in texts) == 4
