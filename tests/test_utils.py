@@ -61,3 +61,35 @@ def test_multihost_single_process():
     assert mesh.devices.shape == (2, 4)  # 8 virtual cpu devices
     out = broadcast_control(np.arange(4))
     np.testing.assert_array_equal(out, np.arange(4))
+
+
+def test_trace_summary_tool(tmp_path):
+    """benchmark/trace_summary.py parses a jax.profiler capture and
+    attributes device time to op categories (the TPU analogue of the
+    reference's nsys/NVTX kernel-time attribution)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    pytest.importorskip('tensorflow.tsl.profiler.protobuf.xplane_pb2')
+
+    @jax.jit
+    def f(x, w):
+        return jax.nn.softmax(jnp.dot(x, w), axis=-1)
+
+    x = jnp.ones((64, 128), jnp.float32)
+    w = jnp.ones((128, 128), jnp.float32)
+    f(x, w).block_until_ready()
+    with jax.profiler.trace(str(tmp_path)):
+        f(x, w).block_until_ready()
+
+    import sys
+    sys.path.insert(0, 'benchmark')
+    try:
+        import trace_summary
+    finally:
+        sys.path.pop(0)
+    s = trace_summary.summarize(str(tmp_path), top=10)
+    assert s['busy_ms'] > 0
+    cats = {c['category'] for c in s['categories']}
+    assert 'matmul' in cats
+    assert any(o['op'].startswith('dot') for o in s['top_ops'])
