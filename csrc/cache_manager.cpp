@@ -44,6 +44,7 @@ struct Sequence {
 
 struct Published {
   int32_t page = 0;
+  int32_t parent = -1;  // physical page holding the preceding span
   std::vector<int32_t> tokens;  // this page's span (verified on hit)
   uint64_t stamp = 0;
 };
@@ -218,15 +219,21 @@ class CacheManager {
     if (!prefix_enabled_ || !s.pages.empty() || n < 2) return 0;
     int32_t max_pages = (n - 1) / page_size_;
     uint64_t d = 0;
+    int32_t parent = -1;  // ancestry by page IDENTITY, not by hash:
+    // a hit requires the entry's recorded parent to be the physical page
+    // we just attached, so equal pages imply equal prefixes by induction
+    // (the 64-bit chain digest is only a bucket key; collisions can only
+    // lose sharing, never attach a foreign prefix).
     for (int32_t i = 0; i < max_pages; ++i) {
       const int32_t* span = ids + i * page_size_;
       d = chain_digest(d, span, page_size_);
       ++prefix_lookups_;
       auto pit = prefix_.find(d);
-      if (pit == prefix_.end() ||
+      if (pit == prefix_.end() || pit->second.parent != parent ||
           std::memcmp(pit->second.tokens.data(), span,
                       page_size_ * sizeof(int32_t)) != 0)
         break;
+      parent = pit->second.page;
       pit->second.stamp = ++clock_;
       s.pages.push_back(pit->second.page);
       ++refs_[pit->second.page];
@@ -258,9 +265,10 @@ class CacheManager {
     uint64_t d = 0;
     for (int32_t i = 0; i < full; ++i) {
       const int32_t* span = s.tokens.data() + i * page_size_;
+      const int32_t parent = i ? s.pages[i - 1] : -1;
       d = chain_digest(d, span, page_size_);
       auto pit = prefix_.find(d);
-      if (pit != prefix_.end() &&
+      if (pit != prefix_.end() && pit->second.parent == parent &&
           std::memcmp(pit->second.tokens.data(), span,
                       page_size_ * sizeof(int32_t)) == 0) {
         if (pit->second.page != s.pages[i]) {
@@ -282,6 +290,7 @@ class CacheManager {
       } else if (pit == prefix_.end()) {
         Published e;
         e.page = s.pages[i];
+        e.parent = parent;
         e.tokens.assign(span, span + page_size_);
         e.stamp = ++clock_;
         prefix_.emplace(d, std::move(e));

@@ -32,10 +32,12 @@ class ModelConfig:
     max_position_embeddings: int = 2048
     use_dynamic_ntk: bool = False        # qwen-style dynamic NTK rope scaling
     use_logn_attn: bool = False          # qwen-style logn attention scaling
-    rope_scaling_type: str = ''          # '' | 'linear' | 'dynamic' | 'yarn'
+    rope_scaling_type: str = ''          # ''|'linear'|'dynamic'|'yarn'|'llama3'
     rope_scaling_factor: float = 1.0     # HF rope_scaling.factor
-    rope_original_max_position: int = 0  # yarn/dynamic pre-scaling Lmax
+    rope_original_max_position: int = 0  # yarn/dynamic/llama3 pre-scaling Lmax
     #                                      (0 = max_position_embeddings)
+    rope_low_freq_factor: float = 1.0    # llama3 rope_scaling.low_freq_factor
+    rope_high_freq_factor: float = 4.0   # llama3 rope_scaling.high_freq_factor
     attn_bias: bool = False              # internlm-7b / qwen qkv bias
     qkv_bias_only: bool = False          # qwen: bias on qkv but not o
     start_id: int = 1                    # bos

@@ -63,18 +63,28 @@ def config_from_hf(hf_cfg: dict, model_name: str = '') -> ModelConfig:
         # HF rope_scaling: {"type"|"rope_type": linear|dynamic|yarn,
         # "factor": f, ["original_max_position_embeddings": n]}
         stype = scaling.get('type') or scaling.get('rope_type') or ''
-        if stype in ('linear', 'dynamic', 'yarn'):
+        if stype in ('linear', 'dynamic', 'yarn', 'llama3'):
             cfg.rope_scaling_type = stype
             cfg.rope_scaling_factor = float(scaling.get('factor', 1.0))
             cfg.rope_original_max_position = int(
                 scaling.get('original_max_position_embeddings', 0))
-            # linear/yarn extend the usable context by `factor` beyond the
-            # trained length; dynamic grows on the fly (leave session_len)
-            if stype in ('linear', 'yarn'):
+            cfg.rope_low_freq_factor = float(
+                scaling.get('low_freq_factor', 1.0))
+            cfg.rope_high_freq_factor = float(
+                scaling.get('high_freq_factor', 4.0))
+            # linear/yarn/llama3 extend the usable context by `factor`
+            # beyond the trained length; dynamic grows on the fly
+            if stype in ('linear', 'yarn', 'llama3'):
                 orig = (cfg.rope_original_max_position
                         or cfg.max_position_embeddings)
                 cfg.session_len = max(cfg.session_len,
                                       int(orig * cfg.rope_scaling_factor))
+        else:
+            # refusing beats serving silently-wrong long-context output
+            raise ValueError(
+                f'unsupported rope_scaling type {stype!r} (supported: '
+                f'linear, dynamic, yarn, llama3); converting anyway would '
+                f'run the model with UNSCALED rope')
     cfg.session_len = max(cfg.session_len, cfg.max_position_embeddings)
     return cfg
 

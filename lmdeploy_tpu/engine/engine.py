@@ -57,6 +57,9 @@ class _Slot:
     emitted: int = 0
     stop_sequences: List[List[int]] = dataclasses.field(default_factory=list)
     single_stops: frozenset = frozenset()
+    # single-token stops past the device stop_words capacity — matched on
+    # the host each round instead of being silently dropped
+    host_single_stops: frozenset = frozenset()
     holdback: int = 0           # tokens withheld while a stop prefix may grow
     prefilling: bool = False    # admitted, prompt not fully in KV yet
     tail: List[int] = dataclasses.field(default_factory=list)
@@ -73,6 +76,16 @@ class TPUEngine:
                  params: Dict[str, Any], tokenizer=None, stop_words=None,
                  kv_scales=None):
         self.cfg = model_cfg
+        if engine_cfg.enable_prefix_caching and (
+                model_cfg.use_dynamic_ntk
+                or model_cfg.rope_scaling_type == 'dynamic'):
+            # dynamic-NTK K vectors depend on the TOTAL context length at
+            # prefill time, not just (tokens, positions) — cached pages
+            # from one session would be wrongly rotated for another.
+            log.info('prefix caching disabled: dynamic-NTK rope makes KV '
+                     'pages context-length-dependent')
+            engine_cfg = dataclasses.replace(
+                engine_cfg, enable_prefix_caching=False)
         self.ecfg = engine_cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -634,11 +647,13 @@ class TPUEngine:
 
         stop_seqs = self._stop_sequences(gen)
         multi = [sw for sw in stop_seqs if len(sw) > 1]
+        from ..ops.sampling import MAX_STOP_BAD_WORDS as _CAP
+        singles = [sw[0] for sw in stop_seqs if len(sw) == 1]
         slot = _Slot(request=req, seq=seq, out_q=out_q,
                      context_len=total_len - 1, prompt_len=total_len,
                      stop_sequences=multi,
-                     single_stops=frozenset(sw[0] for sw in stop_seqs
-                                            if len(sw) == 1),
+                     single_stops=frozenset(singles[:_CAP]),
+                     host_single_stops=frozenset(singles[_CAP:]),
                      holdback=max((len(sw) for sw in multi), default=1) - 1)
         self.slots[slot_idx] = slot
         self._fresh_admission = True  # short first round for TTFT
@@ -665,8 +680,8 @@ class TPUEngine:
         from ..ops.sampling import MAX_STOP_BAD_WORDS as CAP
         stop_flat = [w[0] for w in self._stop_sequences(gen) if len(w) == 1]
         if len(stop_flat) > CAP:
-            log.warning('truncating %d stop words to capacity %d',
-                        len(stop_flat), CAP)
+            log.debug('%d single-token stops exceed device capacity %d; '
+                      'overflow is matched host-side', len(stop_flat), CAP)
         stop = np.full((CAP,), -1, np.int32)
         stop[:min(CAP, len(stop_flat))] = stop_flat[:CAP]
         bad = np.full((CAP,), -1, np.int32)
@@ -995,12 +1010,15 @@ class TPUEngine:
             slot.seq.cache_len = slot.context_len
             slot.tail.append(tok)
             finished = bool(fin_np[i])
-            # host-side multi-token stop sequences
+            # host-side multi-token stop sequences + overflow singles
             hit_stop = None
-            for sw in slot.stop_sequences:
-                if len(slot.tail) >= len(sw) and slot.tail[-len(sw):] == sw:
-                    hit_stop = sw
-                    break
+            if tok in slot.host_single_stops:
+                hit_stop = [tok]
+            else:
+                for sw in slot.stop_sequences:
+                    if len(slot.tail) >= len(sw) and slot.tail[-len(sw):] == sw:
+                        hit_stop = sw
+                        break
             if hit_stop and not finished:
                 self.state = self.fns.set_finished(self.state, i)
                 finished = True

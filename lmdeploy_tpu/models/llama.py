@@ -195,7 +195,9 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
         use_logn_attn=cfg.use_logn_attn,
         rope_scaling_type=cfg.rope_scaling_type,
         rope_scaling_factor=cfg.rope_scaling_factor,
-        rope_original_max=cfg.rope_original_max_position)
+        rope_original_max=cfg.rope_original_max_position,
+        rope_low_freq_factor=cfg.rope_low_freq_factor,
+        rope_high_freq_factor=cfg.rope_high_freq_factor)
 
     kq = (cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)
 

@@ -108,14 +108,44 @@ def yarn_inv_freq(rotary_dim: int, base: float, factor: float,
     low = math.floor(correction_dim(beta_fast))
     high = math.ceil(correction_dim(beta_slow))
     low = max(low, 0)
-    high = min(high, half - 1)
-    ramp = (jnp.arange(half, dtype=jnp.float32) - low) / max(high - low, 1)
+    # clamp to rotary_dim-1 like HF (NOT half-1: the ramp is evaluated on
+    # the half-size index grid but the correction boundary lives on the
+    # full dim scale — large original_max configs put high past half)
+    high = min(high, rotary_dim - 1)
+    ramp = (jnp.arange(half, dtype=jnp.float32) - low) \
+        / max(high - low, 0.001)
     ramp = jnp.clip(ramp, 0.0, 1.0)
     extrap_w = 1.0 - ramp  # dims < low: pure extrapolation
     inv_freq = (inv_freq_interp * (1.0 - extrap_w)
                 + inv_freq_extrap * extrap_w)
     attention_factor = 0.1 * math.log(factor) + 1.0
     return inv_freq, float(attention_factor)
+
+
+def llama3_inv_freq(rotary_dim: int, base: float, factor: float,
+                    original_max: int, low_freq_factor: float = 1.0,
+                    high_freq_factor: float = 4.0):
+    """Llama-3.1 frequency rescale (math parity with transformers
+    modeling_rope_utils._compute_llama3_parameters): high-frequency dims
+    (wavelength < orig/high_freq_factor) keep their trained frequencies,
+    low-frequency dims (wavelength > orig/low_freq_factor) are divided by
+    ``factor``, and the band between blends linearly in wavelength. The
+    result is position-independent (static), so pages stay prefix-cacheable.
+    """
+    import math
+
+    half = rotary_dim // 2
+    exponent = jnp.arange(half, dtype=jnp.float32) * (2.0 / rotary_dim)
+    inv_freq = jnp.power(jnp.float32(base), -exponent)
+    wavelen = (2.0 * math.pi) / inv_freq
+    low_wl = original_max / low_freq_factor
+    high_wl = original_max / high_freq_factor
+    out = jnp.where(wavelen > low_wl, inv_freq / factor, inv_freq)
+    smooth = (original_max / wavelen - low_freq_factor) \
+        / (high_freq_factor - low_freq_factor)
+    smoothed = (1.0 - smooth) / factor * inv_freq + smooth * inv_freq
+    medium = (wavelen >= high_wl) & (wavelen <= low_wl)
+    return jnp.where(medium, smoothed, out)
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
@@ -142,7 +172,9 @@ def rope_tables(positions, context_len, *, rotary_dim: int, base: float,
                 max_position_embeddings: int, use_dynamic_ntk: bool = False,
                 use_logn_attn: bool = False, rope_scaling_type: str = '',
                 rope_scaling_factor: float = 1.0,
-                rope_original_max: int = 0):
+                rope_original_max: int = 0,
+                rope_low_freq_factor: float = 1.0,
+                rope_high_freq_factor: float = 4.0):
     """Precompute (cos, sin, logn_scale_or_None) for one step — these are
     position-only and LAYER-INVARIANT, so the caller hoists them out of
     the per-layer scan (the reference likewise builds cos/sin once per
@@ -152,7 +184,7 @@ def rope_tables(positions, context_len, *, rotary_dim: int, base: float,
       positions: int32 [B, T] absolute positions of these tokens.
       context_len: int32 [B] total sequence length (history + new tokens)
         — the quantity the reference feeds to both NTK and logn.
-      rope_scaling_type: '' | 'linear' | 'dynamic' | 'yarn' — HF
+      rope_scaling_type: '' | 'linear' | 'dynamic' | 'yarn' | 'llama3' — HF
         ``rope_scaling`` presets (beyond-reference: the reference only
         ships the qwen power-of-two NTK, `use_dynamic_ntk`).
       rope_scaling_factor: context-extension factor for the above.
@@ -173,6 +205,11 @@ def rope_tables(positions, context_len, *, rotary_dim: int, base: float,
     elif rope_scaling_type == 'yarn':
         inv_freq, table_scale = yarn_inv_freq(rotary_dim, base, factor,
                                               orig_max)
+        eff_base = None
+    elif rope_scaling_type == 'llama3':
+        inv_freq = llama3_inv_freq(rotary_dim, base, factor, orig_max,
+                                   rope_low_freq_factor,
+                                   rope_high_freq_factor)
         eff_base = None
     elif use_dynamic_ntk:
         eff_base = ntk_rope_base(context_len, max_position_embeddings,

@@ -60,8 +60,15 @@ class HuggingFaceTokenizer:
             self._piece_text = [
                 (tok or '').replace(self._heading_space_symbol, ' ')
                 for tok in vocab]
-        return [i for i, txt in enumerate(self._piece_text)
-                if token in txt]
+            self._containing_cache = {}
+        # the O(vocab) Python scan sits on the per-request serving path —
+        # memoize per stop string (the vocab never changes)
+        hit = self._containing_cache.get(token)
+        if hit is None:
+            hit = [i for i, txt in enumerate(self._piece_text)
+                   if token in txt]
+            self._containing_cache[token] = hit
+        return hit
 
     def _maybe_add_prefix_space(self, tokens: Sequence[int], decoded: str) -> str:
         if len(tokens) and not decoded.startswith(' ') \
@@ -150,11 +157,12 @@ class Tokenizer:
         out: List[List[int]] = []
         for w in words:
             singles = self.indexes_containing_token(w)
-            if singles:
-                out.extend([s] for s in singles)
-                continue
+            out.extend([s] for s in singles)
             ids = self.model.encode(w, add_bos=False)
-            if ids:
+            # the stop string can also be emitted ACROSS token boundaries
+            # (e.g. "\n\n" as two "\n" tokens) — always register the
+            # multi-token encoding too, not only when no piece contains it
+            if len(ids) > 1 or (ids and not singles):
                 out.append(list(ids))
         return out
 

@@ -567,3 +567,22 @@ def test_frequency_penalty_end_to_end():
         assert outs[0.0] != outs[8.0]
     finally:
         eng.shutdown()
+
+
+def test_stop_word_overflow_past_device_capacity(engine):
+    """Vocab-scan stop expansion can yield hundreds of single-token stops;
+    ids past the 32-slot device stop_words capacity must still stop
+    generation (matched host-side instead of silently dropped)."""
+    from lmdeploy_tpu.ops.sampling import MAX_STOP_BAD_WORDS as CAP
+    inst = engine.create_instance()
+    base = collect(inst.stream_infer(70, [3, 5, 7], greedy(6),
+                                     sequence_end=True))[-1].token_ids
+    stop_tok = base[2]
+    # decoys that greedy never emits, placed BEFORE the real stop so it
+    # lands past the device capacity
+    decoys = [t for t in range(2000, 2000 + CAP + 4) if t != stop_tok]
+    cfg = GenerationConfig(max_new_tokens=6, top_k=1, ignore_eos=True,
+                           stop_words=decoys[:CAP + 2] + [stop_tok])
+    got = collect(inst.stream_infer(71, [3, 5, 7], cfg,
+                                    sequence_end=True))[-1].token_ids
+    assert got == base[:2]  # stopped, stop token excluded

@@ -172,12 +172,15 @@ def _hf_rope_params(rope_scaling, dim=64, base=10000.0, max_pos=2048,
 
 def test_yarn_matches_transformers():
     from lmdeploy_tpu.ops.rope import yarn_inv_freq
-    for factor, orig in [(4.0, 2048), (8.0, 4096), (2.0, 1024)]:
+    # (131072, dim=128) puts the correction `high` boundary (~70) past
+    # half-1: the clamp must be dim-1 like HF, not half-1
+    for factor, orig, dim in [(4.0, 2048, 64), (8.0, 4096, 64),
+                              (2.0, 1024, 64), (8.0, 131072, 128)]:
         want_if, want_af = _hf_rope_params(
             {'rope_type': 'yarn', 'factor': factor,
              'original_max_position_embeddings': orig},
-            dim=64, base=10000.0, max_pos=orig)
-        got_if, got_af = yarn_inv_freq(64, 10000.0, factor, orig)
+            dim=dim, base=10000.0, max_pos=orig)
+        got_if, got_af = yarn_inv_freq(dim, 10000.0, factor, orig)
         np.testing.assert_allclose(np.asarray(got_if), want_if,
                                    rtol=1e-5, atol=1e-7)
         assert abs(got_af - want_af) < 1e-6
@@ -229,3 +232,18 @@ def test_yarn_tables_apply_attention_factor():
     np.testing.assert_allclose(np.asarray(cos), np.cos(angle) * af,
                                rtol=1e-5, atol=1e-6)
     assert float(np.abs(np.asarray(cos)).max()) <= af + 1e-6
+
+
+def test_llama3_rope_matches_transformers():
+    """llama3 rope_scaling (Llama-3.1) frequency rescale must match
+    transformers' _compute_llama3_parameters."""
+    from lmdeploy_tpu.ops.rope import llama3_inv_freq
+    want_if, want_af = _hf_rope_params(
+        {'rope_type': 'llama3', 'factor': 8.0, 'low_freq_factor': 1.0,
+         'high_freq_factor': 4.0,
+         'original_max_position_embeddings': 8192},
+        dim=128, base=500000.0, max_pos=131072)
+    got = llama3_inv_freq(128, 500000.0, 8.0, 8192, 1.0, 4.0)
+    np.testing.assert_allclose(np.asarray(got), want_if,
+                               rtol=1e-5, atol=1e-8)
+    assert want_af == 1.0  # no cos/sin post-scale for llama3

@@ -100,3 +100,20 @@ def test_hf_vocab_scan_stop_expansion(tmp_path):
     # multi-token stop string -> one multi-token stop sequence
     seqs = tok.stop_sequences_for(['hello world'])
     assert [tok.encode('hello world')] == seqs
+
+
+def test_stop_string_cross_boundary_encoding_kept():
+    """A stop string that some vocab piece CONTAINS can also be emitted
+    across token boundaries (e.g. "\\n\\n" as two "\\n" tokens); the
+    multi-token encoding must be registered alongside the containment
+    hits, not suppressed by them."""
+    import types
+
+    from lmdeploy_tpu.tokenizer import Tokenizer
+    tok = Tokenizer.__new__(Tokenizer)
+    tok.model = types.SimpleNamespace(
+        encode=lambda s, add_bos=False: [3, 3] if s == '\n\n' else [9],
+        indexes_containing_token=lambda t: [7] if t == '\n\n' else [])
+    seqs = tok.stop_sequences_for(['\n\n'])
+    assert [7] in seqs          # containment hit (device stop word)
+    assert [3, 3] in seqs       # cross-boundary encoding (host matcher)
