@@ -66,47 +66,52 @@ class SamplingState:
 
 
 def apply_repetition_penalty(logits, history, history_len, penalty,
-                             presence=None, frequency=None):
+                             presence=None, frequency=None, gen_start=None):
     """Divide positive / multiply negative logits of previously seen tokens
     (reference: sampling_penalty_kernels.cu repetition penalty over the full
-    output-id history including the prompt).  ``presence`` adds the
-    reference's Additive variant (sampling_penalty_kernels.cu:255-258,
-    selected by the `presence_penalty` runtime arg): a flat subtraction
-    from every seen token's logit.  ``frequency`` is the OpenAI
-    count-scaled additive penalty (beyond-reference: the reference
-    accepts the field in its protocol schema but never applies it) —
-    each seen token's logit drops by ``frequency * occurrence_count``.
+    output-id history including the prompt).  ``presence`` and
+    ``frequency`` are the OpenAI additive penalties: a flat / per-count
+    subtraction from each seen token's logit, counted over GENERATED
+    tokens only (the OpenAI/vLLM contract these API fields implement —
+    a long prompt must not pre-penalize its own vocabulary), selected by
+    ``gen_start`` (= history_len - generated).  The reference's own
+    Additive repetition variant (sampling_penalty_kernels.cu:255-258)
+    covers the prompt too; we follow the API the field names promise.
 
     Args:
       logits: f32 [B, V]
       history: int32 [B, S] token ids (prompt + generated), padded arbitrarily
       history_len: int32 [B] number of valid entries in ``history``
-      penalty: f32 [B] multiplicative (1.0 = off)
+      penalty: f32 [B] multiplicative (1.0 = off), over the FULL history
       presence: f32 [B] additive (0.0 = off) or None
       frequency: f32 [B] per-count additive (0.0 = off) or None
+      gen_start: int32 [B] index of the first generated token in
+        ``history`` (None = 0: count everything, test/back-compat path)
     """
     b, v = logits.shape
     s = history.shape[1]
-    valid = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1) < history_len[:, None]
-    idx = jnp.where(valid, history, v)  # out-of-range rows drop
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    valid = pos < history_len[:, None]
     rows = jnp.arange(b)[:, None]
-    if frequency is None:
-        seen = jnp.zeros((b, v), jnp.bool_).at[rows, idx].max(valid,
-                                                              mode='drop')
-    else:
-        counts = jnp.zeros((b, v), jnp.float32).at[rows, idx].add(
-            valid.astype(jnp.float32), mode='drop')
-        seen = counts > 0
+    idx = jnp.where(valid, history, v)  # out-of-range rows drop
+    seen = jnp.zeros((b, v), jnp.bool_).at[rows, idx].max(valid, mode='drop')
     pen = penalty[:, None]
-    penalized = jnp.where(logits > 0, logits / pen, logits * pen)
-    changed = pen != 1.0
-    if presence is not None:
-        penalized = penalized - presence[:, None]
-        changed = changed | (presence[:, None] != 0.0)
-    if frequency is not None:
-        penalized = penalized - frequency[:, None] * counts
-        changed = changed | (frequency[:, None] != 0.0)
-    return jnp.where(seen & changed, penalized, logits)
+    out = jnp.where(seen & (pen != 1.0),
+                    jnp.where(logits > 0, logits / pen, logits * pen),
+                    logits)
+    if presence is not None or frequency is not None:
+        gen_valid = valid if gen_start is None \
+            else valid & (pos >= gen_start[:, None])
+        gen_idx = jnp.where(gen_valid, history, v)
+        counts = jnp.zeros((b, v), jnp.float32).at[rows, gen_idx].add(
+            gen_valid.astype(jnp.float32), mode='drop')
+        sub = jnp.zeros((b, 1), jnp.float32)
+        if presence is not None:
+            sub = sub + presence[:, None] * (counts > 0)
+        if frequency is not None:
+            sub = sub + frequency[:, None] * counts
+        out = out - sub
+    return out
 
 
 def ban_words(logits, word_ids):
@@ -238,7 +243,8 @@ def sample_step(logits, state: SamplingState, history, history_len,
         lambda lg: apply_repetition_penalty(lg, history, history_len,
                                             state.repetition_penalty,
                                             state.presence_penalty,
-                                            state.frequency_penalty),
+                                            state.frequency_penalty,
+                                            gen_start=history_len - generated),
         lambda lg: lg, logits)
 
     # keys advance every step regardless of path so interleaving greedy

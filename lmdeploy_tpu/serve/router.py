@@ -170,6 +170,12 @@ def _serve_conn(engine, conn: socket.socket):
 class RemoteEngine:
     """Client handle for one peer engine; TPUEngine-submit compatible."""
 
+    # router-side cap on concurrently streaming requests per peer before
+    # overloaded() reports backpressure (the peer enforces its own
+    # max_pending_requests with QUEUE_FULL; this keeps the HTTP-level
+    # 429 fast path alive behind the router)
+    IN_FLIGHT_LIMIT = 256
+
     def __init__(self, address: str):
         host, port = address.rsplit(':', 1)
         self.address = address
@@ -178,6 +184,11 @@ class RemoteEngine:
         self._wlock = threading.Lock()
         self._rid = 0
         self._rid_lock = threading.Lock()
+        # _qlock serializes _queues/_dead between submit and the reader:
+        # a submit racing the reader's fail-all would otherwise register a
+        # queue nobody ever fills and hang its client forever
+        self._qlock = threading.Lock()
+        self._dead = False
         self._queues: Dict[int, queue.Queue] = {}
         self.in_flight = 0
         threading.Thread(target=self._reader, daemon=True,
@@ -190,50 +201,82 @@ class RemoteEngine:
 
     def _reader(self):
         while True:
-            frame = _recv_frame(self._sock)
+            try:
+                frame = _recv_frame(self._sock)
+            except (OSError, ValueError):
+                # a reset/abort must run the same fail-all path as a clean
+                # EOF — an unhandled exception here would strand every
+                # in-flight client forever
+                frame = None
             if frame is None:
-                # peer gone: fail every in-flight request
-                for q in list(self._queues.values()):
+                # peer gone: fail every in-flight request and refuse new
+                # ones (under _qlock so no submit can slip in between the
+                # snapshot and the clear)
+                with self._qlock:
+                    self._dead = True
+                    stale = list(self._queues.values())
+                    self._queues.clear()
+                for q in stale:
                     q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [], 0,
                                        finished=True))
-                self._queues.clear()
                 return
-            q = self._queues.get(frame['rid'])
+            with self._qlock:
+                q = self._queues.get(frame['rid'])
             if q is None:
                 continue
             if 'metrics' in frame:
                 q.put(frame['metrics'])
-                del self._queues[frame['rid']]
+                with self._qlock:
+                    self._queues.pop(frame['rid'], None)
                 continue
             out = _out_from_wire(frame)
             q.put(out)
             if out.finished:
-                del self._queues[frame['rid']]
+                with self._qlock:
+                    self._queues.pop(frame['rid'], None)
                 self.in_flight = max(0, self.in_flight - 1)
 
     def submit(self, req: EngineRequest) -> queue.Queue:
         rid = self._next_rid()
         out_q: queue.Queue = queue.Queue()
-        self._queues[rid] = out_q
+        with self._qlock:
+            if self._dead:
+                out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [], 0,
+                                       finished=True))
+                return out_q
+            self._queues[rid] = out_q
         self.in_flight += 1
         try:
             _send_frame(self._sock, {'rid': rid, 'req': _req_to_wire(req)},
                         self._wlock)
         except OSError:
-            self._queues.pop(rid, None)
+            with self._qlock:
+                self._queues.pop(rid, None)
             self.in_flight -= 1
             out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [], 0,
                                    finished=True))
         return out_q
 
+    def overloaded(self) -> bool:
+        """Backpressure proxy for a peer we can't cheaply ask: dead peers
+        and peers with a full router-side in-flight window count as
+        overloaded so RouterEngine's pre-admission 429 can fire."""
+        return self._dead or self.in_flight >= self.IN_FLIGHT_LIMIT
+
     def metrics(self, timeout: float = 5.0) -> dict:
         rid = self._next_rid()
         q: queue.Queue = queue.Queue()
-        self._queues[rid] = q
-        _send_frame(self._sock, {'rid': rid, 'type': 'metrics'}, self._wlock)
+        with self._qlock:
+            if self._dead:
+                return {}
+            self._queues[rid] = q
         try:
+            _send_frame(self._sock, {'rid': rid, 'type': 'metrics'},
+                        self._wlock)
             return q.get(timeout=timeout)
-        except queue.Empty:
+        except (OSError, queue.Empty):
+            with self._qlock:
+                self._queues.pop(rid, None)
             return {}
 
     def close(self):
@@ -270,7 +313,8 @@ class RouterEngine:
     def _in_flight(self, idx: int) -> int:
         b = self.backends[idx]
         if isinstance(b, RemoteEngine):
-            return b.in_flight
+            # dead peers sort last so new sessions route around them
+            return (1 << 30) if b._dead else b.in_flight
         return (sum(1 for s in b.slots if s is not None)
                 + b._requests.qsize() + len(b._pending))
 

@@ -134,3 +134,47 @@ def test_load_balanced_routing_and_metrics(router):
     m = router.metrics()
     assert m['router_backends'] == 2
     assert any(k.startswith('peer0_') for k in m)
+
+
+def test_remote_engine_dead_peer_fails_fast():
+    """A peer that disconnects must fail in-flight requests AND refuse
+    later submits immediately (no queue registered that nobody fills —
+    the client would block forever), and report overloaded() so the
+    router's pre-admission 429 can fire."""
+    import threading
+    import time
+
+    from lmdeploy_tpu.messages import EngineRequest
+    from lmdeploy_tpu.serve.router import RemoteEngine
+
+    srv = socket.socket()
+    srv.bind(('localhost', 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    accepted = []
+
+    def accept_and_close():
+        conn, _ = srv.accept()
+        accepted.append(conn)
+        time.sleep(0.2)
+        conn.close()
+
+    t = threading.Thread(target=accept_and_close)
+    t.start()
+    eng = RemoteEngine(f'localhost:{port}')
+    req = EngineRequest(session_id=1, input_ids=[1, 2],
+                        gen_config=GenerationConfig(max_new_tokens=2))
+    q1 = eng.submit(req)
+    out = q1.get(timeout=5.0)   # peer closes -> reader fails it
+    assert out.finished
+    t.join()
+    # reader is dead now; a late submit must not hang
+    deadline = time.time() + 5.0
+    while not eng._dead and time.time() < deadline:
+        time.sleep(0.05)
+    assert eng._dead
+    q2 = eng.submit(req)
+    out2 = q2.get(timeout=1.0)
+    assert out2.finished
+    assert eng.overloaded()
+    srv.close()

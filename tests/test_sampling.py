@@ -172,7 +172,7 @@ def test_presence_penalty_changes_sample_step_greedy():
     hist = jnp.asarray([[0, 0, 0, 0]], jnp.int32)
     toks, _, _ = sample_step(logits, st, hist,
                              jnp.array([1], jnp.int32),
-                             jnp.zeros(1, jnp.int32), mode='greedy')
+                             jnp.ones(1, jnp.int32), mode='greedy')
     assert int(toks[0]) == 1
 
 
@@ -213,6 +213,35 @@ def test_frequency_penalty_changes_sample_step_greedy():
     hist = jnp.asarray([[0, 0, 2] + [0] * 13], jnp.int32)
     tok, _, _ = sample_step(logits, st, hist,
                             jnp.array([3], jnp.int32),
-                            jnp.zeros(1, jnp.int32), mode='greedy')
+                            jnp.full(1, 3, jnp.int32), mode='greedy')
     # token 0 seen 2x (in-window): 1.0 - 0.6 = 0.4 < 0.9 -> argmax flips
     assert int(np.asarray(tok)[0]) == 1
+
+
+def test_presence_frequency_skip_prompt_tokens():
+    """OpenAI presence/frequency penalties count GENERATED tokens only —
+    a prompt mentioning a token many times must not pre-penalize it
+    (the vLLM/OpenAI contract); repetition_penalty still covers the
+    full history like the reference kernels."""
+    logits = jnp.asarray(np.array([[1.0, 0.9, -5.0]], np.float32))
+    hist = jnp.asarray([[0, 0, 0, 0]], jnp.int32)  # '0' appears in PROMPT
+    hist_len = jnp.array([3], jnp.int32)
+    # all 3 history entries are prompt (generated=0): no additive penalty
+    out = np.asarray(apply_repetition_penalty(
+        logits, hist, hist_len, jnp.array([1.0], jnp.float32),
+        presence=jnp.array([0.5], jnp.float32),
+        frequency=jnp.array([0.5], jnp.float32),
+        gen_start=hist_len))
+    np.testing.assert_allclose(out[0], [1.0, 0.9, -5.0])
+    # last 2 entries generated: presence 0.5 + frequency 2*0.5 on token 0
+    out = np.asarray(apply_repetition_penalty(
+        logits, hist, hist_len, jnp.array([1.0], jnp.float32),
+        presence=jnp.array([0.5], jnp.float32),
+        frequency=jnp.array([0.5], jnp.float32),
+        gen_start=jnp.array([1], jnp.int32)))
+    np.testing.assert_allclose(out[0], [1.0 - 0.5 - 1.0, 0.9, -5.0])
+    # repetition_penalty alone applies over the FULL history incl prompt
+    out = np.asarray(apply_repetition_penalty(
+        logits, hist, hist_len, jnp.array([2.0], jnp.float32),
+        gen_start=hist_len))
+    np.testing.assert_allclose(out[0], [0.5, 0.9, -5.0])
