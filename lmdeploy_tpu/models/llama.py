@@ -159,20 +159,22 @@ def _split_qkv(qkv: jnp.ndarray, cfg: ModelConfig, tp: int = 1):
     return (qkv[:, :, :h], qkv[:, :, h:h + kh], qkv[:, :, h + kh:])
 
 
-def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
-            cfg: ModelConfig, *, return_all_logits: bool = False,
-            logits_count: Optional[int] = None,
-            axis: Optional[str] = None, use_pallas_attn: bool = False):
-    """One step: embed -> scan(layers) -> final norm -> lm_head.
+def embed_tokens(params: Dict[str, Any], ids: jnp.ndarray) -> jnp.ndarray:
+    """Token embedding lookup [B, T] -> [B, T, D] (vocab padding rows are
+    never indexed)."""
+    return params['tok_embedding'][ids]
 
-    Args:
-      axis: mesh axis name when running manually-partitioned under
-        shard_map (heads / inter / vocab sharded on it); None otherwise.
-      use_pallas_attn: read attention straight from the paged pool with
-        Pallas kernels instead of gather+masked-softmax XLA reference.
-    Returns:
-      (logits, new_cache): logits [B, T, V] if return_all_logits else
-      [B, V] (last valid position of each row).
+
+def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
+                   h_res: jnp.ndarray, cfg: ModelConfig, *,
+                   axis: Optional[str] = None, use_pallas_attn: bool = False):
+    """scan(layers) on an already-embedded activation: the middle phase of
+    :func:`forward`, exposed separately so pipeline-parallel stages
+    (parallel/pp.py) can run their LOCAL layer slice — ``params['layers']``
+    leaves and the cache layer dim may be a stage-local [L/pp, ...] slice;
+    everything indexes layers locally from 0.
+
+    Returns (h_out [B, T, D], new_cache).
     """
     tp = jax.lax.psum(1, axis) if axis else 1
     dh = cfg.size_per_head
@@ -181,9 +183,6 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
     # Mosaic tiling requires lane-aligned head_dim; small test models fall
     # back to the XLA gather path.
     use_pallas_attn = use_pallas_attn and dh % 128 == 0
-
-    emb = params['tok_embedding']
-    h_res = emb[batch.ids]  # [B, T, D] (vocab padding rows never indexed)
 
     # cos/sin (+ logn scale) are position-only and identical for every
     # layer — computed ONCE here, closed over by the scan body
@@ -334,8 +333,16 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
     xs = (lw_stacked, cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)
     (h_out, new_k, new_v, _), _ = jax.lax.scan(
         layer_fn, (h_res, cache.k, cache.v, jnp.int32(0)), xs)
-    new_cache = dataclasses.replace(cache, k=new_k, v=new_v)
+    return h_out, dataclasses.replace(cache, k=new_k, v=new_v)
 
+
+def lm_head_logits(params: Dict[str, Any], h_out: jnp.ndarray,
+                   batch: StepBatch, cfg: ModelConfig, *,
+                   return_all_logits: bool = False,
+                   logits_count: Optional[int] = None,
+                   axis: Optional[str] = None):
+    """Final norm + (vocab-sharded) lm_head: the tail phase of
+    :func:`forward` (reference: LlamaV2::postDecodeEmbedding)."""
     h_out = rms_norm(h_out, params['norm'], cfg.norm_eps)
     if return_all_logits and logits_count is not None:
         # speculative verify: positions beyond logits_count are padding;
@@ -354,6 +361,31 @@ def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
     if axis:
         logits = _all_gather_logits(logits, axis)
     dbg('logits', logits)
+    return logits
+
+
+def forward(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
+            cfg: ModelConfig, *, return_all_logits: bool = False,
+            logits_count: Optional[int] = None,
+            axis: Optional[str] = None, use_pallas_attn: bool = False):
+    """One step: embed -> scan(layers) -> final norm -> lm_head.
+
+    Args:
+      axis: mesh axis name when running manually-partitioned under
+        shard_map (heads / inter / vocab sharded on it); None otherwise.
+      use_pallas_attn: read attention straight from the paged pool with
+        Pallas kernels instead of gather+masked-softmax XLA reference.
+    Returns:
+      (logits, new_cache): logits [B, T, V] if return_all_logits else
+      [B, V] (last valid position of each row).
+    """
+    h_res = embed_tokens(params, batch.ids)
+    h_out, new_cache = forward_layers(params, cache, batch, h_res, cfg,
+                                      axis=axis,
+                                      use_pallas_attn=use_pallas_attn)
+    logits = lm_head_logits(params, h_out, batch, cfg,
+                            return_all_logits=return_all_logits,
+                            logits_count=logits_count, axis=axis)
     return logits, new_cache
 
 
@@ -373,4 +405,5 @@ def mask_vocab_padding(logits: jnp.ndarray, vocab_size: int) -> jnp.ndarray:
 
 
 __all__ = ['StepBatch', 'init_params', 'quantize_params', 'pack_params',
-           'forward', 'vocab_padded', 'mask_vocab_padding']
+           'forward', 'embed_tokens', 'forward_layers', 'lm_head_logits',
+           'vocab_padded', 'mask_vocab_padding']

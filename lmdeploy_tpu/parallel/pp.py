@@ -1,0 +1,278 @@
+"""Pipeline parallelism over a (pp, tp) TPU mesh.
+
+The reference PLUMBS pipeline parallelism but hard-disables it
+(`/root/reference/src/turbomind/models/llama/LlamaTritonModel.cc:298`
+``FT_CHECK(pipeline_para_size == 1)``); this module goes one step
+further: a WORKING pipelined decode/prefill at the step-function level,
+token-parity tested against the plain path on a virtual mesh.
+
+Design (TPU-native, not a port):
+
+- The stacked per-layer weights ``[L, ...]`` shard their layer dim over
+  the ``pp`` mesh axis (on top of the usual tp column/row sharding), and
+  the KV pool ``[L, pages, ...]`` shards the same way — each stage owns
+  the KV of its own layers.  Inside ``shard_map`` every stage sees a
+  model with ``L/pp`` layers, so the regular
+  :func:`models.llama.forward_layers` runs unchanged on the local slice.
+- **Decode** pipelines ``M = pp`` microbatches of batch rows around a
+  ``ppermute`` ring: each iteration every stage runs its layers on the
+  microbatch it holds, then shifts the activation to the next stage.
+  The LAST stage samples (greedy) and sends the new token's *embedding*
+  around the wrap-around edge, so stage 0 receives exactly the next
+  round's input — the ring is uniform, no special-cased edges.  With
+  ``M == pp`` the feedback latency equals the reentry period and the
+  pipeline is bubble-free in steady state (fill/drain bubbles:
+  ``pp - 1`` iterations of ``rounds * pp + pp - 1`` total).
+- **Prefill** relays one chunk through the stages sequentially (stage s
+  computes at relay step s, result broadcast over the ring); per-chunk
+  bubbles are accepted — prefill is compute-bound and rare relative to
+  decode rounds.
+
+Scope (v1, documented limits): greedy sampling, fixed round count
+(ignore_eos semantics), no penalties — the engine scheduler keeps
+serving through the dp×tp paths; PP is the scale-out lever for models
+too deep/big for one tp group.  The per-iteration lm_head waste on
+non-final stages (~2% of FLOPs x pp) is the known first optimization.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..engine.step import DecodeState
+from ..kvcache.paged import KVCache
+from ..models.llama import (StepBatch, embed_tokens, forward_layers,
+                            lm_head_logits, mask_vocab_padding)
+from .tp import TP_AXIS, param_pspecs
+
+PP_AXIS = 'pp'
+
+
+def make_mesh_pp(pp: int, tp: int = 1, devices=None) -> Mesh:
+    """(pp, tp) mesh; tp rides the fastest-varying (ICI-adjacent) axis so
+    the per-layer collectives stay on-chip while stage hops (one [B, D]
+    activation per iteration — tiny) take the outer axis."""
+    if devices is None:
+        devices = sorted(jax.devices(),
+                         key=lambda d: (d.process_index, d.id))
+    n = pp * tp
+    if len(devices) < n:
+        raise ValueError(f'need {n} devices, have {len(devices)}')
+    arr = np.asarray(devices[:n]).reshape(pp, tp)
+    return Mesh(arr, (PP_AXIS, TP_AXIS))
+
+
+def pp_param_pspecs(params: Dict[str, Any]):
+    """tp specs + the stacked layer dim sharded over pp.  Embedding, final
+    norm and lm_head are replicated across pp (stage 0 embeds, the last
+    stage projects; replication keeps the ring uniform and costs one
+    vocab matrix per stage)."""
+    base = param_pspecs(params)
+
+    def add_pp(path, _leaf, spec):
+        names = [getattr(k, 'key', getattr(k, 'name', '')) for k in path]
+        if 'layers' not in names:
+            return spec
+        rest = list(spec) if len(spec) else []
+        # leading dim is the stacked L axis on every per-layer leaf
+        if len(rest) == 0:
+            return P(PP_AXIS)
+        return P(PP_AXIS, *rest[1:]) if rest[0] is None \
+            else P(PP_AXIS, *rest)
+    return jax.tree_util.tree_map_with_path(add_pp, params, base)
+
+
+def pp_cache_pspecs():
+    """KV pool: layer dim over pp, KV heads over tp; per-layer quant
+    scales [L] shard over pp with the layers they describe."""
+    return KVCache(k=P(PP_AXIS, None, None, TP_AXIS, None),
+                   v=P(PP_AXIS, None, None, TP_AXIS, None),
+                   k_scale=P(PP_AXIS), k_zp=P(PP_AXIS),
+                   v_scale=P(PP_AXIS), v_zp=P(PP_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# step functions (run INSIDE shard_map over ('pp', 'tp'))
+# ---------------------------------------------------------------------------
+
+def pp_prefill_chunk(params, cache: KVCache, state: DecodeState, slot,
+                     ids, start_pos, length, cfg: ModelConfig, *,
+                     num_stages: int, use_pallas_attn: bool = False):
+    """Relay one padded prompt chunk through the stages (same contract as
+    engine.step.prefill_chunk).  Stage s computes at relay step s with
+    its local layers; KV writes are masked to the owning step so only
+    real activations land in the pool."""
+    t = ids.shape[0]
+    pos = start_pos + jnp.arange(t, dtype=jnp.int32)
+    valid = jnp.arange(t) < length
+    row = state.page_table[slot]
+    stage = jax.lax.axis_index(PP_AXIS)
+    h = embed_tokens(params, ids[None])
+    batch = StepBatch(ids=ids[None], positions=pos[None], valid=valid[None],
+                      context_len=(start_pos + length)[None],
+                      page_table=row[None])
+    for s in range(num_stages):
+        my_turn = stage == s
+        b_s = dataclasses.replace(batch, valid=batch.valid & my_turn)
+        h_s, cache = forward_layers(params, cache, b_s, h, cfg,
+                                    axis=TP_AXIS,
+                                    use_pallas_attn=use_pallas_attn)
+        # broadcast stage s's output to every stage for the next hop
+        h = jax.lax.psum(jnp.where(my_turn, h_s, jnp.zeros_like(h_s)),
+                         PP_AXIS)
+    logits = lm_head_logits(params, h, batch, cfg, axis=TP_AXIS)
+    return cache, logits[0]
+
+
+def pp_decode_greedy(params, cache: KVCache, state: DecodeState,
+                     cfg: ModelConfig, *, num_stages: int, rounds: int,
+                     use_pallas_attn: bool = False):
+    """``rounds`` pipelined greedy decode rounds for every active slot.
+
+    Batch rows split into ``M = num_stages`` microbatches cycling the
+    ppermute ring (module docstring).  Returns
+    ``(cache, new_state, tokens int32 [rounds, B])`` with tokens
+    replicated on every shard (inactive rows hold 0).
+    """
+    b = state.tokens.shape[0]
+    m_count = num_stages
+    assert b % m_count == 0, (b, m_count)
+    bu = b // m_count
+    total = rounds * m_count + num_stages - 1
+    stage = jax.lax.axis_index(PP_AXIS)
+    is_last = stage == num_stages - 1
+    run0 = state.active & ~state.finished
+    ring = [(i, (i + 1) % num_stages) for i in range(num_stages)]
+    d = params['tok_embedding'].shape[-1]
+
+    def body(carry, t):
+        h_ring, cache, toks = carry
+        tm = t - stage                      # my payload's pipeline time
+        in_flight = (tm >= 0) & (tm < rounds * m_count)
+        tm = jnp.maximum(tm, 0)
+        m = tm % m_count                    # microbatch index
+        r = tm // m_count                   # decode round
+        row0 = m * bu
+        ptab = jax.lax.dynamic_slice_in_dim(state.page_table, row0, bu, 0)
+        ctx0 = jax.lax.dynamic_slice_in_dim(state.context_len, row0, bu, 0)
+        act = jax.lax.dynamic_slice_in_dim(run0, row0, bu, 0)
+        tok0 = jax.lax.dynamic_slice_in_dim(state.tokens, row0, bu, 0)
+        pos = ctx0 + r
+        batch = StepBatch(
+            ids=jnp.zeros((bu, 1), jnp.int32),
+            positions=pos[:, None],
+            valid=(act & in_flight)[:, None],
+            context_len=pos + 1,
+            page_table=ptab)
+        # round 0 enters at stage 0 from the resident tokens; later rounds
+        # arrive pre-embedded over the ring's wrap-around edge
+        h_entry = embed_tokens(params, tok0[:, None])
+        h_in = jnp.where((stage == 0) & (r == 0), h_entry, h_ring)
+        h_out, cache = forward_layers(params, cache, batch, h_in, cfg,
+                                      axis=TP_AXIS,
+                                      use_pallas_attn=use_pallas_attn)
+        logits = lm_head_logits(params, h_out, batch, cfg, axis=TP_AXIS)
+        logits = mask_vocab_padding(logits, cfg.vocab_size)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(act, tok, tok0)
+        # record on the sampling stage only
+        cur = jax.lax.dynamic_slice(toks, (r, row0), (1, bu))
+        new = jnp.where(is_last & in_flight, tok[None], cur)
+        toks = jax.lax.dynamic_update_slice(toks, new, (r, row0))
+        payload = jnp.where(is_last, embed_tokens(params, tok[:, None]),
+                            h_out)
+        h_ring = jax.lax.ppermute(payload, PP_AXIS, ring)
+        return (h_ring, cache, toks), None
+
+    h0 = jnp.zeros((bu, 1, d), params['tok_embedding'].dtype)
+    toks0 = jnp.zeros((rounds, b), jnp.int32)
+    (h_ring, cache, toks), _ = jax.lax.scan(
+        body, (h0, cache, toks0), jnp.arange(total, dtype=jnp.int32))
+    # only the last stage wrote tokens; others carry zeros -> psum
+    # replicates the real values across pp (tp rows already agree)
+    toks = jax.lax.psum(jnp.where(is_last, toks, 0), PP_AXIS)
+
+    inc = jnp.where(run0, rounds, 0).astype(jnp.int32)
+    rows = jnp.arange(b)
+    hist_idx = state.history_len[:, None] + jnp.arange(rounds)[None]
+    hist_idx = jnp.where(run0[:, None], hist_idx,
+                         jnp.int32(state.history.shape[1]))
+    history = state.history.at[rows[:, None], hist_idx].set(
+        toks.T, mode='drop')
+    new_state = dataclasses.replace(
+        state,
+        tokens=jnp.where(run0, toks[rounds - 1], state.tokens),
+        context_len=state.context_len + inc,
+        generated=state.generated + inc,
+        history=history,
+        history_len=state.history_len + inc)
+    return cache, new_state, toks
+
+
+# ---------------------------------------------------------------------------
+# jitted wrappers
+# ---------------------------------------------------------------------------
+
+class PPStepFns:
+    """Compiled (pp, tp)-sharded step functions (the pipeline analogue of
+    parallel.tp.ShardedStepFns).  Not yet wired into TPUEngine's
+    scheduler — drive directly or via the multichip dryrun."""
+
+    def __init__(self, cfg: ModelConfig, mesh: Mesh, *,
+                 use_pallas_attn: bool = False):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.pp = int(mesh.shape[PP_AXIS])
+        cache_spec = pp_cache_pspecs()
+        rep = P()
+
+        def smap(fn, in_specs, out_specs):
+            return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False)
+
+        def make_prefill(pspec):
+            fn = partial(pp_prefill_chunk, cfg=cfg, num_stages=self.pp,
+                         use_pallas_attn=use_pallas_attn)
+            return jax.jit(
+                smap(fn, in_specs=(pspec, cache_spec, rep, rep, rep, rep,
+                                   rep),
+                     out_specs=(cache_spec, rep)),
+                donate_argnums=(1,))
+
+        def make_decode(pspec, rounds):
+            fn = partial(pp_decode_greedy, cfg=cfg, num_stages=self.pp,
+                         rounds=rounds, use_pallas_attn=use_pallas_attn)
+            return jax.jit(
+                smap(fn, in_specs=(pspec, cache_spec, rep),
+                     out_specs=(cache_spec, rep, rep)),
+                donate_argnums=(1, 2))
+
+        self._make_prefill = make_prefill
+        self._make_decode = make_decode
+        self._prefill = None
+        self._decode = {}
+
+    def prefill_chunk(self, params, cache, state, slot, ids, start_pos,
+                      length):
+        if self._prefill is None:
+            self._prefill = self._make_prefill(pp_param_pspecs(params))
+        return self._prefill(params, cache, state, slot, ids, start_pos,
+                             length)
+
+    def decode_rounds(self, params, cache, state, rounds: int):
+        fn = self._decode.get(rounds)
+        if fn is None:
+            fn = self._make_decode(pp_param_pspecs(params), rounds)
+            self._decode[rounds] = fn
+        return fn(params, cache, state)
+
+
+__all__ = ['PP_AXIS', 'make_mesh_pp', 'pp_param_pspecs', 'pp_cache_pspecs',
+           'pp_prefill_chunk', 'pp_decode_greedy', 'PPStepFns']

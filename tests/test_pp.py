@@ -1,0 +1,129 @@
+"""Pipeline-parallel parity: the (pp, tp) ppermute-ring pipeline must
+reproduce single-device greedy decoding token for token on the virtual
+CPU mesh.  (The reference hard-disables pipeline parallelism —
+LlamaTritonModel.cc:298 FT_CHECK(pipeline_para_size == 1); a WORKING
+pipelined decode is beyond-reference capability.)"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lmdeploy_tpu.config import ModelConfig
+from lmdeploy_tpu.engine.step import (CompiledStepFns, init_decode_state,
+                                      install_slot)
+from lmdeploy_tpu.kvcache.paged import init_cache
+from lmdeploy_tpu.models.llama import init_params
+from lmdeploy_tpu.ops.sampling import SamplingState
+from lmdeploy_tpu.parallel.pp import (PPStepFns, make_mesh_pp,
+                                      pp_cache_pspecs, pp_param_pspecs)
+from lmdeploy_tpu.parallel.tp import (prepare_params_for_tp, replicate_tree,
+                                      shard_tree)
+
+CFG = ModelConfig(head_num=8, kv_head_num=4, size_per_head=16, inter_size=64,
+                  num_layer=4, vocab_size=128, rotary_embedding=16,
+                  max_position_embeddings=128, session_len=64, end_id=2)
+
+B, MAXP, PAGE, NPAGES = 4, 4, 8, 32
+PROMPTS = [[3, 17, 42], [99, 5, 23, 60], [7, 7, 100, 11, 64], [2, 120]]
+
+
+def _srow():
+    return SamplingState(
+        top_k=jnp.int32(1), top_p=jnp.float32(1.0), min_p=jnp.float32(0.0),
+        temperature=jnp.float32(1.0), repetition_penalty=jnp.float32(1.0),
+        presence_penalty=jnp.float32(0.0),
+        frequency_penalty=jnp.float32(0.0),
+        rng_key=jax.random.key_data(jax.random.PRNGKey(0)).astype(jnp.uint32),
+        bad_words=jnp.full((32,), -1, jnp.int32),
+        stop_words=jnp.full((32,), -1, jnp.int32),
+        eos_id=jnp.int32(CFG.end_id), ignore_eos=jnp.asarray(True),
+        min_new_tokens=jnp.int32(0), max_new_tokens=jnp.int32(32))
+
+
+def _install_all(state):
+    for i, prompt in enumerate(PROMPTS):
+        hist = np.zeros((CFG.session_len,), np.int32)
+        hist[:len(prompt)] = prompt
+        pages = np.full((MAXP,), -1, np.int32)
+        pages[:2] = [2 * i, 2 * i + 1]
+        state = install_slot(state, i, jnp.int32(prompt[-1]),
+                             jnp.int32(len(prompt) - 1), jnp.asarray(hist),
+                             jnp.int32(len(prompt)), jnp.asarray(pages),
+                             _srow())
+    return state
+
+
+def _prefill_all(fns, params, cache, state):
+    for i, prompt in enumerate(PROMPTS):
+        ids = np.zeros((8,), np.int32)
+        ids[:len(prompt) - 1] = prompt[:-1]
+        cache, _ = fns.prefill_chunk(params, cache, state, jnp.int32(i),
+                                     jnp.asarray(ids), jnp.int32(0),
+                                     jnp.int32(len(prompt) - 1))
+    return cache
+
+
+def _oracle_tokens(params, rounds):
+    fns = CompiledStepFns(CFG)
+    state = _install_all(
+        init_decode_state(B, MAXP, CFG.session_len, eos_id=CFG.end_id))
+    cache = init_cache(CFG.num_layer, NPAGES, PAGE, CFG.kv_head_num,
+                       CFG.size_per_head, jnp.float32)
+    cache = _prefill_all(fns, params, cache, state)
+    toks = []
+    for _ in range(rounds):
+        cache, state, tok, _, _ = fns.decode_step(params, cache, state)
+        toks.append(np.asarray(tok).tolist())
+    return toks
+
+
+@pytest.mark.parametrize('pp,tp', [(2, 2), (2, 4), (4, 2)])
+def test_pp_decode_matches_single_device(pp, tp):
+    """pp prefill relay + pipelined decode == plain path, all 4 slots."""
+    rounds = 3
+    params = init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    want = _oracle_tokens(params, 2 * rounds)
+
+    mesh = make_mesh_pp(pp, tp)
+    pparams = prepare_params_for_tp(params, CFG, tp)
+    pparams = shard_tree(pparams, pp_param_pspecs(pparams), mesh)
+    fns = PPStepFns(CFG, mesh)
+    state = _install_all(
+        init_decode_state(B, MAXP, CFG.session_len, eos_id=CFG.end_id))
+    state = replicate_tree(state, mesh)
+    cache = init_cache(CFG.num_layer, NPAGES, PAGE, CFG.kv_head_num,
+                       CFG.size_per_head, jnp.float32)
+    cache = shard_tree(cache, pp_cache_pspecs(), mesh)
+    cache = _prefill_all(fns, params=pparams, cache=cache, state=state)
+    # two pipelined calls: the second must continue from updated state
+    cache, state, t1 = fns.decode_rounds(pparams, cache, state, rounds)
+    cache, state, t2 = fns.decode_rounds(pparams, cache, state, rounds)
+    got = np.concatenate([np.asarray(t1), np.asarray(t2)]).tolist()
+    assert got == want
+
+
+def test_pp_state_bookkeeping(pp=2, tp=2):
+    """context_len / history advance exactly like the plain path."""
+    params = init_params(CFG, jax.random.PRNGKey(1), jnp.float32)
+    mesh = make_mesh_pp(pp, tp)
+    pparams = prepare_params_for_tp(params, CFG, tp)
+    pparams = shard_tree(pparams, pp_param_pspecs(pparams), mesh)
+    fns = PPStepFns(CFG, mesh)
+    state = _install_all(
+        init_decode_state(B, MAXP, CFG.session_len, eos_id=CFG.end_id))
+    state = replicate_tree(state, mesh)
+    cache = init_cache(CFG.num_layer, NPAGES, PAGE, CFG.kv_head_num,
+                       CFG.size_per_head, jnp.float32)
+    cache = shard_tree(cache, pp_cache_pspecs(), mesh)
+    cache = _prefill_all(fns, pparams, cache, state)
+    ctx0 = np.asarray(state.context_len)
+    hl0 = np.asarray(state.history_len)
+    cache, state, toks = fns.decode_rounds(pparams, cache, state, 2)
+    np.testing.assert_array_equal(np.asarray(state.context_len), ctx0 + 2)
+    np.testing.assert_array_equal(np.asarray(state.history_len), hl0 + 2)
+    toks = np.asarray(toks)
+    np.testing.assert_array_equal(np.asarray(state.tokens), toks[-1])
+    hist = np.asarray(state.history)
+    for i in range(B):
+        np.testing.assert_array_equal(hist[i, hl0[i]:hl0[i] + 2], toks[:, i])
