@@ -226,6 +226,23 @@ def main():
     # real-text acceptance evidence (CPU subprocess, trained proxy)
     spec_real = spec_accept_real_text()
 
+    # fold in on-chip measurement sidecars recorded by the round's
+    # background harness (saturation curve, SARATHI interleave, prefill
+    # MFU, prefix-cache TTFT, packed-int4/fused-rope A/B) when present —
+    # they take hours on the tunneled chip and can't rerun inside bench
+    extra = {}
+    import os.path as _osp
+    for name in ('saturation', 'interleave', 'prefill_mfu', 'prefix_ttft',
+                 'perf_ab', 'risky_ab', 'spec_sampled'):
+        p = _osp.join(_osp.dirname(_osp.abspath(__file__)),
+                      '.r3', f'{name}.json')
+        if _osp.exists(p):
+            try:
+                with open(p) as f:
+                    extra[name] = json.load(f)
+            except (OSError, ValueError):
+                pass
+
     print(json.dumps({
         'metric': 'llama2-7b w4a16 decode tok/s (bs1, 1 in / 512 out)',
         'value': round(toks, 1),
@@ -246,6 +263,7 @@ def main():
             'int4_vs_bf16_speedup': ratio,
             'out_tokens': n,
             'device': str(jax.devices()[0]),
+            **({'measured': extra} if extra else {}),
             'note': ('headline uses greedy prompt-lookup speculative '
                      'decoding (speculative_k=4) — output is token-'
                      'identical to plain greedy; acceptance on this '
