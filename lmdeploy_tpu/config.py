@@ -81,6 +81,9 @@ class EngineConfig:
     dp: int = 1                          # dp groups: independent continuous
     # batches over the 'dp' mesh axis, each with its own page pool /
     # scheduler (multi-host scale-out; hosts = dp on a pod)
+    pp: int = 1                          # pipeline stages: layers sharded
+    # over the 'pp' mesh axis (parallel/pp.py; beyond-reference — the
+    # reference hard-disables PP, LlamaTritonModel.cc:298)
     max_batch_size: int = 64             # decode slots
     max_context_token_num: int = 8192    # prefill chunk token budget
     session_len: int = 2048

@@ -115,7 +115,37 @@ class TPUEngine:
         self._kv_scales = kv_scales
         self._cache_sh = None
         self._state_sharding = None
-        if engine_cfg.tp > 1 or self.dp > 1:
+        if engine_cfg.pp > 1:
+            # Pipeline-parallel serving over a (pp, tp) mesh: layer-
+            # sharded stages, generic relay forward (full sampling stack;
+            # parallel/pp.py).  Beyond-reference — the reference
+            # hard-disables PP (LlamaTritonModel.cc:298).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.pp import (PPStepFns, make_mesh_pp,
+                                       pp_cache_pspecs, pp_param_pspecs)
+            from ..parallel.tp import prepare_params_for_tp, shard_tree
+            if self.dp > 1:
+                raise ValueError('pp does not compose with dp groups yet')
+            if model_cfg.num_layer % engine_cfg.pp:
+                raise ValueError(
+                    f'num_layer {model_cfg.num_layer} not divisible by '
+                    f'pp={engine_cfg.pp}')
+            self.mesh = make_mesh_pp(engine_cfg.pp, engine_cfg.tp)
+            self._cache_sh = jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s), pp_cache_pspecs(),
+                is_leaf=lambda x: isinstance(x, PartitionSpec))
+            self._state_sharding = NamedSharding(self.mesh,
+                                                 PartitionSpec())
+            self.cache, self.state = self._alloc_device_state()
+            self.params = prepare_params_for_tp(params, model_cfg,
+                                                engine_cfg.tp)
+            self.params = shard_tree(self.params,
+                                     pp_param_pspecs(self.params),
+                                     self.mesh)
+            self.fns = PPStepFns(model_cfg, self.mesh,
+                                 use_pallas_attn=self._pallas_enabled())
+        elif engine_cfg.tp > 1 or self.dp > 1:
             # One SPMD program over the (dp, tp) mesh replaces the
             # reference's per-GPU threads + NCCL ranks (turbomind.py:
             # 125-136); dp groups are independent continuous batches with

@@ -67,7 +67,8 @@ def init_decode_state(batch: int, max_pages: int, hist_len: int,
 
 def decode_step(params: Dict[str, Any], cache: KVCache, state: DecodeState,
                 cfg: ModelConfig, *, use_pallas_attn: bool = False,
-                axis: str = None, sampling_mode: str = 'candidates'):
+                axis: str = None, sampling_mode: str = 'candidates',
+                forward_fn=None):
     """One generation step for every running slot.
 
     ``sampling_mode`` is static — the host scheduler knows every running
@@ -86,8 +87,9 @@ def decode_step(params: Dict[str, Any], cache: KVCache, state: DecodeState,
         context_len=state.context_len + 1,
         page_table=state.page_table,
     )
-    logits, cache = forward(params, cache, batch, cfg, axis=axis,
-                            use_pallas_attn=use_pallas_attn)
+    fwd = forward_fn or forward
+    logits, cache = fwd(params, cache, batch, cfg, axis=axis,
+                        use_pallas_attn=use_pallas_attn)
     logits = mask_vocab_padding(logits, cfg.vocab_size)
     new_tok, new_keys, logprob = sample_step(
         logits, state.sampling, state.history, state.history_len,
@@ -114,7 +116,7 @@ def decode_step(params: Dict[str, Any], cache: KVCache, state: DecodeState,
 def decode_steps(params, cache: KVCache, state: DecodeState,
                  cfg: ModelConfig, *, num_steps: int,
                  use_pallas_attn: bool = False, axis: str = None,
-                 sampling_mode: str = 'candidates'):
+                 sampling_mode: str = 'candidates', forward_fn=None):
     """``num_steps`` generation steps in ONE device program (the reference's
     step_length knob, LlamaV2.cc internal loop).  Amortizes the host
     dispatch + readback round-trip — critical when the host↔device link
@@ -132,7 +134,7 @@ def decode_steps(params, cache: KVCache, state: DecodeState,
         cache, state = carry
         cache, state, tok, fin, logprob = decode_step(
             params, cache, state, cfg, use_pallas_attn=use_pallas_attn,
-            axis=axis, sampling_mode=sampling_mode)
+            axis=axis, sampling_mode=sampling_mode, forward_fn=forward_fn)
         return (cache, state), (tok, fin, logprob, state.sampling.rng_key)
 
     (cache, state), (toks, fins, logprobs, rngs) = jax.lax.scan(
@@ -154,7 +156,8 @@ def decode_steps(params, cache: KVCache, state: DecodeState,
 def spec_decode_round(params, cache: KVCache, state: DecodeState,
                       cfg: ModelConfig, *, k_draft: int, ngram: int = 3,
                       ngram_min: int = 0, use_pallas_attn: bool = False,
-                      axis: str = None, sampling: str = 'greedy'):
+                      axis: str = None, sampling: str = 'greedy',
+                      forward_fn=None):
     """One speculative round for every running slot: propose ``k_draft``
     tokens by in-jit prompt lookup, verify all of them plus the model's
     own next token in ONE [B, K+1]-position forward, accept the matched
@@ -190,9 +193,10 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
         ids=ids, positions=pos, valid=valid,
         context_len=jnp.minimum(state.context_len + kp1, cap),
         page_table=state.page_table)
-    logits, cache = forward(params, cache, batch, cfg,
-                            return_all_logits=True, logits_count=kp1,
-                            axis=axis, use_pallas_attn=use_pallas_attn)
+    fwd = forward_fn or forward
+    logits, cache = fwd(params, cache, batch, cfg,
+                        return_all_logits=True, logits_count=kp1,
+                        axis=axis, use_pallas_attn=use_pallas_attn)
     logits = mask_vocab_padding(logits, cfg.vocab_size)       # [B,K+1,V]
 
     smp = state.sampling
@@ -250,7 +254,8 @@ def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
                        cfg: ModelConfig, *, num_rounds: int, k_draft: int,
                        ngram: int = 3, ngram_min: int = 0,
                        use_pallas_attn: bool = False,
-                       axis: str = None, sampling: str = 'greedy'):
+                       axis: str = None, sampling: str = 'greedy',
+                       forward_fn=None):
     """``num_rounds`` speculative rounds in one device program.
 
     Returns (cache, state, packed int32 [R, 3*(K+1)+3, B]): per round,
@@ -270,7 +275,7 @@ def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
         cache, state, g, fin_emit, n, logp = spec_decode_round(
             params, cache, state, cfg, k_draft=k_draft, ngram=ngram,
             ngram_min=ngram_min, use_pallas_attn=use_pallas_attn,
-            axis=axis, sampling=sampling)
+            axis=axis, sampling=sampling, forward_fn=forward_fn)
         rng = jax.lax.bitcast_convert_type(state.sampling.rng_key,
                                            jnp.int32).T        # [2, B]
         lp = jax.lax.bitcast_convert_type(logp.astype(jnp.float32),
@@ -291,7 +296,7 @@ def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
 def prefill_chunk(params, cache: KVCache, state: DecodeState, slot,
                   ids, start_pos, length, cfg: ModelConfig, *,
                   use_pallas_attn: bool = False, axis: str = None,
-                  dp_axis: str = None):
+                  dp_axis: str = None, forward_fn=None):
     """Append one padded prompt chunk of a single slot into the KV cache.
 
     Args:
@@ -325,15 +330,16 @@ def prefill_chunk(params, cache: KVCache, state: DecodeState, slot,
         context_len=(start_pos + length)[None],
         page_table=row[None],
     )
-    logits, cache = forward(params, cache, batch, cfg, axis=axis,
-                            use_pallas_attn=use_pallas_attn)
+    fwd = forward_fn or forward
+    logits, cache = fwd(params, cache, batch, cfg, axis=axis,
+                        use_pallas_attn=use_pallas_attn)
     return cache, logits[0]
 
 
 def prefill_chunks(params, cache: KVCache, state: DecodeState, slots,
                    ids, start_pos, lengths, cfg: ModelConfig, *,
                    use_pallas_attn: bool = False, axis: str = None,
-                   dp_axis: str = None):
+                   dp_axis: str = None, forward_fn=None):
     """Batched multi-slot prefill: one device pass appends one chunk for
     EVERY newly admitted slot (the reference's batched context decode,
     LlamaBatch.cc:795-858 — concurrent admissions must not serialize
@@ -366,14 +372,15 @@ def prefill_chunks(params, cache: KVCache, state: DecodeState, slots,
         context_len=start_pos + lengths,
         page_table=rows,
     )
-    logits, cache = forward(params, cache, batch, cfg, axis=axis,
-                            use_pallas_attn=use_pallas_attn)
+    fwd = forward_fn or forward
+    logits, cache = fwd(params, cache, batch, cfg, axis=axis,
+                        use_pallas_attn=use_pallas_attn)
     return cache, logits
 
 
 def prefill_logits(params, cache: KVCache, page_row, ids, start_pos, length,
                    cfg: ModelConfig, *, axis: str = None,
-                   dp_axis: str = None):
+                   dp_axis: str = None, forward_fn=None):
     """Like prefill_chunk but returns logits for ALL positions of the chunk
     (the reference's is_return_logits path, LlamaBatch::outputContextLogits).
     Takes a standalone page-table row so it never touches DecodeState.
@@ -395,8 +402,9 @@ def prefill_logits(params, cache: KVCache, page_row, ids, start_pos, length,
         context_len=(start_pos + length)[None],
         page_table=page_row[None],
     )
-    logits, cache = forward(params, cache, batch, cfg,
-                            return_all_logits=True, axis=axis)
+    fwd = forward_fn or forward
+    logits, cache = fwd(params, cache, batch, cfg,
+                        return_all_logits=True, axis=axis)
     if dp_axis is not None:
         logits = jax.lax.psum(
             jnp.where(is_owner, logits, 0.0), dp_axis)

@@ -102,33 +102,47 @@ def pp_cache_pspecs():
 # step functions (run INSIDE shard_map over ('pp', 'tp'))
 # ---------------------------------------------------------------------------
 
-def pp_prefill_chunk(params, cache: KVCache, state: DecodeState, slot,
-                     ids, start_pos, length, cfg: ModelConfig, *,
-                     num_stages: int, use_pallas_attn: bool = False):
-    """Relay one padded prompt chunk through the stages (same contract as
-    engine.step.prefill_chunk).  Stage s computes at relay step s with
-    its local layers; KV writes are masked to the owning step so only
-    real activations land in the pool."""
-    t = ids.shape[0]
-    pos = start_pos + jnp.arange(t, dtype=jnp.int32)
-    valid = jnp.arange(t) < length
-    row = state.page_table[slot]
+def pp_forward(params, cache: KVCache, batch: StepBatch, cfg: ModelConfig,
+               *, num_stages: int, return_all_logits: bool = False,
+               logits_count=None, axis: str = TP_AXIS,
+               use_pallas_attn: bool = False):
+    """Relay forward with the same contract as ``models.llama.forward``:
+    embed -> ``num_stages`` broadcast hops (stage s applies its local
+    layers at hop s; KV writes masked to the owning hop) -> lm_head.
+
+    This is the GENERIC pp path: the regular engine step functions
+    (decode/prefill/spec, full sampling stack) run unchanged on a
+    (pp, tp) mesh by passing ``forward_fn=pp_forward``-partial.  Each
+    round costs ``num_stages`` sequential stage-times for the whole
+    batch — the bubble-free throughput configuration is the
+    :func:`pp_decode_greedy` microbatch ring below."""
     stage = jax.lax.axis_index(PP_AXIS)
-    h = embed_tokens(params, ids[None])
-    batch = StepBatch(ids=ids[None], positions=pos[None], valid=valid[None],
-                      context_len=(start_pos + length)[None],
-                      page_table=row[None])
+    h = embed_tokens(params, batch.ids)
     for s in range(num_stages):
         my_turn = stage == s
         b_s = dataclasses.replace(batch, valid=batch.valid & my_turn)
         h_s, cache = forward_layers(params, cache, b_s, h, cfg,
-                                    axis=TP_AXIS,
+                                    axis=axis,
                                     use_pallas_attn=use_pallas_attn)
         # broadcast stage s's output to every stage for the next hop
         h = jax.lax.psum(jnp.where(my_turn, h_s, jnp.zeros_like(h_s)),
                          PP_AXIS)
-    logits = lm_head_logits(params, h, batch, cfg, axis=TP_AXIS)
-    return cache, logits[0]
+    logits = lm_head_logits(params, h, batch, cfg,
+                            return_all_logits=return_all_logits,
+                            logits_count=logits_count, axis=axis)
+    return logits, cache
+
+
+def pp_prefill_chunk(params, cache: KVCache, state: DecodeState, slot,
+                     ids, start_pos, length, cfg: ModelConfig, *,
+                     num_stages: int, use_pallas_attn: bool = False):
+    """Relay one padded prompt chunk through the stages (same contract as
+    engine.step.prefill_chunk)."""
+    from ..engine.step import prefill_chunk
+    return prefill_chunk(
+        params, cache, state, slot, ids, start_pos, length, cfg,
+        use_pallas_attn=use_pallas_attn, axis=TP_AXIS,
+        forward_fn=partial(pp_forward, num_stages=num_stages))
 
 
 def pp_decode_greedy(params, cache: KVCache, state: DecodeState,
@@ -221,32 +235,88 @@ def pp_decode_greedy(params, cache: KVCache, state: DecodeState,
 # ---------------------------------------------------------------------------
 
 class PPStepFns:
-    """Compiled (pp, tp)-sharded step functions (the pipeline analogue of
-    parallel.tp.ShardedStepFns).  Not yet wired into TPUEngine's
-    scheduler — drive directly or via the multichip dryrun."""
+    """Compiled (pp, tp)-sharded step functions with the SAME interface as
+    engine.step.CompiledStepFns / parallel.tp.ShardedStepFns, so
+    ``TPUEngine`` schedules over a pipeline mesh unchanged
+    (``EngineConfig(pp=N)``).  The generic paths (decode / prefill /
+    logits / speculative, full sampling stack) relay through
+    :func:`pp_forward`; :meth:`decode_rounds` additionally exposes the
+    bubble-free microbatch-ring greedy pipeline."""
 
     def __init__(self, cfg: ModelConfig, mesh: Mesh, *,
                  use_pallas_attn: bool = False):
+        from ..engine import step as _step
+
         self.cfg = cfg
         self.mesh = mesh
         self.pp = int(mesh.shape[PP_AXIS])
+        self.dp = 1
         cache_spec = pp_cache_pspecs()
         rep = P()
+        self.state_spec = rep
+        fwd = partial(pp_forward, num_stages=self.pp)
 
         def smap(fn, in_specs, out_specs):
             return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs, check_vma=False)
 
+        def make_decode(pspec):
+            fn = partial(_step.decode_step, cfg=cfg, axis=TP_AXIS,
+                         use_pallas_attn=use_pallas_attn, forward_fn=fwd)
+            return jax.jit(
+                smap(fn, in_specs=(pspec, cache_spec, rep),
+                     out_specs=(cache_spec, rep, rep, rep, rep)),
+                donate_argnums=(1, 2))
+
+        def make_decode_steps(pspec, num_steps, sampling_mode='candidates'):
+            fn = partial(_step.decode_steps, cfg=cfg, axis=TP_AXIS,
+                         num_steps=num_steps,
+                         use_pallas_attn=use_pallas_attn,
+                         sampling_mode=sampling_mode, forward_fn=fwd)
+            return jax.jit(
+                smap(fn, in_specs=(pspec, cache_spec, rep),
+                     out_specs=(cache_spec, rep, rep, rep)),
+                donate_argnums=(1, 2))
+
+        def make_spec_rounds(pspec, num_rounds, k_draft, ngram,
+                             ngram_min=0, sampling='greedy'):
+            fn = partial(_step.spec_decode_rounds, cfg=cfg, axis=TP_AXIS,
+                         num_rounds=num_rounds, k_draft=k_draft,
+                         ngram=ngram, ngram_min=ngram_min,
+                         use_pallas_attn=use_pallas_attn,
+                         sampling=sampling, forward_fn=fwd)
+            return jax.jit(
+                smap(fn, in_specs=(pspec, cache_spec, rep),
+                     out_specs=(cache_spec, rep, rep)),
+                donate_argnums=(1, 2))
+
         def make_prefill(pspec):
-            fn = partial(pp_prefill_chunk, cfg=cfg, num_stages=self.pp,
-                         use_pallas_attn=use_pallas_attn)
+            fn = partial(_step.prefill_chunk, cfg=cfg, axis=TP_AXIS,
+                         use_pallas_attn=use_pallas_attn, forward_fn=fwd)
             return jax.jit(
                 smap(fn, in_specs=(pspec, cache_spec, rep, rep, rep, rep,
                                    rep),
                      out_specs=(cache_spec, rep)),
                 donate_argnums=(1,))
 
-        def make_decode(pspec, rounds):
+        def make_prefills(pspec):
+            fn = partial(_step.prefill_chunks, cfg=cfg, axis=TP_AXIS,
+                         use_pallas_attn=use_pallas_attn, forward_fn=fwd)
+            return jax.jit(
+                smap(fn, in_specs=(pspec, cache_spec, rep, rep, rep, rep,
+                                   rep),
+                     out_specs=(cache_spec, rep)),
+                donate_argnums=(1,))
+
+        def make_prefill_logits(pspec):
+            fn = partial(_step.prefill_logits, cfg=cfg, axis=TP_AXIS,
+                         forward_fn=fwd)
+            return jax.jit(
+                smap(fn, in_specs=(pspec, cache_spec, rep, rep, rep, rep),
+                     out_specs=(cache_spec, rep)),
+                donate_argnums=(1,))
+
+        def make_ring_decode(pspec, rounds):
             fn = partial(pp_decode_greedy, cfg=cfg, num_stages=self.pp,
                          rounds=rounds, use_pallas_attn=use_pallas_attn)
             return jax.jit(
@@ -254,24 +324,59 @@ class PPStepFns:
                      out_specs=(cache_spec, rep, rep)),
                 donate_argnums=(1, 2))
 
-        self._make_prefill = make_prefill
-        self._make_decode = make_decode
-        self._prefill = None
-        self._decode = {}
+        self._makers = dict(
+            decode=make_decode, decode_steps=make_decode_steps,
+            spec=make_spec_rounds, prefill=make_prefill,
+            prefills=make_prefills, logits=make_prefill_logits,
+            ring=make_ring_decode)
+        self._cache: Dict[Any, Any] = {}
+
+        self.install_slot = jax.jit(_step.install_slot, donate_argnums=(0,))
+        self.clear_slot = jax.jit(_step.clear_slot, donate_argnums=(0,))
+        self.set_finished = jax.jit(_step.set_finished, donate_argnums=(0,))
+        self.set_active = jax.jit(_step.set_active, donate_argnums=(0,))
+        self.set_page_row = jax.jit(_step.set_page_row, donate_argnums=(0,))
+
+    def _get(self, kind, params, *key):
+        k = (kind,) + key
+        fn = self._cache.get(k)
+        if fn is None:
+            fn = self._makers[kind](pp_param_pspecs(params), *key)
+            self._cache[k] = fn
+        return fn
+
+    def decode_step(self, params, cache, state):
+        return self._get('decode', params)(params, cache, state)
+
+    def decode_steps(self, params, cache, state, num_steps: int,
+                     sampling_mode: str = 'candidates'):
+        return self._get('decode_steps', params, num_steps, sampling_mode)(
+            params, cache, state)
+
+    def spec_decode_rounds(self, params, cache, state, num_rounds: int,
+                           k_draft: int, ngram: int = 3,
+                           ngram_min: int = 0, sampling: str = 'greedy'):
+        return self._get('spec', params, num_rounds, k_draft, ngram,
+                         ngram_min, sampling)(params, cache, state)
 
     def prefill_chunk(self, params, cache, state, slot, ids, start_pos,
                       length):
-        if self._prefill is None:
-            self._prefill = self._make_prefill(pp_param_pspecs(params))
-        return self._prefill(params, cache, state, slot, ids, start_pos,
-                             length)
+        return self._get('prefill', params)(params, cache, state, slot,
+                                            ids, start_pos, length)
+
+    def prefill_chunks(self, params, cache, state, slots, ids, start_pos,
+                       lengths):
+        return self._get('prefills', params)(params, cache, state, slots,
+                                             ids, start_pos, lengths)
+
+    def prefill_logits_row(self, params, cache, page_row, ids, start_pos,
+                           length):
+        return self._get('logits', params)(params, cache, page_row, ids,
+                                           start_pos, length)
 
     def decode_rounds(self, params, cache, state, rounds: int):
-        fn = self._decode.get(rounds)
-        if fn is None:
-            fn = self._make_decode(pp_param_pspecs(params), rounds)
-            self._decode[rounds] = fn
-        return fn(params, cache, state)
+        """Bubble-free microbatch-ring greedy pipeline (module docstring)."""
+        return self._get('ring', params, rounds)(params, cache, state)
 
 
 __all__ = ['PP_AXIS', 'make_mesh_pp', 'pp_param_pspecs', 'pp_cache_pspecs',

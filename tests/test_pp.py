@@ -127,3 +127,38 @@ def test_pp_state_bookkeeping(pp=2, tp=2):
     hist = np.asarray(state.history)
     for i in range(B):
         np.testing.assert_array_equal(hist[i, hl0[i]:hl0[i] + 2], toks[:, i])
+
+
+def test_engine_serves_over_pp_mesh():
+    """FULL engine (admission -> chunked prefill -> decode rounds ->
+    retirement, sampling stack included) over a pp=2 x tp=2 mesh must
+    stream the same tokens as the single-device engine."""
+    from lmdeploy_tpu.config import EngineConfig
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(2), jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=4)
+    gens = [GenerationConfig(max_new_tokens=6, top_k=1, ignore_eos=True),
+            GenerationConfig(max_new_tokens=6, top_k=20, top_p=0.9,
+                             temperature=0.8, random_seed=7,
+                             ignore_eos=True)]
+
+    def run(engine_cfg):
+        eng = TPUEngine(CFG, engine_cfg, params)
+        try:
+            inst = eng.create_instance()
+            return [inst.infer(i + 1, [3 + i, 9, 4], gen_config=g,
+                               sequence_end=True).token_ids
+                    for i, g in enumerate(gens)]
+        finally:
+            eng.shutdown()
+
+    want = run(ecfg)
+    assert all(len(t) == 6 for t in want)
+    import dataclasses as dc
+    got = run(dc.replace(ecfg, pp=2, tp=2))
+    assert got == want
