@@ -97,8 +97,12 @@ class AsyncEngine:
         stop_strings: Optional[Union[str, List[str]]] = None,
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
+        do_preprocess: bool = True,
     ):
-        """Stream GenOut for one request (reference: async_engine.py:68)."""
+        """Stream GenOut for one request (reference: async_engine.py:68).
+
+        ``do_preprocess=False`` skips the chat template — the raw-prompt
+        continuation contract of /v1/completions."""
         instance = self.generators[session_id % self.instance_num]
         key = str(session_id)
         if key not in self.steps:
@@ -112,7 +116,8 @@ class AsyncEngine:
         # seed only on sequence start so continuations resume the saved
         # per-session RNG (reference: random_seed=seed if sequence_start)
         seed = random.getrandbits(63) if sequence_start else None
-        prompt = self.model.messages2prompt(messages, sequence_start)
+        prompt = self.model.messages2prompt(messages, sequence_start) \
+            if do_preprocess else messages
         input_ids = self.tokenizer.encode(prompt)
         if self.steps[key] + len(input_ids) >= self.session_len:
             yield GenOut('', self.steps[key], len(input_ids), 0, 'length')

@@ -19,7 +19,11 @@ from .protocol import (ChatCompletionRequest, ChatCompletionResponse,
                        ChatCompletionResponseChoice,
                        ChatCompletionResponseStreamChoice,
                        ChatCompletionStreamResponse, ChatMessage,
-                       DeltaMessage, EmbeddingsRequest, EmbeddingsResponse,
+                       CompletionRequest, CompletionResponse,
+                       CompletionResponseChoice,
+                       CompletionResponseStreamChoice,
+                       CompletionStreamResponse, DeltaMessage,
+                       EmbeddingsRequest, EmbeddingsResponse,
                        ErrorResponse, GenerateRequest, GenerateResponse,
                        ModelCard, ModelList, ModelPermission, UsageInfo)
 
@@ -145,6 +149,86 @@ async def chat_completions_v1(raw: web.Request) -> web.StreamResponse:
     return web.json_response(payload.model_dump())
 
 
+async def completions_v1(raw: web.Request) -> web.StreamResponse:
+    """POST /v1/completions — raw-prompt continuation, no chat template
+    (beyond-reference: the reference defines the Completion* protocol
+    schemas but never mounts the endpoint).  Supports a single prompt or
+    a list (served sequentially, one choice per prompt), `echo`, and
+    SSE streaming for a single prompt."""
+    try:
+        req = CompletionRequest(**await raw.json())
+    except Exception as e:  # noqa: BLE001
+        return _error(HTTPStatus.BAD_REQUEST, str(e))
+    err = await _check_model(req.model) or _overloaded()
+    if err:
+        return err
+    engine = VariableInterface.async_engine
+    base_sid = _session_id(raw)
+    prompts = [req.prompt] if isinstance(req.prompt, str) else list(req.prompt)
+    stop_flag = req.stop if isinstance(req.stop, bool) else False
+    stop_strings = None if isinstance(req.stop, bool) else req.stop
+
+    def _gen(prompt: str, sid: int, stream: bool):
+        return engine.generate(
+            prompt, sid, stream_response=stream, sequence_start=True,
+            sequence_end=True, request_output_len=req.max_tokens or 16,
+            stop=stop_flag, top_p=req.top_p, temperature=req.temperature,
+            repetition_penalty=req.repetition_penalty,
+            presence_penalty=req.presence_penalty or 0.0,
+            frequency_penalty=req.frequency_penalty or 0.0,
+            ignore_eos=bool(req.ignore_eos), stop_strings=stop_strings,
+            do_preprocess=False)
+
+    if req.stream:
+        if len(prompts) != 1:
+            return _error(HTTPStatus.BAD_REQUEST,
+                          'streaming supports a single prompt')
+        resp = web.StreamResponse(
+            headers={'Content-Type': 'text/event-stream',
+                     'Cache-Control': 'no-cache'})
+        await resp.prepare(raw)
+        if req.echo:
+            head = CompletionStreamResponse(
+                model=req.model,
+                choices=[CompletionResponseStreamChoice(
+                    index=0, text=prompts[0])])
+            await resp.write(
+                f'data: {head.model_dump_json()}\n\n'.encode())
+        async for out in _gen(prompts[0], base_sid, True):
+            finish = out.finish_reason
+            chunk = CompletionStreamResponse(
+                model=req.model,
+                choices=[CompletionResponseStreamChoice(
+                    index=0, text=out.response,
+                    finish_reason=None if finish == 'cancel' else finish)])
+            await resp.write(
+                f'data: {chunk.model_dump_json()}\n\n'.encode())
+        await resp.write(b'data: [DONE]\n\n')
+        await resp.write_eof()
+        return resp
+
+    choices = []
+    prompt_tokens = completion_tokens = 0
+    for i, prompt in enumerate(prompts):
+        sid = (base_sid + 7919 * i) % (2 ** 30)
+        text = ''
+        finish = None
+        async for out in _gen(prompt, sid, False):
+            text += out.response
+            prompt_tokens += out.input_token_len
+            completion_tokens += out.generate_token_len
+            finish = out.finish_reason
+        choices.append(CompletionResponseChoice(
+            index=i, text=(prompt + text) if req.echo else text,
+            finish_reason=None if finish == 'cancel' else finish))
+    payload = CompletionResponse(
+        model=req.model, choices=choices,
+        usage=UsageInfo(prompt_tokens=prompt_tokens,
+                        completion_tokens=completion_tokens,
+                        total_tokens=prompt_tokens + completion_tokens))
+    return web.json_response(payload.model_dump())
+
+
 async def create_embeddings(raw: web.Request) -> web.Response:
     """POST /v1/embeddings — returns token ids like the reference
     (api_server.py:230: 'embeddings' are the prompt token ids)."""
@@ -233,6 +317,7 @@ def build_app(engine: AsyncEngine) -> web.Application:
     app = web.Application()
     app.router.add_get('/v1/models', available_models)
     app.router.add_post('/v1/chat/completions', chat_completions_v1)
+    app.router.add_post('/v1/completions', completions_v1)
     app.router.add_post('/v1/embeddings', create_embeddings)
     app.router.add_post('/generate', generate)
     app.router.add_get('/metrics', metrics)

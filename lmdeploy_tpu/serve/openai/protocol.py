@@ -126,7 +126,9 @@ class CompletionRequest(BaseModel):
     temperature: Optional[float] = 0.7
     n: Optional[int] = 1
     max_tokens: Optional[int] = 16
-    stop: Optional[bool] = False
+    # bool = interrupt the session (lmdeploy extension); str / list of
+    # str = OpenAI stop strings (same contract as chat completions)
+    stop: Optional[Union[bool, str, List[str]]] = False
     stream: Optional[bool] = False
     top_p: Optional[float] = 1.0
     logprobs: Optional[int] = None

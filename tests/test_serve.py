@@ -269,3 +269,51 @@ def test_stream_holds_partial_utf8_frames(async_engine, monkeypatch):
     # held tokens are emitted once the char completes: all 4 tokens
     # reach the client as 'y's across the stream
     assert sum(t.count('y') for t in texts) == 4
+
+
+def test_completions_v1_endpoint(async_engine):
+    """/v1/completions: raw-prompt continuation (no chat template), list
+    prompts -> one choice per prompt, echo, and SSE streaming
+    (beyond-reference: the reference ships the Completion* schemas but
+    never mounts the endpoint)."""
+    from aiohttp.test_utils import TestClient, TestServer
+    from lmdeploy_tpu.serve.openai.api_server import build_app
+
+    async def run():
+        app = build_app(async_engine)
+        async with TestClient(TestServer(app)) as client:
+            payload = {'model': 'tiny', 'prompt': 'once upon',
+                       'max_tokens': 4, 'ignore_eos': True}
+            r = await client.post('/v1/completions', json=payload)
+            assert r.status == 200
+            body = await r.json()
+            assert body['object'] == 'text_completion'
+            assert body['choices'][0]['finish_reason'] == 'length'
+            assert body['usage']['completion_tokens'] == 4
+
+            # echo prepends the prompt text
+            r = await client.post('/v1/completions',
+                                  json={**payload, 'echo': True})
+            assert (await r.json())['choices'][0]['text'].startswith(
+                'once upon')
+
+            # list of prompts -> one choice per prompt, indexed
+            r = await client.post('/v1/completions', json={
+                **payload, 'prompt': ['alpha beta', 'gamma delta']})
+            body = await r.json()
+            assert [c['index'] for c in body['choices']] == [0, 1]
+            assert body['usage']['completion_tokens'] == 8
+
+            # SSE streaming
+            r = await client.post('/v1/completions',
+                                  json={**payload, 'stream': True})
+            assert r.status == 200
+            text = (await r.read()).decode()
+            assert 'text_completion' in text and '[DONE]' in text
+
+            # streaming a prompt list is a 400, not a hang
+            r = await client.post('/v1/completions', json={
+                **payload, 'prompt': ['a', 'b'], 'stream': True})
+            assert r.status == 400
+
+    asyncio.run(run())
