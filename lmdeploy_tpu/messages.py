@@ -92,3 +92,5 @@ class GenOut:
     input_token_len: int
     generate_token_len: int
     finish_reason: Optional[str] = None  # 'stop' | 'length' | 'cancel' | None
+    token_ids: Optional[list] = None     # NEW tokens this frame
+    logprobs: Optional[list] = None      # their logprobs (when requested)

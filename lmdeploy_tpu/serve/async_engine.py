@@ -98,11 +98,14 @@ class AsyncEngine:
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
         do_preprocess: bool = True,
+        output_logprobs: bool = False,
     ):
         """Stream GenOut for one request (reference: async_engine.py:68).
 
         ``do_preprocess=False`` skips the chat template — the raw-prompt
-        continuation contract of /v1/completions."""
+        continuation contract of /v1/completions.  ``output_logprobs``
+        rides the engine's per-token logprob stream into
+        ``GenOut.token_ids`` / ``GenOut.logprobs``."""
         instance = self.generators[session_id % self.instance_num]
         key = str(session_id)
         if key not in self.steps:
@@ -128,6 +131,8 @@ class AsyncEngine:
                                       stop_strings=stop_strings,
                                       presence_penalty=presence_penalty,
                                       frequency_penalty=frequency_penalty)
+        if output_logprobs:
+            gen_config.output_logprobs = True
         response_size = 0
         tokens = 0
         finish_reason = None
@@ -153,6 +158,9 @@ class AsyncEngine:
             # async_engine.py:141-147)
             if not out.finished and text.endswith('�'):
                 continue
+            new_ids = list(out.token_ids[response_size:])
+            new_lps = (list(out.logprobs[response_size:])
+                       if output_logprobs and out.logprobs else None)
             response_size = tokens
             if out.finished:
                 finish_reason = ('stop' if out.status == ResponseType.FINISH
@@ -160,7 +168,7 @@ class AsyncEngine:
                                  else 'length'
                                  if tokens >= request_output_len else 'cancel')
             yield GenOut(text, self.steps[key], len(input_ids), tokens,
-                         finish_reason)
+                         finish_reason, token_ids=new_ids, logprobs=new_lps)
         self.steps[key] += len(input_ids) + tokens
         if sequence_end:
             self.steps[key] = 0

@@ -168,6 +168,8 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
     stop_flag = req.stop if isinstance(req.stop, bool) else False
     stop_strings = None if isinstance(req.stop, bool) else req.stop
 
+    want_logprobs = req.logprobs is not None and req.logprobs > 0
+
     def _gen(prompt: str, sid: int, stream: bool):
         return engine.generate(
             prompt, sid, stream_response=stream, sequence_start=True,
@@ -177,7 +179,22 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
             presence_penalty=req.presence_penalty or 0.0,
             frequency_penalty=req.frequency_penalty or 0.0,
             ignore_eos=bool(req.ignore_eos), stop_strings=stop_strings,
-            do_preprocess=False)
+            do_preprocess=False, output_logprobs=want_logprobs)
+
+    def _logprobs_obj(ids, lps, base_text: str):
+        """OpenAI completions logprobs: chosen-token logprobs only
+        (top_logprobs needs a device top-k readback; null like several
+        OSS servers)."""
+        tok = VariableInterface.async_engine.tokenizer
+        pieces, offsets = [], []
+        pos = len(base_text)
+        for i in range(len(ids)):
+            piece = tok.decode(ids[:i + 1], offset=i)
+            pieces.append(piece)
+            offsets.append(pos)
+            pos += len(piece)
+        return {'tokens': pieces, 'token_logprobs': list(lps),
+                'top_logprobs': None, 'text_offset': offsets}
 
     if req.stream:
         if len(prompts) != 1:
@@ -213,13 +230,21 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
         sid = (base_sid + 7919 * i) % (2 ** 30)
         text = ''
         finish = None
+        all_ids, all_lps = [], []
         async for out in _gen(prompt, sid, False):
             text += out.response
             prompt_tokens += out.input_token_len
             completion_tokens += out.generate_token_len
             finish = out.finish_reason
+            if out.token_ids:
+                all_ids.extend(out.token_ids)
+            if out.logprobs:
+                all_lps.extend(out.logprobs)
+        base = prompt if req.echo else ''
+        lp = _logprobs_obj(all_ids, all_lps, base) \
+            if want_logprobs and all_lps else None
         choices.append(CompletionResponseChoice(
-            index=i, text=(prompt + text) if req.echo else text,
+            index=i, text=base + text, logprobs=lp,
             finish_reason=None if finish == 'cancel' else finish))
     payload = CompletionResponse(
         model=req.model, choices=choices,

@@ -317,3 +317,27 @@ def test_completions_v1_endpoint(async_engine):
             assert r.status == 400
 
     asyncio.run(run())
+
+
+def test_completions_logprobs(async_engine):
+    """/v1/completions with logprobs returns the chosen-token logprob
+    stream (tokens / token_logprobs / text_offset aligned)."""
+    from aiohttp.test_utils import TestClient, TestServer
+    from lmdeploy_tpu.serve.openai.api_server import build_app
+
+    async def run():
+        app = build_app(async_engine)
+        async with TestClient(TestServer(app)) as client:
+            r = await client.post('/v1/completions', json={
+                'model': 'tiny', 'prompt': 'abc', 'max_tokens': 4,
+                'ignore_eos': True, 'logprobs': 1})
+            assert r.status == 200
+            lp = (await r.json())['choices'][0]['logprobs']
+            assert lp is not None
+            assert len(lp['tokens']) == 4
+            assert len(lp['token_logprobs']) == 4
+            assert all(isinstance(x, float) for x in lp['token_logprobs'])
+            assert all(x <= 0.0 for x in lp['token_logprobs'])
+            assert lp['text_offset'] == sorted(lp['text_offset'])
+
+    asyncio.run(run())
