@@ -171,6 +171,12 @@ class TPUEngine:
             self.cache, self.state = self._alloc_device_state()
             self.params = prepare_params_for_tp(params, model_cfg,
                                                 engine_cfg.tp)
+            if self._packed_int4_enabled():
+                # true sub-byte residency under TP: per-rank half-split
+                # repack so contiguous shards are kernel-correct blocks
+                from ..parallel.tp import pack_params_for_tp
+                self.params = pack_params_for_tp(self.params,
+                                                 engine_cfg.tp)
             self.params = shard_tree(self.params,
                                      param_pspecs(self.params), self.mesh)
             self.fns = ShardedStepFns(model_cfg, self.mesh,
@@ -181,8 +187,8 @@ class TPUEngine:
             if self._packed_int4_enabled():
                 # true sub-byte W4A16 residency: half the weight HBM
                 # traffic/memory; decode rides the Pallas packed kernel
-                # (ops/pallas/quant_matmul.py). Single-device only — the
-                # TP repack doesn't know the packed layout yet.
+                # (ops/pallas/quant_matmul.py).  TP engines repack
+                # per-rank via parallel.tp.pack_params_for_tp above.
                 from ..models.llama import pack_params
                 self.params = pack_params(self.params)
             self.cache, self.state = self._alloc_device_state()

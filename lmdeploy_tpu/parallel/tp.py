@@ -108,7 +108,8 @@ def _pad_quant_rows(qw: QuantizedWeight, count: int) -> QuantizedWeight:
         zeros=jnp.asarray(_pad_axis(qw.zeros, -2, count // group, 0)))
 
 
-def _pad_inter_for_tp(layers: Dict[str, Any], tp: int) -> Dict[str, Any]:
+def _pad_inter_for_tp(layers: Dict[str, Any], tp: int,
+                      mult: int = 1) -> Dict[str, Any]:
     """Row-parallel int4 w2 shards K (= inter_size) over tp with its
     per-group scales [L, K/group, N] sharded on the group dim — each rank
     must own whole groups, i.e. inter_size % (group*tp) == 0.  Llama-2-7B
@@ -121,7 +122,7 @@ def _pad_inter_for_tp(layers: Dict[str, Any], tp: int) -> Dict[str, Any]:
         return layers
     group = w2.group_size
     inter = w2.k
-    quantum = group * tp
+    quantum = group * tp * mult
     pad = (-inter) % quantum
     if pad == 0:
         return layers
@@ -174,6 +175,53 @@ def prepare_params_for_tp(params: Dict[str, Any], cfg: ModelConfig,
         out['lm_head'] = jnp.asarray(np.ascontiguousarray(emb.T))
     vp = out['lm_head'].shape[-1]
     assert vp % tp == 0, f'padded vocab {vp} not divisible by tp={tp}'
+    return out
+
+
+def pack_params_for_tp(params: Dict[str, Any], tp: int) -> Dict[str, Any]:
+    """Nibble-pack the int4 layers (true sub-byte residency) so every
+    contiguous tp shard of the packed array is a correctly HALF-SPLIT
+    packed local block (ops/pallas/quant_matmul.pack_nibbles puts rows
+    [0, K/2) in the low nibble and [K/2, K) in the high nibble — a
+    K-sharded globally-packed array would pair rows across ranks).
+
+    Column-split weights (wqkv/w1/w3: K unsharded) pack globally;
+    row-split (wo/w2) pack each rank's K block independently and
+    concatenate, so the shard boundary IS the pack boundary.  Run AFTER
+    :func:`prepare_params_for_tp` (which validates group alignment on
+    the byte-per-int4 form)."""
+    from ..ops.linear import PackedInt4Weight
+    from ..ops.pallas.quant_matmul import pack_nibbles
+    layers = dict(params['layers'])
+    # the packed kernel half-splits each rank's K, so the per-rank group
+    # count must be EVEN: widen the inter padding quantum to 2*group*tp
+    # (idempotent on top of prepare_params_for_tp's group*tp padding)
+    layers = _pad_inter_for_tp(layers, tp, mult=2)
+    for name, w in list(layers.items()):
+        if not isinstance(w, QuantizedWeight):
+            continue
+        q = np.asarray(w.qvals, np.uint8)          # [L, K, N]
+        if name in _ROW_SPLIT and tp > 1:
+            per_rank_groups = w.k // (w.group_size * tp)
+            if per_rank_groups % 2:
+                raise ValueError(
+                    f'{name}: per-rank group count {per_rank_groups} is '
+                    f'odd — the packed kernel half-splits each rank\'s K '
+                    f'(K={w.k}, group={w.group_size}, tp={tp}); use '
+                    f'byte-per-int4 weights for this shape')
+            blocks = np.split(q, tp, axis=-2)
+            packed = np.concatenate([pack_nibbles(b) for b in blocks],
+                                    axis=-2)
+        else:
+            packed = pack_nibbles(q)
+        s = jnp.asarray(w.scales)
+        z = jnp.asarray(w.zeros)
+        layers[name] = PackedInt4Weight(
+            packed=jnp.asarray(packed), scales=s,
+            sz=(s.astype(jnp.float32)
+                * z.astype(jnp.float32)).astype(s.dtype))
+    out = dict(params)
+    out['layers'] = layers
     return out
 
 

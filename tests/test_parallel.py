@@ -253,3 +253,73 @@ def test_engine_tp_end_to_end():
     toks2, logits2 = run(ecfg2)
     assert toks1 == toks2
     np.testing.assert_allclose(logits1, logits2, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize('tp', [2, 4])
+def test_tp_packed_int4_weights(tp):
+    """TRUE sub-byte (nibble-packed) weights under TP: pack_params_for_tp
+    repacks row-parallel weights per rank so each contiguous shard is a
+    correctly half-split packed block — tokens must match the
+    byte-per-int4 single-device oracle exactly."""
+    from lmdeploy_tpu.parallel.tp import pack_params_for_tp
+    params = init_params(CFG, jax.random.PRNGKey(2), jnp.float32)
+    qparams = quantize_params(params, CFG, group_size=16)
+
+    ref = CompiledStepFns(CFG)
+    cache, state = build_state(qparams, ref)
+    want = run_steps(ref, qparams, cache, state)
+
+    mesh = make_mesh(tp)
+    tparams = prepare_params_for_tp(qparams, CFG, tp)
+    tparams = pack_params_for_tp(tparams, tp)
+    from lmdeploy_tpu.ops.linear import PackedInt4Weight
+    assert isinstance(tparams['layers']['w2'], PackedInt4Weight)
+    tparams = shard_tree(tparams, param_pspecs(tparams), mesh)
+    fns = ShardedStepFns(CFG, mesh)
+    cache2, state2 = build_state(qparams, ref)
+    cache2 = shard_tree(cache2, cache_pspecs(), mesh)
+    state2 = replicate_tree(state2, mesh)
+    got = run_steps(fns, tparams, cache2, state2)
+    assert got == want
+
+
+def test_engine_packed_int4_tp(monkeypatch):
+    """TPUEngine(tp=2) with LMDEPLOY_TPU_PACKED_INT4=1 repacks to true
+    sub-byte residency per rank and serves token-identically to the
+    byte-per-int4 tp engine."""
+    from lmdeploy_tpu.config import EngineConfig
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+    from lmdeploy_tpu.ops.linear import PackedInt4Weight
+    import lmdeploy_tpu.ops.pallas as pallas_ops
+
+    cfg = dataclasses.replace(CFG, weight_type='int4', group_size=16)
+    params = init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    qparams = quantize_params(params, cfg, group_size=16)
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=True,
+                        step_length=4, tp=2)
+
+    def run(packed: bool):
+        if packed:
+            monkeypatch.setenv('LMDEPLOY_TPU_PACKED_INT4', '1')
+            monkeypatch.setattr(pallas_ops, 'PAGED_ATTENTION_AVAILABLE',
+                                True)  # CPU runs the kernel in interpret
+        else:
+            monkeypatch.setenv('LMDEPLOY_TPU_PACKED_INT4', '0')
+        eng = TPUEngine(cfg, ecfg, qparams)
+        try:
+            if packed:
+                assert isinstance(eng.params['layers']['w2'],
+                                  PackedInt4Weight)
+            inst = eng.create_instance()
+            return inst.infer(1, [3, 9, 4],
+                              gen_config=GenerationConfig(
+                                  max_new_tokens=4, top_k=1,
+                                  ignore_eos=True),
+                              sequence_end=True).token_ids
+        finally:
+            eng.shutdown()
+
+    assert run(packed=True) == run(packed=False)
