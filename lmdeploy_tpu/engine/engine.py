@@ -140,6 +140,10 @@ class TPUEngine:
             self.cache, self.state = self._alloc_device_state()
             self.params = prepare_params_for_tp(params, model_cfg,
                                                 engine_cfg.tp)
+            if self._packed_int4_enabled():
+                from ..parallel.tp import pack_params_for_tp
+                self.params = pack_params_for_tp(self.params,
+                                                 engine_cfg.tp)
             self.params = shard_tree(self.params,
                                      pp_param_pspecs(self.params),
                                      self.mesh)
