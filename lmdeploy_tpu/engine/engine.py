@@ -312,11 +312,13 @@ class TPUEngine:
         """Size the page pool from a fraction of free device memory
         (reference sizes by cache_max_entry_count slabs)."""
         page = self.ecfg.page_size
-        # KV heads shard across tp devices, so per-device bytes shrink by tp.
+        # KV heads shard across tp devices and LAYERS across pp stages,
+        # so per-device bytes shrink by tp*pp.
         bytes_per_tok = (self.cfg.num_layer * 2 * self.cfg.kv_head_num
                          * self.cfg.size_per_head
                          * (1 if self.ecfg.kv_dtype == 'int8' else 2)
-                         // max(1, self.ecfg.tp))
+                         // max(1, self.ecfg.tp)
+                         // max(1, self.ecfg.pp))
         budget = None
         try:
             stats = jax.devices()[0].memory_stats()

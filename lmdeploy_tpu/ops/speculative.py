@@ -157,7 +157,13 @@ def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
         | jnp.any(smp.frequency_penalty != 0.0),
         lambda lg: apply_repetition_penalty(
             lg, rep(hist_ext), hl_i, rep(smp.repetition_penalty),
-            rep(smp.presence_penalty), rep(smp.frequency_penalty)),
+            rep(smp.presence_penalty), rep(smp.frequency_penalty),
+            # presence/frequency count GENERATED tokens only, exactly
+            # like the plain path (sample_step) — the verify marginal
+            # must equal the plain-path distribution; gen_start is
+            # position-invariant: draft positions extend history and
+            # generated count in lockstep
+            gen_start=rep(history_len - generated)),
         lambda lg: lg, lgf)
     lgf = lgf / jnp.maximum(rep(smp.temperature), 1e-5)[:, None]
 

@@ -133,18 +133,6 @@ def pp_forward(params, cache: KVCache, batch: StepBatch, cfg: ModelConfig,
     return logits, cache
 
 
-def pp_prefill_chunk(params, cache: KVCache, state: DecodeState, slot,
-                     ids, start_pos, length, cfg: ModelConfig, *,
-                     num_stages: int, use_pallas_attn: bool = False):
-    """Relay one padded prompt chunk through the stages (same contract as
-    engine.step.prefill_chunk)."""
-    from ..engine.step import prefill_chunk
-    return prefill_chunk(
-        params, cache, state, slot, ids, start_pos, length, cfg,
-        use_pallas_attn=use_pallas_attn, axis=TP_AXIS,
-        forward_fn=partial(pp_forward, num_stages=num_stages))
-
-
 def pp_decode_greedy(params, cache: KVCache, state: DecodeState,
                      cfg: ModelConfig, *, num_stages: int, rounds: int,
                      use_pallas_attn: bool = False):
@@ -380,4 +368,4 @@ class PPStepFns:
 
 
 __all__ = ['PP_AXIS', 'make_mesh_pp', 'pp_param_pspecs', 'pp_cache_pspecs',
-           'pp_prefill_chunk', 'pp_decode_greedy', 'PPStepFns']
+           'pp_forward', 'pp_decode_greedy', 'PPStepFns']

@@ -167,8 +167,16 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
     prompts = [req.prompt] if isinstance(req.prompt, str) else list(req.prompt)
     stop_flag = req.stop if isinstance(req.stop, bool) else False
     stop_strings = None if isinstance(req.stop, bool) else req.stop
+    if req.suffix:
+        return _error(HTTPStatus.BAD_REQUEST,
+                      'suffix is not supported; use the codellama '
+                      'infilling chat template for fill-in-the-middle')
+    n = req.n or 1
 
-    want_logprobs = req.logprobs is not None and req.logprobs > 0
+    # logprobs=0 still returns the chosen-token logprobs (OpenAI: the
+    # int is the number of ALTERNATIVES; we always return top_logprobs
+    # null — a device top-k readback would be needed for alternatives)
+    want_logprobs = req.logprobs is not None
 
     def _gen(prompt: str, sid: int, stream: bool):
         return engine.generate(
@@ -181,13 +189,13 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
             ignore_eos=bool(req.ignore_eos), stop_strings=stop_strings,
             do_preprocess=False, output_logprobs=want_logprobs)
 
-    def _logprobs_obj(ids, lps, base_text: str):
+    def _logprobs_obj(ids, lps, text_start: int):
         """OpenAI completions logprobs: chosen-token logprobs only
         (top_logprobs needs a device top-k readback; null like several
         OSS servers)."""
         tok = VariableInterface.async_engine.tokenizer
         pieces, offsets = [], []
-        pos = len(base_text)
+        pos = text_start
         for i in range(len(ids)):
             piece = tok.decode(ids[:i + 1], offset=i)
             pieces.append(piece)
@@ -196,14 +204,38 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
         return {'tokens': pieces, 'token_logprobs': list(lps),
                 'top_logprobs': None, 'text_offset': offsets}
 
+    async def _prompt_logprobs(prompt: str):
+        """Echo+logprobs: score the prompt through the prompt-logits
+        path (the engine's is_return_logits / PPL machinery) — the
+        lm-eval loglikelihood pattern (echo=true, max_tokens=0).  First
+        token has no conditional logprob (null, like OpenAI)."""
+        import asyncio
+        import math
+        tok = VariableInterface.async_engine.tokenizer
+        ids = tok.encode(prompt)
+        if not ids:
+            return [], []
+        inst = engine.engine.create_instance()
+        loop = asyncio.get_event_loop()
+        logits = await loop.run_in_executor(None, inst.decode, ids)
+        import numpy as np
+        lg = np.asarray(logits, np.float32)      # [len(ids), vocab]
+        lps = [None]
+        for t in range(1, len(ids)):
+            row = lg[t - 1]
+            row = row - row.max()
+            lps.append(float(row[ids[t]] - math.log(np.exp(row).sum())))
+        return ids, lps
+
     if req.stream:
-        if len(prompts) != 1:
+        if len(prompts) != 1 or n != 1:
             return _error(HTTPStatus.BAD_REQUEST,
-                          'streaming supports a single prompt')
+                          'streaming supports a single prompt with n=1')
         resp = web.StreamResponse(
             headers={'Content-Type': 'text/event-stream',
                      'Cache-Control': 'no-cache'})
         await resp.prepare(raw)
+        text_pos = 0
         if req.echo:
             head = CompletionStreamResponse(
                 model=req.model,
@@ -211,12 +243,26 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
                     index=0, text=prompts[0])])
             await resp.write(
                 f'data: {head.model_dump_json()}\n\n'.encode())
+            text_pos = len(prompts[0])
+        seen_ids: list = []
         async for out in _gen(prompts[0], base_sid, True):
             finish = out.finish_reason
+            lp = None
+            if want_logprobs and out.token_ids:
+                start = len(seen_ids)
+                seen_ids.extend(out.token_ids)
+                full = _logprobs_obj(seen_ids,
+                                     [None] * start + list(out.logprobs
+                                                           or []),
+                                     text_pos)
+                lp = {k: v[start:] if isinstance(v, list) else v
+                      for k, v in full.items()}
+                lp['token_logprobs'] = (list(out.logprobs)
+                                        if out.logprobs else [])
             chunk = CompletionStreamResponse(
                 model=req.model,
                 choices=[CompletionResponseStreamChoice(
-                    index=0, text=out.response,
+                    index=0, text=out.response, logprobs=lp,
                     finish_reason=None if finish == 'cancel' else finish)])
             await resp.write(
                 f'data: {chunk.model_dump_json()}\n\n'.encode())
@@ -227,25 +273,50 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
     choices = []
     prompt_tokens = completion_tokens = 0
     for i, prompt in enumerate(prompts):
-        sid = (base_sid + 7919 * i) % (2 ** 30)
-        text = ''
-        finish = None
-        all_ids, all_lps = [], []
-        async for out in _gen(prompt, sid, False):
-            text += out.response
-            prompt_tokens += out.input_token_len
-            completion_tokens += out.generate_token_len
-            finish = out.finish_reason
-            if out.token_ids:
-                all_ids.extend(out.token_ids)
-            if out.logprobs:
-                all_lps.extend(out.logprobs)
-        base = prompt if req.echo else ''
-        lp = _logprobs_obj(all_ids, all_lps, base) \
-            if want_logprobs and all_lps else None
-        choices.append(CompletionResponseChoice(
-            index=i, text=base + text, logprobs=lp,
-            finish_reason=None if finish == 'cancel' else finish))
+        echo_ids, echo_lps = ([], [])
+        if req.echo and want_logprobs:
+            echo_ids, echo_lps = await _prompt_logprobs(prompt)
+        for j in range(n):
+            sid = (base_sid + 7919 * (i * n + j)) % (2 ** 30)
+            text = ''
+            finish = None
+            all_ids, all_lps = [], []
+            if req.max_tokens == 0:
+                # pure scoring request (lm-eval loglikelihood: echo=true,
+                # logprobs, max_tokens=0) — no generation at all
+                if j == 0:
+                    prompt_tokens += len(
+                        VariableInterface.async_engine.tokenizer.encode(
+                            prompt))
+                finish = 'length'
+                base = prompt if req.echo else ''
+                lp = _logprobs_obj(echo_ids, echo_lps, 0) \
+                    if want_logprobs else None
+                choices.append(CompletionResponseChoice(
+                    index=i * n + j, text=base, logprobs=lp,
+                    finish_reason=finish))
+                continue
+            async for out in _gen(prompt, sid, False):
+                text += out.response
+                if j == 0:
+                    prompt_tokens += out.input_token_len
+                completion_tokens += out.generate_token_len
+                finish = out.finish_reason
+                if out.token_ids:
+                    all_ids.extend(out.token_ids)
+                if out.logprobs:
+                    all_lps.extend(out.logprobs)
+            base = prompt if req.echo else ''
+            lp = None
+            if want_logprobs:
+                # echo prepends the PROMPT tokens, scored through the
+                # prompt-logits path (lm-eval loglikelihood pattern)
+                lp = _logprobs_obj(echo_ids + all_ids,
+                                   echo_lps + all_lps, 0 if req.echo
+                                   else len(base))
+            choices.append(CompletionResponseChoice(
+                index=i * n + j, text=base + text, logprobs=lp,
+                finish_reason=None if finish == 'cancel' else finish))
     payload = CompletionResponse(
         model=req.model, choices=choices,
         usage=UsageInfo(prompt_tokens=prompt_tokens,

@@ -341,3 +341,68 @@ def test_completions_logprobs(async_engine):
             assert lp['text_offset'] == sorted(lp['text_offset'])
 
     asyncio.run(run())
+
+
+def test_completions_n_and_scoring(async_engine):
+    """n>1 returns n choices per prompt; max_tokens=0 + echo + logprobs
+    is the lm-eval loglikelihood pattern: prompt tokens scored through
+    the prompt-logits path, first token_logprob null."""
+    from aiohttp.test_utils import TestClient, TestServer
+    from lmdeploy_tpu.serve.openai.api_server import build_app
+
+    async def run():
+        app = build_app(async_engine)
+        async with TestClient(TestServer(app)) as client:
+            r = await client.post('/v1/completions', json={
+                'model': 'tiny', 'prompt': ['p one', 'p two'], 'n': 2,
+                'max_tokens': 3, 'ignore_eos': True, 'temperature': 0.9,
+                'top_p': 0.9})
+            body = await r.json()
+            assert [c['index'] for c in body['choices']] == [0, 1, 2, 3]
+            assert body['usage']['completion_tokens'] == 12
+            # prompt_tokens counted once per prompt, not per n
+            assert body['usage']['prompt_tokens'] == sum(
+                len(async_engine.tokenizer.encode(p))
+                for p in ('p one', 'p two'))
+
+            # logprobs=0 still returns chosen-token logprobs
+            r = await client.post('/v1/completions', json={
+                'model': 'tiny', 'prompt': 'abc', 'max_tokens': 2,
+                'ignore_eos': True, 'logprobs': 0})
+            lp = (await r.json())['choices'][0]['logprobs']
+            assert lp and len(lp['token_logprobs']) == 2
+
+            # scoring: echo + logprobs + max_tokens=0
+            prompt = 'hello world again'
+            ids = async_engine.tokenizer.encode(prompt)
+            r = await client.post('/v1/completions', json={
+                'model': 'tiny', 'prompt': prompt, 'max_tokens': 0,
+                'echo': True, 'logprobs': 1})
+            body = await r.json()
+            ch = body['choices'][0]
+            assert ch['text'] == prompt
+            lp = ch['logprobs']
+            assert len(lp['tokens']) == len(ids)
+            assert lp['token_logprobs'][0] is None
+            assert all(isinstance(x, float) and x <= 0.0
+                       for x in lp['token_logprobs'][1:])
+            assert body['usage']['completion_tokens'] == 0
+
+            # suffix is rejected loudly
+            r = await client.post('/v1/completions', json={
+                'model': 'tiny', 'prompt': 'x', 'suffix': 'y'})
+            assert r.status == 400
+
+            # streaming with logprobs carries per-frame logprobs
+            r = await client.post('/v1/completions', json={
+                'model': 'tiny', 'prompt': 'abc', 'max_tokens': 3,
+                'ignore_eos': True, 'logprobs': 1, 'stream': True})
+            frames = [json.loads(ln[len('data: '):])
+                      for ln in (await r.read()).decode().splitlines()
+                      if ln.startswith('data: ') and '[DONE]' not in ln]
+            got_lps = [x for f in frames
+                       if f['choices'][0]['logprobs']
+                       for x in f['choices'][0]['logprobs']['token_logprobs']]
+            assert len(got_lps) == 3
+
+    asyncio.run(run())

@@ -284,16 +284,22 @@ def test_spec_verify_sample_marginal_is_exact():
         top_k=jnp.asarray([8, 0], jnp.int32),        # slot1: full vocab
         top_p=jnp.asarray([0.85, 1.0], jnp.float32),
         temperature=jnp.asarray([0.7, 1.0], jnp.float32),
-        repetition_penalty=jnp.asarray([1.0, 1.4], jnp.float32))
+        repetition_penalty=jnp.asarray([1.0, 1.4], jnp.float32),
+        presence_penalty=jnp.asarray([0.6, 0.0], jnp.float32),
+        frequency_penalty=jnp.asarray([0.0, 0.5], jnp.float32))
     hist = jnp.asarray(rng.integers(0, V, (B, 24)), jnp.int32)
     hl = jnp.asarray([10, 12], jnp.int32)
     gen = jnp.asarray([4, 6], jnp.int32)
 
     def oracle(pos, hist_o, hl_o):
         lg = logits[:, pos].astype(jnp.float32)
+        # presence/frequency count generated tokens only; hl - gen is
+        # position-invariant (draft positions extend both in lockstep)
         lg = apply_repetition_penalty(lg, hist_o, hl_o,
                                       smp.repetition_penalty,
-                                      smp.presence_penalty)
+                                      smp.presence_penalty,
+                                      smp.frequency_penalty,
+                                      gen_start=hl - gen)
         lg = lg / smp.temperature[:, None]
         lg = top_k_mask(lg, smp.top_k)
         lg = top_p_mask(lg, smp.top_p)
