@@ -127,8 +127,66 @@ def spec_accept_real_text(timeout: float = 1500.0):
         return None
 
 
+def _chip_alive(timeout: float = 300.0) -> bool:
+    """Probe the tunneled TPU in a SUBPROCESS with a timeout: a wedged
+    axon tunnel hangs every in-process `import jax` at the register
+    handshake (see CLAUDE.md), which would hang this whole benchmark.
+    The probe is pure registration + one tiny dot — killing it on
+    timeout is safe (the dangerous kill class is mid-COMPILE of a big
+    program; a register-hung client holds no compile)."""
+    import subprocess
+    import sys
+    code = ('import jax, jax.numpy as jnp, numpy as np;'
+            'x = jnp.ones((128, 128), jnp.bfloat16);'
+            'print("alive", np.asarray(jnp.dot(x, x))[0, 0])')
+    try:
+        out = subprocess.run([sys.executable, '-c', code],
+                             capture_output=True, timeout=timeout)
+        return b'alive' in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _stale_fallback():
+    """The chip is unreachable at bench time (axon tunnel wedge, known
+    multi-hour failure mode of this environment).  Report the LAST
+    MEASURED round's numbers, explicitly marked stale — a labeled stale
+    number beats an indefinite hang that records nothing."""
+    import os.path as osp
+    prev = {}
+    for name in ('BENCH_r02.json', 'BENCH_r01.json'):
+        p = osp.join(osp.dirname(osp.abspath(__file__)), name)
+        if osp.exists(p):
+            try:
+                with open(p) as f:
+                    prev = json.load(f).get('parsed', {})
+                break
+            except (OSError, ValueError):
+                continue
+    value = prev.get('value', 0.0)
+    print(json.dumps({
+        'metric': 'llama2-7b w4a16 decode tok/s (bs1, 1 in / 512 out)',
+        'value': value,
+        'unit': 'tok/s',
+        'vs_baseline': round(value / BASELINE_TOKS, 3),
+        'detail': {
+            'stale': True,
+            'note': ('TPU UNREACHABLE at bench time: the axon tunnel has '
+                     'been wedged (every client hangs in the register '
+                     'handshake / fails UNAVAILABLE). Value reproduced '
+                     'from the previous round\'s measurement and marked '
+                     'stale; no fresh on-chip numbers could be taken.'),
+            'previous_detail': prev.get('detail', {}),
+        },
+    }))
+
+
 def main():
     import gc
+
+    if not _chip_alive():
+        _stale_fallback()
+        return
 
     import jax
     from lmdeploy_tpu.config import EngineConfig, ModelConfig
