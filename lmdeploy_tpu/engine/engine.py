@@ -122,21 +122,31 @@ class TPUEngine:
             # hard-disables PP (LlamaTritonModel.cc:298).
             from jax.sharding import NamedSharding, PartitionSpec
 
-            from ..parallel.pp import (PPStepFns, make_mesh_pp,
-                                       pp_cache_pspecs, pp_param_pspecs)
-            from ..parallel.tp import prepare_params_for_tp, shard_tree
-            if self.dp > 1:
-                raise ValueError('pp does not compose with dp groups yet')
+            from ..parallel.pp import (PPStepFns, make_mesh_3d,
+                                       make_mesh_pp, pp_cache_pspecs,
+                                       pp_param_pspecs)
+            from ..parallel.tp import (DP_AXIS, prepare_params_for_tp,
+                                       shard_tree)
             if model_cfg.num_layer % engine_cfg.pp:
                 raise ValueError(
                     f'num_layer {model_cfg.num_layer} not divisible by '
                     f'pp={engine_cfg.pp}')
-            self.mesh = make_mesh_pp(engine_cfg.pp, engine_cfg.tp)
+            if self.dp > 1:
+                # full 3D composition: dp groups (independent continuous
+                # batches) x pp stages x tp shards
+                self.mesh = make_mesh_3d(self.dp, engine_cfg.pp,
+                                         engine_cfg.tp)
+                dp_axis = DP_AXIS
+                state_spec = PartitionSpec(DP_AXIS)
+            else:
+                self.mesh = make_mesh_pp(engine_cfg.pp, engine_cfg.tp)
+                dp_axis = None
+                state_spec = PartitionSpec()
             self._cache_sh = jax.tree.map(
-                lambda s: NamedSharding(self.mesh, s), pp_cache_pspecs(),
+                lambda s: NamedSharding(self.mesh, s),
+                pp_cache_pspecs(dp_axis=dp_axis),
                 is_leaf=lambda x: isinstance(x, PartitionSpec))
-            self._state_sharding = NamedSharding(self.mesh,
-                                                 PartitionSpec())
+            self._state_sharding = NamedSharding(self.mesh, state_spec)
             self.cache, self.state = self._alloc_device_state()
             self.params = prepare_params_for_tp(params, model_cfg,
                                                 engine_cfg.tp)
@@ -148,7 +158,8 @@ class TPUEngine:
                                      pp_param_pspecs(self.params),
                                      self.mesh)
             self.fns = PPStepFns(model_cfg, self.mesh,
-                                 use_pallas_attn=self._pallas_enabled())
+                                 use_pallas_attn=self._pallas_enabled(),
+                                 dp_shard_batch=self.dp > 1)
         elif engine_cfg.tp > 1 or self.dp > 1:
             # One SPMD program over the (dp, tp) mesh replaces the
             # reference's per-GPU threads + NCCL ranks (turbomind.py:

@@ -69,6 +69,22 @@ def make_mesh_pp(pp: int, tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, (PP_AXIS, TP_AXIS))
 
 
+def make_mesh_3d(dp: int, pp: int, tp: int = 1, devices=None) -> Mesh:
+    """(dp, pp, tp) mesh — the full 3D parallelism composition: dp rows
+    outermost (host-major: each dp group is one host's chips on a pod,
+    so its decode traffic never crosses DCN), pp stages in the middle,
+    tp innermost on ICI-adjacent chips."""
+    from .tp import DP_AXIS
+    if devices is None:
+        devices = sorted(jax.devices(),
+                         key=lambda d: (d.process_index, d.id))
+    n = dp * pp * tp
+    if len(devices) < n:
+        raise ValueError(f'need {n} devices, have {len(devices)}')
+    arr = np.asarray(devices[:n]).reshape(dp, pp, tp)
+    return Mesh(arr, (DP_AXIS, PP_AXIS, TP_AXIS))
+
+
 def pp_param_pspecs(params: Dict[str, Any]):
     """tp specs + the stacked layer dim sharded over pp.  Embedding, final
     norm and lm_head are replicated across pp (stage 0 embeds, the last
@@ -89,11 +105,13 @@ def pp_param_pspecs(params: Dict[str, Any]):
     return jax.tree_util.tree_map_with_path(add_pp, params, base)
 
 
-def pp_cache_pspecs():
+def pp_cache_pspecs(dp_axis=None):
     """KV pool: layer dim over pp, KV heads over tp; per-layer quant
-    scales [L] shard over pp with the layers they describe."""
-    return KVCache(k=P(PP_AXIS, None, None, TP_AXIS, None),
-                   v=P(PP_AXIS, None, None, TP_AXIS, None),
+    scales [L] shard over pp with the layers they describe.  With
+    ``dp_axis`` the page-pool dim additionally shards over dp groups
+    (pool-local page ids, like parallel.tp.cache_pspecs)."""
+    return KVCache(k=P(PP_AXIS, dp_axis, None, TP_AXIS, None),
+                   v=P(PP_AXIS, dp_axis, None, TP_AXIS, None),
                    k_scale=P(PP_AXIS), k_zp=P(PP_AXIS),
                    v_scale=P(PP_AXIS), v_zp=P(PP_AXIS))
 
@@ -232,15 +250,25 @@ class PPStepFns:
     bubble-free microbatch-ring greedy pipeline."""
 
     def __init__(self, cfg: ModelConfig, mesh: Mesh, *,
-                 use_pallas_attn: bool = False):
+                 use_pallas_attn: bool = False, dp_shard_batch: bool = False):
         from ..engine import step as _step
+        from .tp import DP_AXIS
 
         self.cfg = cfg
         self.mesh = mesh
         self.pp = int(mesh.shape[PP_AXIS])
-        self.dp = 1
-        cache_spec = pp_cache_pspecs()
-        rep = P()
+        self.dp = int(mesh.shape.get(DP_AXIS, 1)) if dp_shard_batch else 1
+        dp_axis = DP_AXIS if dp_shard_batch else None
+        if dp_shard_batch:
+            cache_spec = pp_cache_pspecs(dp_axis=DP_AXIS)
+            rep = P(DP_AXIS)                  # batch-leading state tensors
+            packed_spec = P(None, None, DP_AXIS)   # [5, k, B] / [R, *, B]
+            lp_spec = P(None, DP_AXIS)
+        else:
+            cache_spec = pp_cache_pspecs()
+            rep = P()
+            packed_spec = P()
+            lp_spec = P()
         self.state_spec = rep
         fwd = partial(pp_forward, num_stages=self.pp)
 
@@ -263,7 +291,7 @@ class PPStepFns:
                          sampling_mode=sampling_mode, forward_fn=fwd)
             return jax.jit(
                 smap(fn, in_specs=(pspec, cache_spec, rep),
-                     out_specs=(cache_spec, rep, rep, rep)),
+                     out_specs=(cache_spec, rep, packed_spec, lp_spec)),
                 donate_argnums=(1, 2))
 
         def make_spec_rounds(pspec, num_rounds, k_draft, ngram,
@@ -275,33 +303,37 @@ class PPStepFns:
                          sampling=sampling, forward_fn=fwd)
             return jax.jit(
                 smap(fn, in_specs=(pspec, cache_spec, rep),
-                     out_specs=(cache_spec, rep, rep)),
+                     out_specs=(cache_spec, rep, packed_spec)),
                 donate_argnums=(1, 2))
 
         def make_prefill(pspec):
             fn = partial(_step.prefill_chunk, cfg=cfg, axis=TP_AXIS,
-                         use_pallas_attn=use_pallas_attn, forward_fn=fwd)
+                         use_pallas_attn=use_pallas_attn, forward_fn=fwd,
+                         dp_axis=dp_axis)
+            logits_spec = P(DP_AXIS) if dp_shard_batch else P()
             return jax.jit(
-                smap(fn, in_specs=(pspec, cache_spec, rep, rep, rep, rep,
-                                   rep),
-                     out_specs=(cache_spec, rep)),
+                smap(fn, in_specs=(pspec, cache_spec, rep, P(), P(), P(),
+                                   P()),
+                     out_specs=(cache_spec, logits_spec)),
                 donate_argnums=(1,))
 
         def make_prefills(pspec):
             fn = partial(_step.prefill_chunks, cfg=cfg, axis=TP_AXIS,
-                         use_pallas_attn=use_pallas_attn, forward_fn=fwd)
+                         use_pallas_attn=use_pallas_attn, forward_fn=fwd,
+                         dp_axis=dp_axis)
+            logits_spec = P(None, DP_AXIS) if dp_shard_batch else P()
             return jax.jit(
-                smap(fn, in_specs=(pspec, cache_spec, rep, rep, rep, rep,
-                                   rep),
-                     out_specs=(cache_spec, rep)),
+                smap(fn, in_specs=(pspec, cache_spec, rep, P(), P(), P(),
+                                   P()),
+                     out_specs=(cache_spec, logits_spec)),
                 donate_argnums=(1,))
 
         def make_prefill_logits(pspec):
             fn = partial(_step.prefill_logits, cfg=cfg, axis=TP_AXIS,
-                         forward_fn=fwd)
+                         forward_fn=fwd, dp_axis=dp_axis)
             return jax.jit(
-                smap(fn, in_specs=(pspec, cache_spec, rep, rep, rep, rep),
-                     out_specs=(cache_spec, rep)),
+                smap(fn, in_specs=(pspec, cache_spec, P(), P(), P(), P()),
+                     out_specs=(cache_spec, P())),
                 donate_argnums=(1,))
 
         def make_ring_decode(pspec, rounds):

@@ -162,3 +162,43 @@ def test_engine_serves_over_pp_mesh():
     import dataclasses as dc
     got = run(dc.replace(ecfg, pp=2, tp=2))
     assert got == want
+
+
+def test_engine_serves_over_full_3d_mesh():
+    """dp=2 x pp=2 x tp=2 over 8 devices: independent dp-group batches,
+    layer-sharded stages, tp shards — the full engine streams the same
+    tokens as the single-device engine."""
+    from lmdeploy_tpu.config import EngineConfig
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(3), jnp.float32)
+    ecfg = EngineConfig(max_batch_size=4, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=4)
+    gens = [GenerationConfig(max_new_tokens=5, top_k=1, ignore_eos=True),
+            GenerationConfig(max_new_tokens=5, top_k=1, ignore_eos=True),
+            GenerationConfig(max_new_tokens=5, top_k=15, top_p=0.9,
+                             temperature=0.8, random_seed=11,
+                             ignore_eos=True)]
+
+    def run(engine_cfg):
+        eng = TPUEngine(CFG, engine_cfg, params)
+        try:
+            inst = eng.create_instance()
+            outs = [inst.infer(i + 1, [5 + i, 9, 4], gen_config=g,
+                               sequence_end=True).token_ids
+                    for i, g in enumerate(gens)]
+            logits = inst.decode([5, 9, 4])
+            assert logits.shape == (3, CFG.vocab_size)
+            return outs, np.asarray(logits)
+        finally:
+            eng.shutdown()
+
+    want, logits_w = run(ecfg)
+    assert all(len(t) == 5 for t in want)
+    import dataclasses as dc
+    got, logits_g = run(dc.replace(ecfg, dp=2, pp=2, tp=2))
+    assert got == want
+    np.testing.assert_allclose(logits_g, logits_w, rtol=2e-4, atol=2e-4)
