@@ -151,6 +151,83 @@ def pp_forward(params, cache: KVCache, batch: StepBatch, cfg: ModelConfig,
     return logits, cache
 
 
+def pp_prefill_chunks_ring(params, cache: KVCache, state: DecodeState,
+                           slots, ids, start_pos, lengths,
+                           cfg: ModelConfig, *, num_stages: int,
+                           use_pallas_attn: bool = False,
+                           dp_axis: str = None):
+    """GPipe-style pipelined batched prefill: one JOB (slot chunk) per
+    stage per iteration around the ppermute ring, so concurrent
+    admissions fill the pipeline instead of relaying the whole batch
+    through every stage (``num_stages``-fold less bubble when the job
+    count >= stages).  Same contract as engine.step.prefill_chunks.
+    """
+    bp, t = ids.shape
+    total = bp + num_stages - 1
+    stage = jax.lax.axis_index(PP_AXIS)
+    is_last = stage == num_stages - 1
+    ring = [(i, (i + 1) % num_stages) for i in range(num_stages)]
+    d = params['tok_embedding'].shape[-1]
+    if dp_axis is not None:
+        local_batch = state.tokens.shape[0]
+        my_group = jax.lax.axis_index(dp_axis)
+
+    # logits width: the LOCAL lm_head block is vocab-sharded over tp and
+    # the all_gather restores the padded vocab
+    tp_size = jax.lax.psum(1, TP_AXIS)
+    vp = (params.get('lm_head').shape[-1] * tp_size
+          if params.get('lm_head') is not None
+          else params['tok_embedding'].shape[0])
+
+    def body(carry, it):
+        h_ring, cache, out = carry
+        tj = it - stage
+        in_flight = (tj >= 0) & (tj < bp)
+        j = jnp.clip(tj, 0, bp - 1)
+        ids_j = jax.lax.dynamic_index_in_dim(ids, j, 0,
+                                             keepdims=False)    # [T]
+        sp = jax.lax.dynamic_index_in_dim(start_pos, j, 0,
+                                          keepdims=False)
+        ln = jax.lax.dynamic_index_in_dim(lengths, j, 0,
+                                          keepdims=False)
+        slot = jax.lax.dynamic_index_in_dim(slots, j, 0,
+                                            keepdims=False)
+        pos = sp + jnp.arange(t, dtype=jnp.int32)
+        valid = (jnp.arange(t) < ln) & in_flight
+        if dp_axis is not None:
+            group = slot // local_batch
+            local_slot = slot - group * local_batch
+            valid = valid & (my_group == group)
+            row = state.page_table[local_slot]
+        else:
+            row = state.page_table[slot]
+        batch = StepBatch(ids=ids_j[None], positions=pos[None],
+                          valid=valid[None],
+                          context_len=(sp + ln)[None],
+                          page_table=row[None])
+        h_entry = embed_tokens(params, ids_j[None])
+        h_in = jnp.where(stage == 0, h_entry, h_ring)
+        h_out, cache = forward_layers(params, cache, batch, h_in, cfg,
+                                      axis=TP_AXIS,
+                                      use_pallas_attn=use_pallas_attn)
+        # last stage records the job's last-valid-position logits (the
+        # engine's batched path discards them; kept for contract parity)
+        logits = lm_head_logits(params, h_out, batch, cfg,
+                                axis=TP_AXIS)                  # [1, Vp]
+        cur = jax.lax.dynamic_slice(out, (j, 0), (1, out.shape[1]))
+        new = jnp.where(is_last & in_flight, logits, cur)
+        out = jax.lax.dynamic_update_slice(out, new, (j, 0))
+        h_ring = jax.lax.ppermute(h_out, PP_AXIS, ring)
+        return (h_ring, cache, out), None
+
+    h0 = jnp.zeros((1, t, d), params['tok_embedding'].dtype)
+    out0 = jnp.zeros((bp, vp), jnp.float32)
+    (_, cache, out), _ = jax.lax.scan(
+        body, (h0, cache, out0), jnp.arange(total, dtype=jnp.int32))
+    out = jax.lax.psum(jnp.where(is_last, out, 0.0), PP_AXIS)
+    return cache, out
+
+
 def pp_decode_greedy(params, cache: KVCache, state: DecodeState,
                      cfg: ModelConfig, *, num_stages: int, rounds: int,
                      use_pallas_attn: bool = False):
@@ -318,9 +395,11 @@ class PPStepFns:
                 donate_argnums=(1,))
 
         def make_prefills(pspec):
-            fn = partial(_step.prefill_chunks, cfg=cfg, axis=TP_AXIS,
-                         use_pallas_attn=use_pallas_attn, forward_fn=fwd,
-                         dp_axis=dp_axis)
+            # batched admissions ride the GPipe ring (one job per stage
+            # per iteration) instead of relaying the whole batch
+            fn = partial(pp_prefill_chunks_ring, cfg=cfg,
+                         num_stages=self.pp,
+                         use_pallas_attn=use_pallas_attn, dp_axis=dp_axis)
             logits_spec = P(None, DP_AXIS) if dp_shard_batch else P()
             return jax.jit(
                 smap(fn, in_specs=(pspec, cache_spec, rep, P(), P(), P(),
@@ -399,5 +478,6 @@ class PPStepFns:
         return self._get('ring', params, rounds)(params, cache, state)
 
 
-__all__ = ['PP_AXIS', 'make_mesh_pp', 'pp_param_pspecs', 'pp_cache_pspecs',
-           'pp_forward', 'pp_decode_greedy', 'PPStepFns']
+__all__ = ['PP_AXIS', 'make_mesh_pp', 'make_mesh_3d', 'pp_param_pspecs',
+           'pp_cache_pspecs', 'pp_forward', 'pp_prefill_chunks_ring',
+           'pp_decode_greedy', 'PPStepFns']

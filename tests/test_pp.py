@@ -202,3 +202,34 @@ def test_engine_serves_over_full_3d_mesh():
     got, logits_g = run(dc.replace(ecfg, dp=2, pp=2, tp=2))
     assert got == want
     np.testing.assert_allclose(logits_g, logits_w, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize('pp,tp', [(2, 2), (4, 2)])
+def test_pp_batched_prefill_ring(pp, tp):
+    """GPipe-pipelined batched prefill (one job per stage per ring
+    iteration) must write KV identically to the plain path: decode
+    after a single batched prefill_chunks call matches the oracle."""
+    params = init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    want = _oracle_tokens(params, 3)
+
+    mesh = make_mesh_pp(pp, tp)
+    pparams = prepare_params_for_tp(params, CFG, tp)
+    pparams = shard_tree(pparams, pp_param_pspecs(pparams), mesh)
+    fns = PPStepFns(CFG, mesh)
+    state = _install_all(
+        init_decode_state(B, MAXP, CFG.session_len, eos_id=CFG.end_id))
+    state = replicate_tree(state, mesh)
+    cache = init_cache(CFG.num_layer, NPAGES, PAGE, CFG.kv_head_num,
+                       CFG.size_per_head, jnp.float32)
+    cache = shard_tree(cache, pp_cache_pspecs(), mesh)
+    # ONE batched call prefills every slot's chunk through the ring
+    idmat = np.zeros((B, 8), np.int32)
+    lens = np.zeros((B,), np.int32)
+    for i, prompt in enumerate(PROMPTS):
+        idmat[i, :len(prompt) - 1] = prompt[:-1]
+        lens[i] = len(prompt) - 1
+    cache, _ = fns.prefill_chunks(
+        pparams, cache, state, jnp.arange(B, dtype=jnp.int32),
+        jnp.asarray(idmat), jnp.zeros((B,), jnp.int32), jnp.asarray(lens))
+    cache, state, toks = fns.decode_rounds(pparams, cache, state, 3)
+    assert np.asarray(toks).tolist() == want
