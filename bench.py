@@ -127,13 +127,19 @@ def spec_accept_real_text(timeout: float = 1500.0):
         return None
 
 
-def _chip_alive(timeout: float = 300.0) -> bool:
+def _chip_alive(timeout: float = 600.0) -> bool:
     """Probe the tunneled TPU in a SUBPROCESS with a timeout: a wedged
     axon tunnel hangs every in-process `import jax` at the register
     handshake (see CLAUDE.md), which would hang this whole benchmark.
-    The probe is pure registration + one tiny dot — killing it on
-    timeout is safe (the dangerous kill class is mid-COMPILE of a big
-    program; a register-hung client holds no compile)."""
+
+    Tradeoff, stated plainly: the probe DOES compile one tiny dot, and
+    killing a TPU client mid-compile is the known chip-wedge hazard.
+    On a live chip this program compiles in seconds, so a kill at 600s
+    overwhelmingly means the client never got past registration (no
+    compile in flight); the residual risk of killing a
+    pathologically-slow-but-alive compile is accepted because the
+    alternative — no timeout — hangs the benchmark run forever on a
+    wedge."""
     import subprocess
     import sys
     code = ('import jax, jax.numpy as jnp, numpy as np;'

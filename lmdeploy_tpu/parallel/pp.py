@@ -165,7 +165,6 @@ def pp_prefill_chunks_ring(params, cache: KVCache, state: DecodeState,
     bp, t = ids.shape
     total = bp + num_stages - 1
     stage = jax.lax.axis_index(PP_AXIS)
-    is_last = stage == num_stages - 1
     ring = [(i, (i + 1) % num_stages) for i in range(num_stages)]
     d = params['tok_embedding'].shape[-1]
     if dp_axis is not None:
@@ -180,7 +179,7 @@ def pp_prefill_chunks_ring(params, cache: KVCache, state: DecodeState,
           else params['tok_embedding'].shape[0])
 
     def body(carry, it):
-        h_ring, cache, out = carry
+        h_ring, cache = carry
         tj = it - stage
         in_flight = (tj >= 0) & (tj < bp)
         j = jnp.clip(tj, 0, bp - 1)
@@ -210,22 +209,16 @@ def pp_prefill_chunks_ring(params, cache: KVCache, state: DecodeState,
         h_out, cache = forward_layers(params, cache, batch, h_in, cfg,
                                       axis=TP_AXIS,
                                       use_pallas_attn=use_pallas_attn)
-        # last stage records the job's last-valid-position logits (the
-        # engine's batched path discards them; kept for contract parity)
-        logits = lm_head_logits(params, h_out, batch, cfg,
-                                axis=TP_AXIS)                  # [1, Vp]
-        cur = jax.lax.dynamic_slice(out, (j, 0), (1, out.shape[1]))
-        new = jnp.where(is_last & in_flight, logits, cur)
-        out = jax.lax.dynamic_update_slice(out, new, (j, 0))
         h_ring = jax.lax.ppermute(h_out, PP_AXIS, ring)
-        return (h_ring, cache, out), None
+        return (h_ring, cache), None
 
     h0 = jnp.zeros((1, t, d), params['tok_embedding'].dtype)
-    out0 = jnp.zeros((bp, vp), jnp.float32)
-    (_, cache, out), _ = jax.lax.scan(
-        body, (h0, cache, out0), jnp.arange(total, dtype=jnp.int32))
-    out = jax.lax.psum(jnp.where(is_last, out, 0.0), PP_AXIS)
-    return cache, out
+    (_, cache), _ = jax.lax.scan(
+        body, (h0, cache), jnp.arange(total, dtype=jnp.int32))
+    # both engine call sites discard batched-prefill logits (the next
+    # decode round samples); zeros keep the prefill_chunks contract
+    # without a per-iteration lm_head + tp all-gather on every stage
+    return cache, jnp.zeros((bp, vp), jnp.float32)
 
 
 def pp_decode_greedy(params, cache: KVCache, state: DecodeState,
@@ -418,9 +411,11 @@ class PPStepFns:
         def make_ring_decode(pspec, rounds):
             fn = partial(pp_decode_greedy, cfg=cfg, num_stages=self.pp,
                          rounds=rounds, use_pallas_attn=use_pallas_attn)
+            # tokens are [rounds, B]: batch-LAST, so dp shards dim 1
+            toks_spec = P(None, DP_AXIS) if dp_shard_batch else P()
             return jax.jit(
                 smap(fn, in_specs=(pspec, cache_spec, rep),
-                     out_specs=(cache_spec, rep, rep)),
+                     out_specs=(cache_spec, rep, toks_spec)),
                 donate_argnums=(1, 2))
 
         self._makers = dict(

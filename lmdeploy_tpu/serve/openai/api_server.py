@@ -231,34 +231,50 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
         if len(prompts) != 1 or n != 1:
             return _error(HTTPStatus.BAD_REQUEST,
                           'streaming supports a single prompt with n=1')
+        if req.max_tokens == 0:
+            return _error(HTTPStatus.BAD_REQUEST,
+                          'max_tokens=0 scoring requests are '
+                          'non-streaming')
         resp = web.StreamResponse(
             headers={'Content-Type': 'text/event-stream',
                      'Cache-Control': 'no-cache'})
         await resp.prepare(raw)
         text_pos = 0
         if req.echo:
+            head_lp = None
+            if want_logprobs:
+                # same content as the non-stream path: prompt tokens
+                # scored through the prompt-logits machinery
+                try:
+                    e_ids, e_lps = await _prompt_logprobs(prompts[0])
+                    head_lp = _logprobs_obj(e_ids, e_lps, 0)
+                except RuntimeError as e:
+                    return _error(HTTPStatus.BAD_REQUEST, str(e))
             head = CompletionStreamResponse(
                 model=req.model,
                 choices=[CompletionResponseStreamChoice(
-                    index=0, text=prompts[0])])
+                    index=0, text=prompts[0], logprobs=head_lp)])
             await resp.write(
                 f'data: {head.model_dump_json()}\n\n'.encode())
             text_pos = len(prompts[0])
+        tok = VariableInterface.async_engine.tokenizer
         seen_ids: list = []
         async for out in _gen(prompts[0], base_sid, True):
             finish = out.finish_reason
             lp = None
             if want_logprobs and out.token_ids:
-                start = len(seen_ids)
-                seen_ids.extend(out.token_ids)
-                full = _logprobs_obj(seen_ids,
-                                     [None] * start + list(out.logprobs
-                                                           or []),
-                                     text_pos)
-                lp = {k: v[start:] if isinstance(v, list) else v
-                      for k, v in full.items()}
-                lp['token_logprobs'] = (list(out.logprobs)
-                                        if out.logprobs else [])
+                # incremental: decode only THIS frame's tokens (each
+                # against its prefix, like the engine's own detok path)
+                pieces, offsets = [], []
+                for tid in out.token_ids:
+                    seen_ids.append(tid)
+                    piece = tok.decode(seen_ids, offset=len(seen_ids) - 1)
+                    pieces.append(piece)
+                    offsets.append(text_pos)
+                    text_pos += len(piece)
+                lp = {'tokens': pieces,
+                      'token_logprobs': list(out.logprobs or []),
+                      'top_logprobs': None, 'text_offset': offsets}
             chunk = CompletionStreamResponse(
                 model=req.model,
                 choices=[CompletionResponseStreamChoice(
@@ -275,7 +291,11 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
     for i, prompt in enumerate(prompts):
         echo_ids, echo_lps = ([], [])
         if req.echo and want_logprobs:
-            echo_ids, echo_lps = await _prompt_logprobs(prompt)
+            try:
+                echo_ids, echo_lps = await _prompt_logprobs(prompt)
+            except RuntimeError as e:
+                # e.g. prompt exceeds session_len: a JSON 400, not a 500
+                return _error(HTTPStatus.BAD_REQUEST, str(e))
         for j in range(n):
             sid = (base_sid + 7919 * (i * n + j)) % (2 ** 30)
             text = ''
@@ -310,10 +330,10 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
             lp = None
             if want_logprobs:
                 # echo prepends the PROMPT tokens, scored through the
-                # prompt-logits path (lm-eval loglikelihood pattern)
+                # prompt-logits path (lm-eval loglikelihood pattern);
+                # text offsets are absolute in the returned text
                 lp = _logprobs_obj(echo_ids + all_ids,
-                                   echo_lps + all_lps, 0 if req.echo
-                                   else len(base))
+                                   echo_lps + all_lps, 0)
             choices.append(CompletionResponseChoice(
                 index=i * n + j, text=base + text, logprobs=lp,
                 finish_reason=None if finish == 'cancel' else finish))
