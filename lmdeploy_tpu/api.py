@@ -27,8 +27,8 @@ def _resolve_tokenizer(model_path: str, vocab_size: int):
 
 def build_engine(model_path: str,
                  engine_config: Optional[EngineConfig] = None,
-                 model_name: str = '', tp: int = 1,
-                 **engine_kw) -> TPUEngine:
+                 model_name: str = '', tp: int = 1, pp: int = 1,
+                 dp: int = 1, **engine_kw) -> TPUEngine:
     """Load a workspace (converted) or HF directory and start the engine."""
     from .convert.converter import is_workspace, load_workspace
 
@@ -44,9 +44,15 @@ def build_engine(model_path: str,
         cfg, params = load_hf_dir(model_path, jnp.bfloat16)
 
     if engine_config is None:
-        engine_config = EngineConfig(session_len=cfg.session_len, tp=tp)
-    elif tp > 1:
-        engine_config.tp = max(engine_config.tp, tp)
+        engine_config = EngineConfig(session_len=cfg.session_len, tp=tp,
+                                     pp=pp, dp=dp)
+    else:
+        if tp > 1:
+            engine_config.tp = max(engine_config.tp, tp)
+        if pp > 1:
+            engine_config.pp = max(engine_config.pp, pp)
+        if dp > 1:
+            engine_config.dp = max(engine_config.dp, dp)
 
     name = model_name or cfg.model_name
     template_name = name if name in MODELS.module_dict else \

@@ -45,6 +45,17 @@ def _bucket_for(length: int, buckets) -> int:
     return buckets[-1]
 
 
+def _all_plain_greedy(cfgs) -> bool:
+    """Every running slot is plain greedy: raw argmax == the full sampling
+    stack (no penalties / banned words / min-length EOS masking), so the
+    ungated fast paths (greedy speculative verify, pp ring decode) stay
+    token-identical to the plain path."""
+    return all((g.top_k or 0) == 1 and g.repetition_penalty == 1.0
+               and g.presence_penalty == 0.0
+               and g.frequency_penalty == 0.0 and not g.bad_words
+               and g.min_new_tokens == 0 for g in cfgs)
+
+
 @dataclasses.dataclass
 class _Slot:
     """Host mirror of one running batch slot."""
@@ -66,6 +77,7 @@ class _Slot:
     logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
     saw_round: bool = False  # this slot appeared in >=1 decode round
+    max_new: int = 0         # host shadow of sampling.max_new_tokens
 
 
 class TPUEngine:
@@ -247,7 +259,18 @@ class TPUEngine:
                       'errors': 0, 'rejected': 0, 'timeout': 0,
                       'generated_tokens': 0, 'spec_rounds': 0,
                       'spec_emitted': 0, 'spec_fallbacks': 0,
-                      'interleaved_rounds': 0, 'prefix_hit_tokens': 0}
+                      'interleaved_rounds': 0, 'prefix_hit_tokens': 0,
+                      'ring_rounds': 0}
+        # bubble-free pp ring decode (pp_decode_greedy) eligibility —
+        # static part; the per-round part requires every running slot to
+        # be plain greedy (_all_plain_greedy)
+        self._ring_ok = False
+        if engine_cfg.pp > 1 and engine_cfg.pp_ring_decode:
+            if self.b_local % engine_cfg.pp == 0:
+                self._ring_ok = True
+            else:
+                log.info('pp ring decode disabled: local batch %d not '
+                         'divisible by pp=%d', self.b_local, engine_cfg.pp)
         # adaptive speculative gating: EMA of accepted tokens/round;
         # below break-even the engine falls back to plain rounds and
         # re-probes after a cooloff (speculation must never cost more
@@ -707,7 +730,8 @@ class TPUEngine:
                      stop_sequences=multi,
                      single_stops=frozenset(singles[:_CAP]),
                      host_single_stops=frozenset(singles[_CAP:]),
-                     holdback=max((len(sw) for sw in multi), default=1) - 1)
+                     holdback=max((len(sw) for sw in multi), default=1) - 1,
+                     max_new=max_new)
         self.slots[slot_idx] = slot
         self._fresh_admission = True  # short first round for TTFT
         seq.token_ids = all_ids
@@ -950,10 +974,7 @@ class TPUEngine:
         if self.ecfg.speculative_k > 0 and cfgs \
                 and running * (self.ecfg.speculative_k + 1) \
                 <= self.SPEC_MAX_VERIFY_ROWS:
-            if all((g.top_k or 0) == 1 and g.repetition_penalty == 1.0
-                   and g.presence_penalty == 0.0
-                   and g.frequency_penalty == 0.0 and not g.bad_words
-                   and g.min_new_tokens == 0 for g in cfgs):
+            if _all_plain_greedy(cfgs):
                 spec_mode = 'greedy'
             elif self.ecfg.speculative_sampled:
                 spec_mode = 'full' if any((g.top_k or 0) <= 0
@@ -979,6 +1000,9 @@ class TPUEngine:
             self.stats['spec_fallbacks'] += 1
             if self._spec_cooloff == 0:
                 self._spec_accept_ema = None  # fresh probe next time
+        if self._ring_ok and _all_plain_greedy(cfgs):
+            self._ring_round(k)
+            return
         mode = 'full' if any((g.top_k or 0) <= 0 for g in cfgs) \
             else 'candidates'
         self.cache, self.state, packed, logprob = self.fns.decode_steps(
@@ -992,6 +1016,55 @@ class TPUEngine:
             self._rng_now = np.ascontiguousarray(
                 arr[3:5, t].T).view(np.uint32)
             self._emit(arr[0, t], arr[1, t], logprobs[t])
+            if not any(s is not None and not s.done for s in self.slots):
+                return
+
+    def _ring_round(self, k: int):
+        """Bubble-free microbatch-ring decode on the pp mesh
+        (parallel/pp.py:pp_decode_greedy): every running slot advances up
+        to ``k`` tokens in ONE pipelined dispatch whose steady-state cost
+        per token is ~1/pp of the relay path's.
+
+        The device side runs UNGATED greedy for exactly ``k`` rounds (the
+        ring has no per-round stop masking), so the host (a) bounds ``k``
+        by every slot's remaining token allowance — max_new already folds
+        the session cap, so the ring can never write KV past allocated
+        pages — and (b) applies the stop criteria (EOS / device-capacity
+        stop words / length; check_stop's exact semantics) to the [k, B]
+        token matrix after readback.  A slot that stops mid-dispatch is
+        retired on the spot (_emit -> _retire -> clear_slot), which turns
+        its device-side overshoot (context_len / history advanced past
+        the stop) into dead state until the next install_slot — no
+        rollback surgery needed; the host-side shadows (slot.context_len,
+        seq.cache_len) only ever count emitted tokens.  Greedy consumes
+        no randomness, so sampling keys are untouched and retirement
+        snapshots read the resident device keys (_rng_now = None).
+        """
+        run = [(i, s) for i, s in enumerate(self.slots)
+               if s is not None and not s.done and not s.prefilling]
+        k = max(1, min([k] + [s.max_new - s.generated for _, s in run]))
+        self._grow_pages(k)
+        self.cache, self.state, toks = self.fns.decode_rounds(
+            self.params, self.cache, self.state, rounds=k)
+        arr = np.asarray(toks)                              # [k, B]
+        self.stats['ring_rounds'] += k
+        self._rng_now = None
+        b = arr.shape[1]
+        zeros = np.zeros((b,), np.float32)  # greedy logprob is exactly 0
+        fin = np.zeros((b,), np.int32)
+        eos = self.cfg.end_id
+        for t in range(k):
+            fin[:] = 0
+            for i, s in run:
+                if s.done:
+                    continue
+                tok = int(arr[t, i])
+                g = s.request.gen_config
+                if ((tok == eos and not g.ignore_eos)
+                        or tok in s.single_stops
+                        or s.generated + 1 >= s.max_new):
+                    fin[i] = 1
+            self._emit(arr[t], fin, zeros)
             if not any(s is not None and not s.done for s in self.slots):
                 return
 

@@ -98,7 +98,8 @@ async def chat_completions_v1(raw: web.Request) -> web.StreamResponse:
         req.messages, session_id, stream_response=bool(req.stream),
         renew_session=bool(req.renew_session),
         request_output_len=req.max_tokens or 512, stop=stop_flag,
-        top_p=req.top_p, temperature=req.temperature,
+        top_p=req.top_p, top_k=req.top_k if req.top_k is not None else 40,
+        temperature=req.temperature,
         repetition_penalty=req.repetition_penalty,
         presence_penalty=req.presence_penalty or 0.0,
         frequency_penalty=req.frequency_penalty or 0.0,
@@ -182,7 +183,9 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
         return engine.generate(
             prompt, sid, stream_response=stream, sequence_start=True,
             sequence_end=True, request_output_len=req.max_tokens or 16,
-            stop=stop_flag, top_p=req.top_p, temperature=req.temperature,
+            stop=stop_flag, top_p=req.top_p,
+            top_k=req.top_k if req.top_k is not None else 40,
+            temperature=req.temperature,
             repetition_penalty=req.repetition_penalty,
             presence_penalty=req.presence_penalty or 0.0,
             frequency_penalty=req.frequency_penalty or 0.0,
@@ -442,9 +445,10 @@ def build_app(engine: AsyncEngine) -> web.Application:
 
 def main(model_path: str, server_name: str = '0.0.0.0',
          server_port: int = 23333, instance_num: int = 32, tp: int = 1,
-         **kw):
+         pp: int = 1, dp: int = 1, **kw):
     """Launch the server (reference: api_server.py:320)."""
-    engine = AsyncEngine(model_path, instance_num=instance_num, tp=tp, **kw)
+    engine = AsyncEngine(model_path, instance_num=instance_num, tp=tp,
+                         pp=pp, dp=dp, **kw)
     app = build_app(engine)
     web.run_app(app, host=server_name, port=server_port)
 
@@ -457,6 +461,10 @@ if __name__ == '__main__':
     ap.add_argument('--server-port', '--port', type=int, default=23333)
     ap.add_argument('--instance-num', type=int, default=32)
     ap.add_argument('--tp', type=int, default=1)
+    ap.add_argument('--pp', type=int, default=1,
+                    help='pipeline stages (layers sharded over the mesh)')
+    ap.add_argument('--dp', type=int, default=1,
+                    help='data-parallel engine groups')
     args = ap.parse_args()
     main(args.model_path, args.server_name, args.server_port,
-         args.instance_num, args.tp)
+         args.instance_num, args.tp, args.pp, args.dp)

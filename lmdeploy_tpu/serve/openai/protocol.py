@@ -78,6 +78,10 @@ class ChatCompletionRequest(BaseModel):
     repetition_penalty: Optional[float] = 1.0
     renew_session: Optional[bool] = False
     ignore_eos: Optional[bool] = False
+    # lmdeploy-tpu extension (the reference exposes top_k only on
+    # /generate): top_k=1 requests greedy decoding, which unlocks the
+    # engine's greedy fast paths (speculative verify, pp ring decode)
+    top_k: Optional[int] = 40
 
 
 class ChatMessage(BaseModel):
@@ -138,6 +142,8 @@ class CompletionRequest(BaseModel):
     user: Optional[str] = None
     repetition_penalty: Optional[float] = 1.0
     ignore_eos: Optional[bool] = False
+    # lmdeploy-tpu extension, same contract as ChatCompletionRequest
+    top_k: Optional[int] = 40
 
 
 class CompletionResponseChoice(BaseModel):

@@ -204,6 +204,92 @@ def test_engine_serves_over_full_3d_mesh():
     np.testing.assert_allclose(logits_g, logits_w, rtol=2e-4, atol=2e-4)
 
 
+def test_engine_ring_decode_parity_and_stops():
+    """With every running slot plain greedy the pp engine serves decode
+    through the bubble-free microbatch ring (engine.stats['ring_rounds']
+    > 0 proves the path engaged) and stays token-identical to the
+    single-device engine — including a stop word hitting mid-dispatch
+    (host-side retirement of the ring's ungated rounds) and the
+    max_new_tokens bound (host k-clamp)."""
+    import dataclasses as dc
+
+    from lmdeploy_tpu.config import EngineConfig
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=4)
+
+    def run(engine_cfg, gen, prompt):
+        eng = TPUEngine(CFG, engine_cfg, params)
+        try:
+            inst = eng.create_instance()
+            out = inst.infer(1, prompt, gen_config=gen, sequence_end=True)
+            return out.token_ids, eng.stats['ring_rounds']
+        finally:
+            eng.shutdown()
+
+    base = GenerationConfig(max_new_tokens=10, top_k=1, ignore_eos=True)
+    want, r0 = run(ecfg, base, [3, 9, 4])
+    assert len(want) == 10 and r0 == 0
+    pcfg = dc.replace(ecfg, pp=2, tp=2)
+    got, r1 = run(pcfg, base, [3, 9, 4])
+    assert got == want and r1 > 0
+
+    # a mid-stream token as stop word truncates identically (and the
+    # sampled request rides the relay path: ring stays greedy-gated)
+    stop = GenerationConfig(max_new_tokens=10, top_k=1, ignore_eos=True,
+                            stop_words=[int(want[4])])
+    want_s, _ = run(ecfg, stop, [3, 9, 4])
+    got_s, r2 = run(pcfg, stop, [3, 9, 4])
+    assert got_s == want_s and r2 > 0
+    sampled = GenerationConfig(max_new_tokens=6, top_k=20, top_p=0.9,
+                               temperature=0.8, random_seed=7,
+                               ignore_eos=True)
+    want_smp, _ = run(ecfg, sampled, [3, 9, 4])
+    got_smp, r3 = run(pcfg, sampled, [3, 9, 4])
+    assert got_smp == want_smp and r3 == 0
+
+
+def test_engine_ring_interactive_continuation():
+    """A session the ring finished mid-dispatch (device state overshot
+    the host-side stop) must continue a second turn correctly: the
+    overshoot is dead state, install_slot rebuilds from the host truth."""
+    import dataclasses as dc
+
+    from lmdeploy_tpu.config import EngineConfig
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(5), jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=8)
+    # max_new=3 < step_length=8: the clamp + mid-dispatch retirement run
+    g = GenerationConfig(max_new_tokens=3, top_k=1, ignore_eos=True)
+
+    def run(engine_cfg):
+        eng = TPUEngine(CFG, engine_cfg, params)
+        try:
+            inst = eng.create_instance()
+            t1 = inst.infer(9, [6, 11, 4], gen_config=g).token_ids
+            t2 = inst.infer(9, [21, 8], gen_config=g,
+                            sequence_start=False,
+                            sequence_end=True).token_ids
+            return t1, t2, eng.stats['ring_rounds']
+        finally:
+            eng.shutdown()
+
+    w1, w2, r0 = run(ecfg)
+    assert len(w1) == 3 and len(w2) == 3 and r0 == 0
+    g1, g2, rr = run(dc.replace(ecfg, pp=2, tp=2))
+    assert (g1, g2) == (w1, w2) and rr > 0
+
+
 @pytest.mark.parametrize('pp,tp', [(2, 2), (4, 2)])
 def test_pp_batched_prefill_ring(pp, tp):
     """GPipe-pipelined batched prefill (one job per stage per ring
