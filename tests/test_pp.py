@@ -254,6 +254,60 @@ def test_engine_ring_decode_parity_and_stops():
     assert got_smp == want_smp and r3 == 0
 
 
+def test_engine_ring_relay_switching():
+    """A sampled request joining mid-stream flips the pp engine from ring
+    rounds to relay rounds (the ring is all-greedy-gated) and back once
+    the sampled request retires; the long greedy session's tokens must be
+    unaffected by the switches."""
+    import dataclasses as dc
+    import threading
+
+    from lmdeploy_tpu.config import EngineConfig
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(6), jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, session_len=128, page_size=8,
+                        num_pages=48, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=4)
+    ga = GenerationConfig(max_new_tokens=30, top_k=1, ignore_eos=True)
+    gb = GenerationConfig(max_new_tokens=5, top_k=20, top_p=0.9,
+                          temperature=0.8, random_seed=3, ignore_eos=True)
+
+    def run(engine_cfg, with_b: bool):
+        eng = TPUEngine(CFG, engine_cfg, params)
+        try:
+            inst = eng.create_instance()
+            if not with_b:
+                out = inst.infer(1, [3, 9, 4], gen_config=ga,
+                                 sequence_end=True)
+                return out.token_ids, None, eng.stats['ring_rounds']
+            res = {}
+
+            def run_b():
+                res['b'] = inst.infer(2, [8, 2, 6], gen_config=gb,
+                                      sequence_end=True).token_ids
+            gen_a = inst.stream_infer(1, [3, 9, 4], ga, sequence_end=True)
+            out_a = next(gen_a)        # A is mid-decode now
+            tb = threading.Thread(target=run_b)
+            tb.start()
+            for out_a in gen_a:
+                pass
+            tb.join()
+            return out_a.token_ids, res['b'], eng.stats['ring_rounds']
+        finally:
+            eng.shutdown()
+
+    pcfg = dc.replace(ecfg, pp=2, tp=2)
+    want_a, _, _ = run(ecfg, with_b=False)
+    got_a, got_b, rings = run(pcfg, with_b=True)
+    assert got_a == want_a            # greedy stream survives the switches
+    assert len(got_b) == 5
+    # some rounds rode the ring (A alone), some the relay (B present)
+    assert 0 < rings < 30
+
+
 def test_engine_ring_interactive_continuation():
     """A session the ring finished mid-dispatch (device state overshot
     the host-side stop) must continue a second turn correctly: the
