@@ -192,10 +192,12 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
             ignore_eos=bool(req.ignore_eos), stop_strings=stop_strings,
             do_preprocess=False, output_logprobs=want_logprobs)
 
-    def _logprobs_obj(ids, lps, text_start: int):
-        """OpenAI completions logprobs: chosen-token logprobs only
-        (top_logprobs needs a device top-k readback; null like several
-        OSS servers)."""
+    def _logprobs_obj(ids, lps, text_start: int, tops=None):
+        """OpenAI completions logprobs.  ``tops`` carries per-position
+        top-N alternative dicts where the full distribution was in hand
+        (the prompt-scoring path); generated-token positions stay null —
+        alternatives there would need a device top-k readback in the
+        decode hot loop."""
         tok = VariableInterface.async_engine.tokenizer
         pieces, offsets = [], []
         pos = text_start
@@ -205,30 +207,45 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
             offsets.append(pos)
             pos += len(piece)
         return {'tokens': pieces, 'token_logprobs': list(lps),
-                'top_logprobs': None, 'text_offset': offsets}
+                'top_logprobs': list(tops) if tops is not None else None,
+                'text_offset': offsets}
+
+    # OpenAI contract: the logprobs int is the number of ALTERNATIVES
+    # per position, capped at 5
+    n_alts = min(int(req.logprobs or 0), 5) if want_logprobs else 0
 
     async def _prompt_logprobs(prompt: str):
         """Echo+logprobs: score the prompt through the prompt-logits
         path (the engine's is_return_logits / PPL machinery) — the
         lm-eval loglikelihood pattern (echo=true, max_tokens=0).  First
-        token has no conditional logprob (null, like OpenAI)."""
+        token has no conditional logprob (null, like OpenAI).  Returns
+        (ids, chosen_logprobs, top_alternatives-or-None)."""
         import asyncio
         import math
         tok = VariableInterface.async_engine.tokenizer
         ids = tok.encode(prompt)
         if not ids:
-            return [], []
+            return [], [], (None if not n_alts else [])
         inst = engine.engine.create_instance()
         loop = asyncio.get_event_loop()
         logits = await loop.run_in_executor(None, inst.decode, ids)
         import numpy as np
         lg = np.asarray(logits, np.float32)      # [len(ids), vocab]
         lps = [None]
+        tops = [None]
         for t in range(1, len(ids)):
             row = lg[t - 1]
             row = row - row.max()
-            lps.append(float(row[ids[t]] - math.log(np.exp(row).sum())))
-        return ids, lps
+            logz = math.log(np.exp(row).sum())
+            lps.append(float(row[ids[t]] - logz))
+            if n_alts:
+                cand = np.argpartition(row, -n_alts)[-n_alts:]
+                cand = cand[np.argsort(-row[cand])]
+                tops.append({tok.decode([int(c)]): float(row[c] - logz)
+                             for c in cand})
+            else:
+                tops.append(None)
+        return ids, lps, (tops if n_alts else None)
 
     if req.stream:
         if len(prompts) != 1 or n != 1:
@@ -249,8 +266,8 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
                 # same content as the non-stream path: prompt tokens
                 # scored through the prompt-logits machinery
                 try:
-                    e_ids, e_lps = await _prompt_logprobs(prompts[0])
-                    head_lp = _logprobs_obj(e_ids, e_lps, 0)
+                    e_ids, e_lps, e_tops = await _prompt_logprobs(prompts[0])
+                    head_lp = _logprobs_obj(e_ids, e_lps, 0, e_tops)
                 except RuntimeError as e:
                     return _error(HTTPStatus.BAD_REQUEST, str(e))
             head = CompletionStreamResponse(
@@ -292,10 +309,10 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
     choices = []
     prompt_tokens = completion_tokens = 0
     for i, prompt in enumerate(prompts):
-        echo_ids, echo_lps = ([], [])
+        echo_ids, echo_lps, echo_tops = ([], [], None)
         if req.echo and want_logprobs:
             try:
-                echo_ids, echo_lps = await _prompt_logprobs(prompt)
+                echo_ids, echo_lps, echo_tops = await _prompt_logprobs(prompt)
             except RuntimeError as e:
                 # e.g. prompt exceeds session_len: a JSON 400, not a 500
                 return _error(HTTPStatus.BAD_REQUEST, str(e))
@@ -313,7 +330,7 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
                             prompt))
                 finish = 'length'
                 base = prompt if req.echo else ''
-                lp = _logprobs_obj(echo_ids, echo_lps, 0) \
+                lp = _logprobs_obj(echo_ids, echo_lps, 0, echo_tops) \
                     if want_logprobs else None
                 choices.append(CompletionResponseChoice(
                     index=i * n + j, text=base, logprobs=lp,
@@ -335,8 +352,10 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
                 # echo prepends the PROMPT tokens, scored through the
                 # prompt-logits path (lm-eval loglikelihood pattern);
                 # text offsets are absolute in the returned text
+                tops = echo_tops + [None] * len(all_ids) \
+                    if echo_tops is not None else None
                 lp = _logprobs_obj(echo_ids + all_ids,
-                                   echo_lps + all_lps, 0)
+                                   echo_lps + all_lps, 0, tops)
             choices.append(CompletionResponseChoice(
                 index=i * n + j, text=base + text, logprobs=lp,
                 finish_reason=None if finish == 'cancel' else finish))

@@ -387,6 +387,26 @@ def test_completions_n_and_scoring(async_engine):
             assert all(isinstance(x, float) and x <= 0.0
                        for x in lp['token_logprobs'][1:])
             assert body['usage']['completion_tokens'] == 0
+            # logprobs=N returns N alternatives per scored position (the
+            # full distribution is in hand on the prompt-scoring path)
+            tops = lp['top_logprobs']
+            assert tops is not None and len(tops) == len(ids)
+            assert tops[0] is None
+            for chosen, alts in zip(lp['token_logprobs'][1:], tops[1:]):
+                assert isinstance(alts, dict) and len(alts) == 1
+                # the single best alternative can't score below chosen
+                assert max(alts.values()) >= chosen - 1e-5
+
+            # echo + generation: alternatives cover the prompt region,
+            # generated positions stay null (no device top-k readback)
+            r = await client.post('/v1/completions', json={
+                'model': 'tiny', 'prompt': prompt, 'max_tokens': 2,
+                'ignore_eos': True, 'echo': True, 'logprobs': 2})
+            lp = (await r.json())['choices'][0]['logprobs']
+            assert len(lp['top_logprobs']) == len(ids) + 2
+            assert all(isinstance(d, dict) and len(d) <= 2
+                       for d in lp['top_logprobs'][1:len(ids)])
+            assert lp['top_logprobs'][len(ids):] == [None, None]
 
             # suffix is rejected loudly
             r = await client.post('/v1/completions', json={
