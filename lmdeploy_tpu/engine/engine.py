@@ -1000,8 +1000,14 @@ class TPUEngine:
             self.stats['spec_fallbacks'] += 1
             if self._spec_cooloff == 0:
                 self._spec_accept_ema = None  # fresh probe next time
-        if self._ring_ok and _all_plain_greedy(cfgs):
-            self._ring_round(k)
+        if self._ring_ok:
+            # all traffic rides the bubble-free ring on a pp mesh: plain
+            # greedy takes the raw-argmax program, anything else the
+            # full-sampling-stack program (pp_decode_sampled)
+            ring_mode = None if _all_plain_greedy(cfgs) else (
+                'full' if any((g.top_k or 0) <= 0 for g in cfgs)
+                else 'candidates')
+            self._ring_round(k, ring_mode)
             return
         mode = 'full' if any((g.top_k or 0) <= 0 for g in cfgs) \
             else 'candidates'
@@ -1019,15 +1025,19 @@ class TPUEngine:
             if not any(s is not None and not s.done for s in self.slots):
                 return
 
-    def _ring_round(self, k: int):
-        """Bubble-free microbatch-ring decode on the pp mesh
-        (parallel/pp.py:pp_decode_greedy): every running slot advances up
-        to ``k`` tokens in ONE pipelined dispatch whose steady-state cost
-        per token is ~1/pp of the relay path's.
+    def _ring_round(self, k: int, mode: Optional[str] = None):
+        """Bubble-free microbatch-ring decode on the pp mesh: every
+        running slot advances up to ``k`` tokens in ONE pipelined
+        dispatch whose steady-state cost per token is ~1/pp of the relay
+        path's.  ``mode`` None runs the raw-argmax ring (every slot
+        plain greedy, parallel/pp.py:pp_decode_greedy); 'candidates' /
+        'full' run the full-sampling-stack ring (pp_decode_sampled),
+        whose packed readback carries decode_steps' per-round logprob
+        and rng planes.
 
-        The device side runs UNGATED greedy for exactly ``k`` rounds (the
-        ring has no per-round stop masking), so the host (a) bounds ``k``
-        by every slot's remaining token allowance — max_new already folds
+        The device side runs UNGATED for exactly ``k`` rounds (the ring
+        has no per-round stop masking), so the host (a) bounds ``k`` by
+        every slot's remaining token allowance — max_new already folds
         the session cap, so the ring can never write KV past allocated
         pages — and (b) applies the stop criteria (EOS / device-capacity
         stop words / length; check_stop's exact semantics) to the [k, B]
@@ -1036,24 +1046,39 @@ class TPUEngine:
         its device-side overshoot (context_len / history advanced past
         the stop) into dead state until the next install_slot — no
         rollback surgery needed; the host-side shadows (slot.context_len,
-        seq.cache_len) only ever count emitted tokens.  Greedy consumes
-        no randomness, so sampling keys are untouched and retirement
-        snapshots read the resident device keys (_rng_now = None).
+        seq.cache_len) only ever count emitted tokens.  The greedy ring
+        consumes no randomness, so there sampling keys are untouched and
+        retirement snapshots read the resident device keys
+        (_rng_now = None).
         """
         run = [(i, s) for i, s in enumerate(self.slots)
                if s is not None and not s.done and not s.prefilling]
         k = max(1, min([k] + [s.max_new - s.generated for _, s in run]))
         self._grow_pages(k)
-        self.cache, self.state, toks = self.fns.decode_rounds(
-            self.params, self.cache, self.state, rounds=k)
-        arr = np.asarray(toks)                              # [k, B]
+        if mode is None:
+            self.cache, self.state, toks = self.fns.decode_rounds(
+                self.params, self.cache, self.state, rounds=k)
+            arr = np.asarray(toks)                          # [k, B]
+            lps = rngs = None
+            self._rng_now = None
+        else:
+            self.cache, self.state, packed = self.fns.decode_rounds_sampled(
+                self.params, self.cache, self.state, rounds=k,
+                sampling_mode=mode)
+            pk = np.asarray(packed)                         # [4, k, B]
+            arr = pk[0]
+            lps = np.ascontiguousarray(pk[1]).view(np.float32)
+            rngs = pk[2:4]
         self.stats['ring_rounds'] += k
-        self._rng_now = None
         b = arr.shape[1]
         zeros = np.zeros((b,), np.float32)  # greedy logprob is exactly 0
         fin = np.zeros((b,), np.int32)
         eos = self.cfg.end_id
         for t in range(k):
+            if rngs is not None:
+                # per-round rng snapshot, decode_steps' plane semantics
+                self._rng_now = np.ascontiguousarray(
+                    rngs[:, t].T).view(np.uint32)
             fin[:] = 0
             for i, s in run:
                 if s.done:
@@ -1064,7 +1089,7 @@ class TPUEngine:
                         or tok in s.single_stops
                         or s.generated + 1 >= s.max_new):
                     fin[i] = 1
-            self._emit(arr[t], fin, zeros)
+            self._emit(arr[t], fin, lps[t] if lps is not None else zeros)
             if not any(s is not None and not s.done for s in self.slots):
                 return
 

@@ -306,6 +306,147 @@ def pp_decode_greedy(params, cache: KVCache, state: DecodeState,
     return cache, new_state, toks
 
 
+def pp_decode_sampled(params, cache: KVCache, state: DecodeState,
+                      cfg: ModelConfig, *, num_stages: int, rounds: int,
+                      sampling_mode: str = 'candidates',
+                      use_pallas_attn: bool = False):
+    """``rounds`` pipelined decode rounds with the FULL sampling stack
+    (penalties, banned words, min-length EOS masking, top-k/p/min-p,
+    per-slot RNG) riding the same bubble-free microbatch ring as
+    :func:`pp_decode_greedy` — sampled serving at ring speed instead of
+    falling back to the ``num_stages``-times-slower relay path.
+
+    SPMD subtlety: every stage executes :func:`ops.sampling.sample_step`
+    on the microbatch it currently holds (the program must be uniform),
+    so every stage's history/RNG carries advance with its OWN draws.
+    Only the LAST stage's activations are real, so only its carries hold
+    the true sampled tokens — and they are self-consistent: the
+    repetition penalty at round ``r+1`` reads the round-``r`` token this
+    same stage drew.  The other stages' draws are garbage and their
+    carries diverge harmlessly; everything is psum-selected from the
+    last stage after the scan.
+
+    Returns ``(cache, new_state, packed int32 [4, rounds, B])``: planes
+    = (tokens; token-logprob f32 bits; rng word0; rng word1), the host
+    contract of ``decode_steps``'s packed readback with one entry per
+    RING ROUND — a slot retired mid-dispatch by a host-side stop
+    sequence snapshots the key as of its round (LlamaBatch.cc:1097
+    curand-save semantics).
+    """
+    from ..ops.sampling import sample_step
+
+    b = state.tokens.shape[0]
+    m_count = num_stages
+    assert b % m_count == 0, (b, m_count)
+    bu = b // m_count
+    total = rounds * m_count + num_stages - 1
+    stage = jax.lax.axis_index(PP_AXIS)
+    is_last = stage == num_stages - 1
+    run0 = state.active & ~state.finished
+    ring = [(i, (i + 1) % num_stages) for i in range(num_stages)]
+    d = params['tok_embedding'].shape[-1]
+    smp0 = state.sampling
+
+    def body(carry, t):
+        h_ring, cache, hist, rng, toks, lps, rngs = carry
+        tm = t - stage
+        in_flight = (tm >= 0) & (tm < rounds * m_count)
+        tm = jnp.maximum(tm, 0)
+        m = tm % m_count
+        r = tm // m_count
+        row0 = m * bu
+        ptab = jax.lax.dynamic_slice_in_dim(state.page_table, row0, bu, 0)
+        ctx0 = jax.lax.dynamic_slice_in_dim(state.context_len, row0, bu, 0)
+        act = jax.lax.dynamic_slice_in_dim(run0, row0, bu, 0)
+        tok0 = jax.lax.dynamic_slice_in_dim(state.tokens, row0, bu, 0)
+        pos = ctx0 + r
+        live = act & in_flight
+        batch = StepBatch(
+            ids=jnp.zeros((bu, 1), jnp.int32),
+            positions=pos[:, None],
+            valid=live[:, None],
+            context_len=pos + 1,
+            page_table=ptab)
+        h_entry = embed_tokens(params, tok0[:, None])
+        h_in = jnp.where((stage == 0) & (r == 0), h_entry, h_ring)
+        h_out, cache = forward_layers(params, cache, batch, h_in, cfg,
+                                      axis=TP_AXIS,
+                                      use_pallas_attn=use_pallas_attn)
+        logits = lm_head_logits(params, h_out, batch, cfg, axis=TP_AXIS)
+        logits = mask_vocab_padding(logits, cfg.vocab_size)
+        # microbatch rows of the sampling state; rng + history ride the
+        # carry because they advance once per round
+        smp_mb = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, row0, bu, 0), smp0)
+        smp_mb = dataclasses.replace(
+            smp_mb,
+            rng_key=jax.lax.dynamic_slice_in_dim(rng, row0, bu, 0))
+        hist_mb = jax.lax.dynamic_slice_in_dim(hist, row0, bu, 0)
+        hl0 = jax.lax.dynamic_slice_in_dim(state.history_len, row0, bu, 0)
+        gen0 = jax.lax.dynamic_slice_in_dim(state.generated, row0, bu, 0)
+        tok, new_keys, lp = sample_step(logits, smp_mb, hist_mb, hl0 + r,
+                                        gen0 + r, run=live,
+                                        mode=sampling_mode)
+        tok = jnp.where(live, tok, tok0)
+        hist_idx = jnp.where(live, hl0 + r, jnp.int32(hist.shape[1]))
+        hist_mb = hist_mb.at[jnp.arange(bu), hist_idx].set(tok, mode='drop')
+        hist = jax.lax.dynamic_update_slice_in_dim(hist, hist_mb, row0, 0)
+        rng_mb = jnp.where(live[:, None], new_keys, smp_mb.rng_key)
+        rng = jax.lax.dynamic_update_slice_in_dim(rng, rng_mb, row0, 0)
+        # record the output planes on the sampling stage only
+        rec = is_last & in_flight
+        cur = jax.lax.dynamic_slice(toks, (r, row0), (1, bu))
+        toks = jax.lax.dynamic_update_slice(
+            toks, jnp.where(rec, tok[None], cur), (r, row0))
+        cur = jax.lax.dynamic_slice(lps, (r, row0), (1, bu))
+        lps = jax.lax.dynamic_update_slice(
+            lps, jnp.where(rec, lp[None].astype(jnp.float32), cur),
+            (r, row0))
+        cur = jax.lax.dynamic_slice(rngs, (r, row0, 0), (1, bu, 2))
+        rngs = jax.lax.dynamic_update_slice(
+            rngs, jnp.where(rec, rng_mb[None], cur), (r, row0, 0))
+        payload = jnp.where(is_last, embed_tokens(params, tok[:, None]),
+                            h_out)
+        h_ring = jax.lax.ppermute(payload, PP_AXIS, ring)
+        return (h_ring, cache, hist, rng, toks, lps, rngs), None
+
+    h0 = jnp.zeros((bu, 1, d), params['tok_embedding'].dtype)
+    carry0 = (h0, cache, state.history, smp0.rng_key,
+              jnp.zeros((rounds, b), jnp.int32),
+              jnp.zeros((rounds, b), jnp.float32),
+              jnp.zeros((rounds, b, 2), smp0.rng_key.dtype))
+    (_, cache, hist, rng, toks, lps, rngs), _ = jax.lax.scan(
+        body, carry0, jnp.arange(total, dtype=jnp.int32))
+
+    # only the last stage holds real values -> psum-select across pp
+    def sel(x):
+        return jax.lax.psum(jnp.where(is_last, x, jnp.zeros_like(x)),
+                            PP_AXIS)
+    toks = sel(toks)
+    lps = sel(lps)                  # exact: other stages contribute 0.0
+    rngs = jax.lax.bitcast_convert_type(
+        sel(jax.lax.bitcast_convert_type(rngs, jnp.int32)), jnp.uint32)
+    hist = sel(hist)
+    rng = jax.lax.bitcast_convert_type(
+        sel(jax.lax.bitcast_convert_type(rng, jnp.int32)), jnp.uint32)
+
+    inc = jnp.where(run0, rounds, 0).astype(jnp.int32)
+    sampling = dataclasses.replace(
+        smp0, rng_key=jnp.where(run0[:, None], rng, smp0.rng_key))
+    new_state = dataclasses.replace(
+        state,
+        tokens=jnp.where(run0, toks[rounds - 1], state.tokens),
+        context_len=state.context_len + inc,
+        generated=state.generated + inc,
+        history=jnp.where(run0[:, None], hist, state.history),
+        history_len=state.history_len + inc,
+        sampling=sampling)
+    lp_bits = jax.lax.bitcast_convert_type(lps, jnp.int32)
+    rng_i = jax.lax.bitcast_convert_type(rngs, jnp.int32)
+    packed = jnp.stack([toks, lp_bits, rng_i[..., 0], rng_i[..., 1]])
+    return cache, new_state, packed
+
+
 # ---------------------------------------------------------------------------
 # jitted wrappers
 # ---------------------------------------------------------------------------
@@ -418,11 +559,22 @@ class PPStepFns:
                      out_specs=(cache_spec, rep, toks_spec)),
                 donate_argnums=(1, 2))
 
+        def make_ring_sampled(pspec, rounds, sampling_mode):
+            fn = partial(pp_decode_sampled, cfg=cfg, num_stages=self.pp,
+                         rounds=rounds, sampling_mode=sampling_mode,
+                         use_pallas_attn=use_pallas_attn)
+            # packed is [4, rounds, B]: batch-LAST, dp shards dim 2
+            pk_spec = P(None, None, DP_AXIS) if dp_shard_batch else P()
+            return jax.jit(
+                smap(fn, in_specs=(pspec, cache_spec, rep),
+                     out_specs=(cache_spec, rep, pk_spec)),
+                donate_argnums=(1, 2))
+
         self._makers = dict(
             decode=make_decode, decode_steps=make_decode_steps,
             spec=make_spec_rounds, prefill=make_prefill,
             prefills=make_prefills, logits=make_prefill_logits,
-            ring=make_ring_decode)
+            ring=make_ring_decode, ring_sampled=make_ring_sampled)
         self._cache: Dict[Any, Any] = {}
 
         self.install_slot = jax.jit(_step.install_slot, donate_argnums=(0,))
@@ -472,7 +624,13 @@ class PPStepFns:
         """Bubble-free microbatch-ring greedy pipeline (module docstring)."""
         return self._get('ring', params, rounds)(params, cache, state)
 
+    def decode_rounds_sampled(self, params, cache, state, rounds: int,
+                              sampling_mode: str = 'candidates'):
+        """Full-sampling-stack microbatch ring (:func:`pp_decode_sampled`)."""
+        return self._get('ring_sampled', params, rounds, sampling_mode)(
+            params, cache, state)
+
 
 __all__ = ['PP_AXIS', 'make_mesh_pp', 'make_mesh_3d', 'pp_param_pspecs',
            'pp_cache_pspecs', 'pp_forward', 'pp_prefill_chunks_ring',
-           'pp_decode_greedy', 'PPStepFns']
+           'pp_decode_greedy', 'pp_decode_sampled', 'PPStepFns']

@@ -160,7 +160,10 @@ def test_engine_serves_over_pp_mesh():
     want = run(ecfg)
     assert all(len(t) == 6 for t in want)
     import dataclasses as dc
-    got = run(dc.replace(ecfg, pp=2, tp=2))
+    # pp_ring_decode=False pins this test to the RELAY path (generic
+    # pp_forward through the regular step fns) — the ring programs have
+    # their own parity tests below
+    got = run(dc.replace(ecfg, pp=2, tp=2, pp_ring_decode=False))
     assert got == want
 
 
@@ -228,37 +231,44 @@ def test_engine_ring_decode_parity_and_stops():
         try:
             inst = eng.create_instance()
             out = inst.infer(1, prompt, gen_config=gen, sequence_end=True)
-            return out.token_ids, eng.stats['ring_rounds']
+            return out.token_ids, out.logprobs, eng.stats['ring_rounds']
         finally:
             eng.shutdown()
 
     base = GenerationConfig(max_new_tokens=10, top_k=1, ignore_eos=True)
-    want, r0 = run(ecfg, base, [3, 9, 4])
+    want, _, r0 = run(ecfg, base, [3, 9, 4])
     assert len(want) == 10 and r0 == 0
     pcfg = dc.replace(ecfg, pp=2, tp=2)
-    got, r1 = run(pcfg, base, [3, 9, 4])
+    got, _, r1 = run(pcfg, base, [3, 9, 4])
     assert got == want and r1 > 0
 
-    # a mid-stream token as stop word truncates identically (and the
-    # sampled request rides the relay path: ring stays greedy-gated)
+    # a mid-stream token as stop word truncates identically
     stop = GenerationConfig(max_new_tokens=10, top_k=1, ignore_eos=True,
                             stop_words=[int(want[4])])
-    want_s, _ = run(ecfg, stop, [3, 9, 4])
-    got_s, r2 = run(pcfg, stop, [3, 9, 4])
+    want_s, _, _ = run(ecfg, stop, [3, 9, 4])
+    got_s, _, r2 = run(pcfg, stop, [3, 9, 4])
     assert got_s == want_s and r2 > 0
+
+    # a sampled+penalized request rides the full-sampling-stack ring
+    # (pp_decode_sampled): token AND logprob streams must match the
+    # single-device engine exactly
     sampled = GenerationConfig(max_new_tokens=6, top_k=20, top_p=0.9,
                                temperature=0.8, random_seed=7,
-                               ignore_eos=True)
-    want_smp, _ = run(ecfg, sampled, [3, 9, 4])
-    got_smp, r3 = run(pcfg, sampled, [3, 9, 4])
-    assert got_smp == want_smp and r3 == 0
+                               repetition_penalty=1.1,
+                               ignore_eos=True, output_logprobs=True)
+    want_smp, want_lp, _ = run(ecfg, sampled, [3, 9, 4])
+    got_smp, got_lp, r3 = run(pcfg, sampled, [3, 9, 4])
+    assert got_smp == want_smp and r3 > 0
+    # tp-sharded lm_head changes f32 reduction order: same bound as the
+    # 3D-mesh logits check
+    np.testing.assert_allclose(got_lp, want_lp, rtol=2e-4, atol=2e-4)
 
 
 def test_engine_ring_relay_switching():
-    """A sampled request joining mid-stream flips the pp engine from ring
-    rounds to relay rounds (the ring is all-greedy-gated) and back once
-    the sampled request retires; the long greedy session's tokens must be
-    unaffected by the switches."""
+    """A sampled request joining mid-stream flips the pp engine from the
+    raw-argmax ring program onto the full-sampling-stack ring and back
+    once the sampled request retires; the long greedy session's tokens
+    must be unaffected by the switches."""
     import dataclasses as dc
     import threading
 
@@ -304,8 +314,8 @@ def test_engine_ring_relay_switching():
     got_a, got_b, rings = run(pcfg, with_b=True)
     assert got_a == want_a            # greedy stream survives the switches
     assert len(got_b) == 5
-    # some rounds rode the ring (A alone), some the relay (B present)
-    assert 0 < rings < 30
+    # EVERY decode round rode one of the two ring programs
+    assert rings >= 30
 
 
 def test_engine_ring_interactive_continuation():
