@@ -84,11 +84,12 @@ class EngineConfig:
     pp: int = 1                          # pipeline stages: layers sharded
     # over the 'pp' mesh axis (parallel/pp.py; beyond-reference — the
     # reference hard-disables PP, LlamaTritonModel.cc:298)
-    pp_ring_decode: bool = True          # when every running slot is plain
-    # greedy, decode rides the bubble-free microbatch ppermute ring
-    # (pp_decode_greedy) instead of relaying the whole batch through all
-    # stages — steady-state cost ~1/pp of the relay path.  Needs
-    # max_batch_size/dp divisible by pp; auto-disabled otherwise.
+    pp_ring_decode: bool = True          # serve ALL decode traffic on a
+    # pp mesh through the bubble-free microbatch ppermute ring with the
+    # full sampling stack (pp_decode_sampled) instead of relaying the
+    # whole batch through every stage — steady-state cost ~1/pp of the
+    # relay path.  Needs max_batch_size/dp divisible by pp;
+    # auto-disabled (relay serves) otherwise.
     max_batch_size: int = 64             # decode slots
     max_context_token_num: int = 8192    # prefill chunk token budget
     session_len: int = 2048

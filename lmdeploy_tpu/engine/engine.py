@@ -971,7 +971,15 @@ class TPUEngine:
         # plain path's convention).
         running = len(cfgs)
         spec_mode = None
-        if self.ecfg.speculative_k > 0 and cfgs \
+        # a spec round on a pp mesh costs pp stage-times (relay verify)
+        # while the ring emits ~1 token per stage-time, so spec needs
+        # acceptance > SPEC_MIN_ACCEPT * pp to compete; skip it outright
+        # when that exceeds the k_draft+1 acceptance ceiling (otherwise
+        # every cooloff expiry would burn a guaranteed-to-fail probe)
+        spec_viable = self.ecfg.speculative_k > 0 and not (
+            self._ring_ok and self.SPEC_MIN_ACCEPT * self.ecfg.pp
+            >= self.ecfg.speculative_k + 1)
+        if spec_viable and cfgs \
                 and running * (self.ecfg.speculative_k + 1) \
                 <= self.SPEC_MAX_VERIFY_ROWS:
             if _all_plain_greedy(cfgs):
@@ -1001,13 +1009,12 @@ class TPUEngine:
             if self._spec_cooloff == 0:
                 self._spec_accept_ema = None  # fresh probe next time
         if self._ring_ok:
-            # all traffic rides the bubble-free ring on a pp mesh: plain
-            # greedy takes the raw-argmax program, anything else the
-            # full-sampling-stack program (pp_decode_sampled)
-            ring_mode = None if _all_plain_greedy(cfgs) else (
-                'full' if any((g.top_k or 0) <= 0 for g in cfgs)
-                else 'candidates')
-            self._ring_round(k, ring_mode)
+            # all traffic rides the bubble-free full-sampling ring on a
+            # pp mesh (greedy rides 'candidates' exactly like the plain
+            # path — and keeps the keys-advance-every-step invariant)
+            self._ring_round(k, 'full' if any((g.top_k or 0) <= 0
+                                              for g in cfgs)
+                             else 'candidates')
             return
         mode = 'full' if any((g.top_k or 0) <= 0 for g in cfgs) \
             else 'candidates'
@@ -1025,60 +1032,51 @@ class TPUEngine:
             if not any(s is not None and not s.done for s in self.slots):
                 return
 
-    def _ring_round(self, k: int, mode: Optional[str] = None):
-        """Bubble-free microbatch-ring decode on the pp mesh: every
-        running slot advances up to ``k`` tokens in ONE pipelined
-        dispatch whose steady-state cost per token is ~1/pp of the relay
-        path's.  ``mode`` None runs the raw-argmax ring (every slot
-        plain greedy, parallel/pp.py:pp_decode_greedy); 'candidates' /
-        'full' run the full-sampling-stack ring (pp_decode_sampled),
-        whose packed readback carries decode_steps' per-round logprob
-        and rng planes.
+    def _ring_round(self, k: int, mode: str = 'candidates'):
+        """Bubble-free microbatch-ring decode on the pp mesh
+        (parallel/pp.py:pp_decode_sampled — the full sampling stack, all
+        request classes): every running slot advances up to ``k`` tokens
+        in ONE pipelined dispatch whose steady-state cost per token is
+        ~1/pp of the relay path's.  The packed readback carries
+        decode_steps' per-round logprob and rng planes, so mid-dispatch
+        retirement snapshots stay exact.
 
         The device side runs UNGATED for exactly ``k`` rounds (the ring
         has no per-round stop masking), so the host (a) bounds ``k`` by
         every slot's remaining token allowance — max_new already folds
         the session cap, so the ring can never write KV past allocated
-        pages — and (b) applies the stop criteria (EOS / device-capacity
-        stop words / length; check_stop's exact semantics) to the [k, B]
-        token matrix after readback.  A slot that stops mid-dispatch is
+        pages — quantized DOWN to a power of two so the static-shape
+        program menu stays tiny ({1,2,4,...,step_length}; an arbitrary
+        residual k would compile a fresh scan program mid-serving), and
+        (b) applies the stop criteria (EOS / device-capacity stop words
+        / length; check_stop's exact semantics) to the [k, B] token
+        matrix after readback.  A slot that stops mid-dispatch is
         retired on the spot (_emit -> _retire -> clear_slot), which turns
         its device-side overshoot (context_len / history advanced past
         the stop) into dead state until the next install_slot — no
         rollback surgery needed; the host-side shadows (slot.context_len,
-        seq.cache_len) only ever count emitted tokens.  The greedy ring
-        consumes no randomness, so there sampling keys are untouched and
-        retirement snapshots read the resident device keys
-        (_rng_now = None).
+        seq.cache_len) only ever count emitted tokens.
         """
         run = [(i, s) for i, s in enumerate(self.slots)
                if s is not None and not s.done and not s.prefilling]
         k = max(1, min([k] + [s.max_new - s.generated for _, s in run]))
+        k = 1 << (k.bit_length() - 1)       # power-of-two program menu
         self._grow_pages(k)
-        if mode is None:
-            self.cache, self.state, toks = self.fns.decode_rounds(
-                self.params, self.cache, self.state, rounds=k)
-            arr = np.asarray(toks)                          # [k, B]
-            lps = rngs = None
-            self._rng_now = None
-        else:
-            self.cache, self.state, packed = self.fns.decode_rounds_sampled(
-                self.params, self.cache, self.state, rounds=k,
-                sampling_mode=mode)
-            pk = np.asarray(packed)                         # [4, k, B]
-            arr = pk[0]
-            lps = np.ascontiguousarray(pk[1]).view(np.float32)
-            rngs = pk[2:4]
+        self.cache, self.state, packed = self.fns.decode_rounds_sampled(
+            self.params, self.cache, self.state, rounds=k,
+            sampling_mode=mode)
+        pk = np.asarray(packed)                             # [4, k, B]
+        arr = pk[0]
+        lps = np.ascontiguousarray(pk[1]).view(np.float32)
+        rngs = pk[2:4]
         self.stats['ring_rounds'] += k
         b = arr.shape[1]
-        zeros = np.zeros((b,), np.float32)  # greedy logprob is exactly 0
         fin = np.zeros((b,), np.int32)
         eos = self.cfg.end_id
         for t in range(k):
-            if rngs is not None:
-                # per-round rng snapshot, decode_steps' plane semantics
-                self._rng_now = np.ascontiguousarray(
-                    rngs[:, t].T).view(np.uint32)
+            # per-round rng snapshot, decode_steps' plane semantics
+            self._rng_now = np.ascontiguousarray(
+                rngs[:, t].T).view(np.uint32)
             fin[:] = 0
             for i, s in run:
                 if s.done:
@@ -1089,7 +1087,7 @@ class TPUEngine:
                         or tok in s.single_stops
                         or s.generated + 1 >= s.max_new):
                     fin[i] = 1
-            self._emit(arr[t], fin, lps[t] if lps is not None else zeros)
+            self._emit(arr[t], fin, lps[t])
             if not any(s is not None and not s.done for s in self.slots):
                 return
 
@@ -1119,7 +1117,13 @@ class TPUEngine:
             ema = self._spec_accept_ema
             self._spec_accept_ema = acc if ema is None \
                 else 0.7 * ema + 0.3 * acc
-            if self._spec_accept_ema < self.SPEC_MIN_ACCEPT:
+            # break-even vs the path spec displaces: plain relay rounds
+            # normally, but on a pp mesh with the ring available the
+            # alternative emits ~pp tokens per pp stage-times, so a spec
+            # round (pp stage-times) must accept ~pp tokens to compete
+            min_accept = self.SPEC_MIN_ACCEPT * (self.ecfg.pp
+                                                 if self._ring_ok else 1)
+            if self._spec_accept_ema < min_accept:
                 self._spec_cooloff = self.SPEC_COOLOFF_DISPATCHES
         for r in range(arr.shape[0]):
             g, fin, n = arr[r, :kp1], arr[r, kp1:2 * kp1], arr[r, 2 * kp1]

@@ -17,7 +17,8 @@ Design (TPU-native, not a port):
 - **Decode** pipelines ``M = pp`` microbatches of batch rows around a
   ``ppermute`` ring: each iteration every stage runs its layers on the
   microbatch it holds, then shifts the activation to the next stage.
-  The LAST stage samples (greedy) and sends the new token's *embedding*
+  The LAST stage samples (the full sampling stack,
+  :func:`pp_decode_sampled`) and sends the new token's *embedding*
   around the wrap-around edge, so stage 0 receives exactly the next
   round's input — the ring is uniform, no special-cased edges.  With
   ``M == pp`` the feedback latency equals the reentry period and the
@@ -28,11 +29,10 @@ Design (TPU-native, not a port):
   bubbles are accepted — prefill is compute-bound and rare relative to
   decode rounds.
 
-Scope (v1, documented limits): greedy sampling, fixed round count
-(ignore_eos semantics), no penalties — the engine scheduler keeps
-serving through the dp×tp paths; PP is the scale-out lever for models
-too deep/big for one tp group.  The per-iteration lm_head waste on
-non-final stages (~2% of FLOPs x pp) is the known first optimization.
+The ring runs a fixed round count; stop criteria apply host-side to the
+readback (engine._ring_round).  The per-iteration lm_head + sampling
+waste on non-final stages (~2% of FLOPs x pp) is the known first
+optimization — SPMD uniformity makes it structural.
 """
 from __future__ import annotations
 
@@ -133,7 +133,7 @@ def pp_forward(params, cache: KVCache, batch: StepBatch, cfg: ModelConfig,
     (pp, tp) mesh by passing ``forward_fn=pp_forward``-partial.  Each
     round costs ``num_stages`` sequential stage-times for the whole
     batch — the bubble-free throughput configuration is the
-    :func:`pp_decode_greedy` microbatch ring below."""
+    :func:`pp_decode_sampled` microbatch ring below."""
     stage = jax.lax.axis_index(PP_AXIS)
     h = embed_tokens(params, batch.ids)
     for s in range(num_stages):
@@ -221,100 +221,17 @@ def pp_prefill_chunks_ring(params, cache: KVCache, state: DecodeState,
     return cache, jnp.zeros((bp, vp), jnp.float32)
 
 
-def pp_decode_greedy(params, cache: KVCache, state: DecodeState,
-                     cfg: ModelConfig, *, num_stages: int, rounds: int,
-                     use_pallas_attn: bool = False):
-    """``rounds`` pipelined greedy decode rounds for every active slot.
-
-    Batch rows split into ``M = num_stages`` microbatches cycling the
-    ppermute ring (module docstring).  Returns
-    ``(cache, new_state, tokens int32 [rounds, B])`` with tokens
-    replicated on every shard (inactive rows hold 0).
-    """
-    b = state.tokens.shape[0]
-    m_count = num_stages
-    assert b % m_count == 0, (b, m_count)
-    bu = b // m_count
-    total = rounds * m_count + num_stages - 1
-    stage = jax.lax.axis_index(PP_AXIS)
-    is_last = stage == num_stages - 1
-    run0 = state.active & ~state.finished
-    ring = [(i, (i + 1) % num_stages) for i in range(num_stages)]
-    d = params['tok_embedding'].shape[-1]
-
-    def body(carry, t):
-        h_ring, cache, toks = carry
-        tm = t - stage                      # my payload's pipeline time
-        in_flight = (tm >= 0) & (tm < rounds * m_count)
-        tm = jnp.maximum(tm, 0)
-        m = tm % m_count                    # microbatch index
-        r = tm // m_count                   # decode round
-        row0 = m * bu
-        ptab = jax.lax.dynamic_slice_in_dim(state.page_table, row0, bu, 0)
-        ctx0 = jax.lax.dynamic_slice_in_dim(state.context_len, row0, bu, 0)
-        act = jax.lax.dynamic_slice_in_dim(run0, row0, bu, 0)
-        tok0 = jax.lax.dynamic_slice_in_dim(state.tokens, row0, bu, 0)
-        pos = ctx0 + r
-        batch = StepBatch(
-            ids=jnp.zeros((bu, 1), jnp.int32),
-            positions=pos[:, None],
-            valid=(act & in_flight)[:, None],
-            context_len=pos + 1,
-            page_table=ptab)
-        # round 0 enters at stage 0 from the resident tokens; later rounds
-        # arrive pre-embedded over the ring's wrap-around edge
-        h_entry = embed_tokens(params, tok0[:, None])
-        h_in = jnp.where((stage == 0) & (r == 0), h_entry, h_ring)
-        h_out, cache = forward_layers(params, cache, batch, h_in, cfg,
-                                      axis=TP_AXIS,
-                                      use_pallas_attn=use_pallas_attn)
-        logits = lm_head_logits(params, h_out, batch, cfg, axis=TP_AXIS)
-        logits = mask_vocab_padding(logits, cfg.vocab_size)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        tok = jnp.where(act, tok, tok0)
-        # record on the sampling stage only
-        cur = jax.lax.dynamic_slice(toks, (r, row0), (1, bu))
-        new = jnp.where(is_last & in_flight, tok[None], cur)
-        toks = jax.lax.dynamic_update_slice(toks, new, (r, row0))
-        payload = jnp.where(is_last, embed_tokens(params, tok[:, None]),
-                            h_out)
-        h_ring = jax.lax.ppermute(payload, PP_AXIS, ring)
-        return (h_ring, cache, toks), None
-
-    h0 = jnp.zeros((bu, 1, d), params['tok_embedding'].dtype)
-    toks0 = jnp.zeros((rounds, b), jnp.int32)
-    (h_ring, cache, toks), _ = jax.lax.scan(
-        body, (h0, cache, toks0), jnp.arange(total, dtype=jnp.int32))
-    # only the last stage wrote tokens; others carry zeros -> psum
-    # replicates the real values across pp (tp rows already agree)
-    toks = jax.lax.psum(jnp.where(is_last, toks, 0), PP_AXIS)
-
-    inc = jnp.where(run0, rounds, 0).astype(jnp.int32)
-    rows = jnp.arange(b)
-    hist_idx = state.history_len[:, None] + jnp.arange(rounds)[None]
-    hist_idx = jnp.where(run0[:, None], hist_idx,
-                         jnp.int32(state.history.shape[1]))
-    history = state.history.at[rows[:, None], hist_idx].set(
-        toks.T, mode='drop')
-    new_state = dataclasses.replace(
-        state,
-        tokens=jnp.where(run0, toks[rounds - 1], state.tokens),
-        context_len=state.context_len + inc,
-        generated=state.generated + inc,
-        history=history,
-        history_len=state.history_len + inc)
-    return cache, new_state, toks
-
-
 def pp_decode_sampled(params, cache: KVCache, state: DecodeState,
                       cfg: ModelConfig, *, num_stages: int, rounds: int,
                       sampling_mode: str = 'candidates',
                       use_pallas_attn: bool = False):
     """``rounds`` pipelined decode rounds with the FULL sampling stack
     (penalties, banned words, min-length EOS masking, top-k/p/min-p,
-    per-slot RNG) riding the same bubble-free microbatch ring as
-    :func:`pp_decode_greedy` — sampled serving at ring speed instead of
-    falling back to the ``num_stages``-times-slower relay path.
+    per-slot RNG) riding the bubble-free microbatch ring (module
+    docstring) — every request class is served at ring speed instead of
+    falling back to the ``num_stages``-times-slower relay path.  Greedy
+    batches ride 'candidates' like the plain path; keys advance every
+    round regardless (ops/sampling.py's reproducibility invariant).
 
     SPMD subtlety: every stage executes :func:`ops.sampling.sample_step`
     on the microbatch it currently holds (the program must be uniform),
@@ -549,16 +466,6 @@ class PPStepFns:
                      out_specs=(cache_spec, P())),
                 donate_argnums=(1,))
 
-        def make_ring_decode(pspec, rounds):
-            fn = partial(pp_decode_greedy, cfg=cfg, num_stages=self.pp,
-                         rounds=rounds, use_pallas_attn=use_pallas_attn)
-            # tokens are [rounds, B]: batch-LAST, so dp shards dim 1
-            toks_spec = P(None, DP_AXIS) if dp_shard_batch else P()
-            return jax.jit(
-                smap(fn, in_specs=(pspec, cache_spec, rep),
-                     out_specs=(cache_spec, rep, toks_spec)),
-                donate_argnums=(1, 2))
-
         def make_ring_sampled(pspec, rounds, sampling_mode):
             fn = partial(pp_decode_sampled, cfg=cfg, num_stages=self.pp,
                          rounds=rounds, sampling_mode=sampling_mode,
@@ -574,7 +481,7 @@ class PPStepFns:
             decode=make_decode, decode_steps=make_decode_steps,
             spec=make_spec_rounds, prefill=make_prefill,
             prefills=make_prefills, logits=make_prefill_logits,
-            ring=make_ring_decode, ring_sampled=make_ring_sampled)
+            ring_sampled=make_ring_sampled)
         self._cache: Dict[Any, Any] = {}
 
         self.install_slot = jax.jit(_step.install_slot, donate_argnums=(0,))
@@ -621,8 +528,15 @@ class PPStepFns:
                                            start_pos, length)
 
     def decode_rounds(self, params, cache, state, rounds: int):
-        """Bubble-free microbatch-ring greedy pipeline (module docstring)."""
-        return self._get('ring', params, rounds)(params, cache, state)
+        """Token-matrix view of the ring: ``(cache, state, toks [rounds,
+        B])``.  Greedy rides 'candidates' exactly like the plain path
+        (a top_k==1 candidate set is {argmax}), and — unlike a raw-argmax
+        ring — per-slot RNG keys advance every round, preserving the
+        cross-path invariant 'keys advance every step' (ops/sampling.py)
+        so greedy-then-sampled session turns stay reproducible."""
+        cache, state, packed = self.decode_rounds_sampled(
+            params, cache, state, rounds)
+        return cache, state, packed[0]
 
     def decode_rounds_sampled(self, params, cache, state, rounds: int,
                               sampling_mode: str = 'candidates'):
@@ -633,4 +547,4 @@ class PPStepFns:
 
 __all__ = ['PP_AXIS', 'make_mesh_pp', 'make_mesh_3d', 'pp_param_pspecs',
            'pp_cache_pspecs', 'pp_forward', 'pp_prefill_chunks_ring',
-           'pp_decode_greedy', 'pp_decode_sampled', 'PPStepFns']
+           'pp_decode_sampled', 'PPStepFns']

@@ -175,8 +175,10 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
     n = req.n or 1
 
     # logprobs=0 still returns the chosen-token logprobs (OpenAI: the
-    # int is the number of ALTERNATIVES; we always return top_logprobs
-    # null — a device top-k readback would be needed for alternatives)
+    # int is the number of ALTERNATIVES).  Prompt-scored positions
+    # (echo / max_tokens=0) return top-N alternative dicts; generated
+    # positions return null alternatives — those would need a device
+    # top-k readback in the decode hot loop.
     want_logprobs = req.logprobs is not None
 
     def _gen(prompt: str, sid: int, stream: bool):
@@ -240,7 +242,10 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
             lps.append(float(row[ids[t]] - logz))
             if n_alts:
                 cand = np.argpartition(row, -n_alts)[-n_alts:]
-                cand = cand[np.argsort(-row[cand])]
+                # ascending insert order: when two candidate ids decode
+                # to the same piece (byte-fallback duplicates), the BEST
+                # logprob must win the dict key, not the last-iterated
+                cand = cand[np.argsort(row[cand])]
                 tops.append({tok.decode([int(c)]): float(row[c] - logz)
                              for c in cand})
             else:

@@ -354,6 +354,48 @@ def test_engine_ring_interactive_continuation():
     assert (g1, g2) == (w1, w2) and rr > 0
 
 
+def test_engine_ring_greedy_then_sampled_continuation():
+    """RNG reproducibility across the ring: greedy decoding advances the
+    per-slot keys every round (ops/sampling.py's 'keys advance every
+    step' invariant), so a greedy first turn followed by a SAMPLED
+    continuation of the same session must produce the same tokens as the
+    single-device engine.  Regression: a raw-argmax ring that skipped
+    key advancement broke this."""
+    import dataclasses as dc
+
+    from lmdeploy_tpu.config import EngineConfig
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(7), jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=4)
+    g1 = GenerationConfig(max_new_tokens=5, top_k=1, ignore_eos=True,
+                          random_seed=5)
+    # no random_seed: the continuation draws from the key saved at the
+    # first turn's retirement
+    g2 = GenerationConfig(max_new_tokens=6, top_k=20, top_p=0.9,
+                          temperature=0.8, ignore_eos=True)
+
+    def run(engine_cfg):
+        eng = TPUEngine(CFG, engine_cfg, params)
+        try:
+            inst = eng.create_instance()
+            t1 = inst.infer(4, [7, 3, 11], gen_config=g1).token_ids
+            t2 = inst.infer(4, [2, 9], gen_config=g2,
+                            sequence_start=False,
+                            sequence_end=True).token_ids
+            return t1, t2
+        finally:
+            eng.shutdown()
+
+    want = run(ecfg)
+    got = run(dc.replace(ecfg, pp=2, tp=2))
+    assert got == want
+
+
 @pytest.mark.parametrize('pp,tp', [(2, 2), (4, 2)])
 def test_pp_batched_prefill_ring(pp, tp):
     """GPipe-pipelined batched prefill (one job per stage per ring
