@@ -23,11 +23,16 @@ CFG = ModelConfig(head_num=2, kv_head_num=2, size_per_head=16, inter_size=64,
                   max_position_embeddings=128, session_len=128, end_id=2)
 
 
-def test_soak_mixed_operations():
-    ecfg = EngineConfig(max_batch_size=3, session_len=64, page_size=8,
-                        num_pages=36, max_context_token_num=16,
+@pytest.mark.parametrize('pp', [1, 2])
+def test_soak_mixed_operations(pp):
+    """pp=2 runs the same soak over a pipeline mesh: admissions, cancels
+    and retirements race against ring dispatches that switch between the
+    'candidates' programs as greedy/sampled traffic mixes."""
+    ecfg = EngineConfig(max_batch_size=3 if pp == 1 else 4, session_len=64,
+                        page_size=8, num_pages=36 if pp == 1 else 48,
+                        max_context_token_num=16,
                         prefill_buckets=(8, 16), use_pallas=False,
-                        step_length=4)
+                        step_length=4, pp=pp, tp=2 if pp == 2 else 1)
     params = init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
     eng = TPUEngine(CFG, ecfg, params)
     inst = eng.create_instance()
@@ -39,8 +44,12 @@ def test_soak_mixed_operations():
         try:
             for turn in range(4):
                 op = rng.random()
+                # mixed greedy/sampled traffic exercises decode-program
+                # switching (ring 'candidates' vs 'full', spec gating)
+                top_k = rng.choice([1, 1, 1, 20])
                 gen = GenerationConfig(max_new_tokens=rng.randint(2, 6),
-                                       top_k=1, ignore_eos=True)
+                                       top_k=top_k, temperature=0.8,
+                                       random_seed=cid, ignore_eos=True)
                 if op < 0.6:  # fresh generation
                     out = inst.infer(cid, rng.sample(range(3, 120), 4),
                                      gen_config=gen, sequence_end=True)

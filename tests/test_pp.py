@@ -396,6 +396,44 @@ def test_engine_ring_greedy_then_sampled_continuation():
     assert got == want
 
 
+def test_spec_skipped_when_ring_outruns_its_ceiling():
+    """On a pp mesh with the ring available, a speculative round (pp
+    relay stage-times) must accept > SPEC_MIN_ACCEPT*pp tokens to
+    compete; with that above the k_draft+1 ceiling the engine must not
+    burn spec probes at all — every round rides the ring.  With a
+    reachable ceiling spec may engage (repetitive prompt: full
+    acceptance)."""
+    import dataclasses as dc
+
+    from lmdeploy_tpu.config import EngineConfig
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(8), jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=32,
+                        prefill_buckets=(8, 16, 32), use_pallas=False,
+                        step_length=4, pp=2, tp=2)
+    prompt = [5, 6, 7] * 6    # repetitive: prompt-lookup accepts fully
+    g = GenerationConfig(max_new_tokens=8, top_k=1, ignore_eos=True)
+
+    def run(engine_cfg):
+        eng = TPUEngine(CFG, engine_cfg, params)
+        try:
+            inst = eng.create_instance()
+            inst.infer(1, prompt, gen_config=g, sequence_end=True)
+            return eng.stats['spec_rounds'], eng.stats['ring_rounds']
+        finally:
+            eng.shutdown()
+
+    # k_draft=1: ceiling 2 <= 1.15*2 -> spec never probed, all ring
+    spec, ring = run(dc.replace(ecfg, speculative_k=1))
+    assert spec == 0 and ring > 0
+    # k_draft=4: ceiling 5 > 2.3 -> spec is allowed to engage
+    spec, _ = run(dc.replace(ecfg, speculative_k=4))
+    assert spec > 0
+
+
 @pytest.mark.parametrize('pp,tp', [(2, 2), (4, 2)])
 def test_pp_batched_prefill_ring(pp, tp):
     """GPipe-pipelined batched prefill (one job per stage per ring
