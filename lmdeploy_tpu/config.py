@@ -87,9 +87,10 @@ class EngineConfig:
     pp_ring_decode: bool = True          # serve ALL decode traffic on a
     # pp mesh through the bubble-free microbatch ppermute ring with the
     # full sampling stack (pp_decode_sampled) instead of relaying the
-    # whole batch through every stage — steady-state cost ~1/pp of the
-    # relay path.  Needs max_batch_size/dp divisible by pp;
-    # auto-disabled (relay serves) otherwise.
+    # whole batch through every stage — up to pp× relay throughput in
+    # the compute-bound (large-batch) regime, ~tie when weight-bandwidth
+    # bound.  Needs max_batch_size/dp divisible by pp; auto-disabled
+    # (relay serves) otherwise.
     max_batch_size: int = 64             # decode slots
     max_context_token_num: int = 8192    # prefill chunk token budget
     session_len: int = 2048

@@ -971,15 +971,12 @@ class TPUEngine:
         # plain path's convention).
         running = len(cfgs)
         spec_mode = None
-        # a spec round on a pp mesh costs pp stage-times (relay verify)
-        # while the ring emits ~1 token per stage-time, so spec needs
-        # acceptance > SPEC_MIN_ACCEPT * pp to compete; skip it outright
-        # when that exceeds the k_draft+1 acceptance ceiling (otherwise
-        # every cooloff expiry would burn a guaranteed-to-fail probe)
-        spec_viable = self.ecfg.speculative_k > 0 and not (
-            self._ring_ok and self.SPEC_MIN_ACCEPT * self.ecfg.pp
-            >= self.ecfg.speculative_k + 1)
-        if spec_viable and cfgs \
+        # spec keeps its flat break-even under pp: in the weight-
+        # bandwidth-bound decode regime a relay verify round and a ring
+        # round stream the same weights per stage, so acceptance > 1.15
+        # pays exactly as on a flat mesh; in the compute-bound regime the
+        # occupancy gate below already hands large batches to the ring
+        if self.ecfg.speculative_k > 0 and cfgs \
                 and running * (self.ecfg.speculative_k + 1) \
                 <= self.SPEC_MAX_VERIFY_ROWS:
             if _all_plain_greedy(cfgs):
@@ -1036,8 +1033,12 @@ class TPUEngine:
         """Bubble-free microbatch-ring decode on the pp mesh
         (parallel/pp.py:pp_decode_sampled — the full sampling stack, all
         request classes): every running slot advances up to ``k`` tokens
-        in ONE pipelined dispatch whose steady-state cost per token is
-        ~1/pp of the relay path's.  The packed readback carries
+        in ONE pipelined dispatch.  Per-iteration work is per-MICROBATCH
+        (B/pp rows), so in the compute-bound regime (large batches) the
+        ring approaches pp× the relay's throughput; in the weight-
+        bandwidth-bound small-batch regime both paths stream the same
+        stage weights per token and roughly tie.  The packed readback
+        carries
         decode_steps' per-round logprob and rng planes, so mid-dispatch
         retirement snapshots stay exact.
 
@@ -1117,13 +1118,7 @@ class TPUEngine:
             ema = self._spec_accept_ema
             self._spec_accept_ema = acc if ema is None \
                 else 0.7 * ema + 0.3 * acc
-            # break-even vs the path spec displaces: plain relay rounds
-            # normally, but on a pp mesh with the ring available the
-            # alternative emits ~pp tokens per pp stage-times, so a spec
-            # round (pp stage-times) must accept ~pp tokens to compete
-            min_accept = self.SPEC_MIN_ACCEPT * (self.ecfg.pp
-                                                 if self._ring_ok else 1)
-            if self._spec_accept_ema < min_accept:
+            if self._spec_accept_ema < self.SPEC_MIN_ACCEPT:
                 self._spec_cooloff = self.SPEC_COOLOFF_DISPATCHES
         for r in range(arr.shape[0]):
             g, fin, n = arr[r, :kp1], arr[r, kp1:2 * kp1], arr[r, 2 * kp1]

@@ -228,8 +228,10 @@ def pp_decode_sampled(params, cache: KVCache, state: DecodeState,
     """``rounds`` pipelined decode rounds with the FULL sampling stack
     (penalties, banned words, min-length EOS masking, top-k/p/min-p,
     per-slot RNG) riding the bubble-free microbatch ring (module
-    docstring) — every request class is served at ring speed instead of
-    falling back to the ``num_stages``-times-slower relay path.  Greedy
+    docstring).  Per-iteration work is per-microbatch, so the ring
+    approaches ``num_stages``× the relay's throughput in the compute-
+    bound (large-batch) regime and ties it in the weight-bandwidth-bound
+    regime, where both stream the same stage weights per token.  Greedy
     batches ride 'candidates' like the plain path; keys advance every
     round regardless (ops/sampling.py's reproducibility invariant).
 

@@ -396,13 +396,12 @@ def test_engine_ring_greedy_then_sampled_continuation():
     assert got == want
 
 
-def test_spec_skipped_when_ring_outruns_its_ceiling():
-    """On a pp mesh with the ring available, a speculative round (pp
-    relay stage-times) must accept > SPEC_MIN_ACCEPT*pp tokens to
-    compete; with that above the k_draft+1 ceiling the engine must not
-    burn spec probes at all — every round rides the ring.  With a
-    reachable ceiling spec may engage (repetitive prompt: full
-    acceptance)."""
+def test_spec_keeps_priority_on_pp_mesh():
+    """Speculative decoding composes with pipeline parallelism: on a pp
+    mesh a relay verify round streams the same stage weights as a ring
+    round, so spec keeps its flat acceptance break-even and PRIORITY
+    over the ring for eligible (plain-greedy) batches; without spec the
+    same traffic rides the ring."""
     import dataclasses as dc
 
     from lmdeploy_tpu.config import EngineConfig
@@ -421,17 +420,17 @@ def test_spec_skipped_when_ring_outruns_its_ceiling():
         eng = TPUEngine(CFG, engine_cfg, params)
         try:
             inst = eng.create_instance()
-            inst.infer(1, prompt, gen_config=g, sequence_end=True)
-            return eng.stats['spec_rounds'], eng.stats['ring_rounds']
+            out = inst.infer(1, prompt, gen_config=g, sequence_end=True)
+            return (out.token_ids, eng.stats['spec_rounds'],
+                    eng.stats['ring_rounds'])
         finally:
             eng.shutdown()
 
-    # k_draft=1: ceiling 2 <= 1.15*2 -> spec never probed, all ring
-    spec, ring = run(dc.replace(ecfg, speculative_k=1))
+    toks_ring, spec, ring = run(ecfg)
     assert spec == 0 and ring > 0
-    # k_draft=4: ceiling 5 > 2.3 -> spec is allowed to engage
-    spec, _ = run(dc.replace(ecfg, speculative_k=4))
+    toks_spec, spec, _ = run(dc.replace(ecfg, speculative_k=4))
     assert spec > 0
+    assert toks_spec == toks_ring    # token-identity across the paths
 
 
 @pytest.mark.parametrize('pp,tp', [(2, 2), (4, 2)])
