@@ -99,6 +99,8 @@ def build_variant(model_path: str, variant: str, group_size: int,
     kv_int8    — bf16 weights + asymmetric INT8 KV cache
                  (reference quant_policy=4).
     kv_int8_sym — symmetric KV scales (reference kv_qparams --symmetry).
+    kv_int4    — bf16 weights + nibble-packed INT4 KV cache
+                 (beyond-reference quant_policy=8; 2x KV capacity).
     """
     import jax.numpy as jnp
 
@@ -144,11 +146,12 @@ def build_variant(model_path: str, variant: str, group_size: int,
         params = convert_hf_llama(sd, cfg, _np.float32)
         params = quantize_params(params, cfg, group_size=group_size)
         return TPUEngine(cfg, ecfg, params)
-    if variant in ('kv_int8', 'kv_int8_sym'):
+    if variant in ('kv_int8', 'kv_int8_sym', 'kv_int4'):
         import tempfile
 
         from lmdeploy_tpu.lite.apis.calibrate import calibrate
         from lmdeploy_tpu.lite.apis.kv_qparams import kv_qparams
+        bits = 4 if variant == 'kv_int4' else 8
         with tempfile.TemporaryDirectory() as tmp:
             calibrate(model_path, calib_dataset, calib_samples=4,
                       calib_seqlen=min(256, ecfg.session_len),
@@ -156,11 +159,14 @@ def build_variant(model_path: str, variant: str, group_size: int,
             cfg_path = f'{tmp}/config.json'
             with open(cfg_path, 'w') as f:
                 json.dump({}, f)
-            kv_qparams(tmp, tmp, kv_sym=variant.endswith('_sym'))
+            kv_qparams(tmp, tmp, kv_bits=bits,
+                       kv_sym=variant.endswith('_sym'))
             with open(cfg_path) as f:
                 kv_scales = json.load(f)['kv_scales']
         import dataclasses
-        ecfg = dataclasses.replace(ecfg, quant_policy=4, kv_dtype='int8')
+        ecfg = dataclasses.replace(
+            ecfg, quant_policy=8 if bits == 4 else 4,
+            kv_dtype='int4' if bits == 4 else 'int8')
         return TPUEngine(cfg, ecfg, params, kv_scales=kv_scales)
     raise ValueError(f'unknown variant {variant!r}')
 

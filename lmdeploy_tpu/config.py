@@ -98,8 +98,9 @@ class EngineConfig:
     page_size: int = 64                  # KV page granularity (tokens)
     num_pages: int = 0                   # 0 → derived from HBM budget
     cache_max_entry_count: int = 48      # max cached sequences (LRU bound)
-    quant_policy: int = 0                # 4 == int8 KV cache (QuantPolicy bitmask)
-    kv_dtype: str = 'bf16'               # 'bf16' | 'int8'
+    quant_policy: int = 0                # QuantPolicy bitmask: 4 == int8 KV
+    # cache (reference parity), 8 == nibble-packed int4 KV (beyond-ref)
+    kv_dtype: str = 'bf16'               # 'bf16' | 'int8' | 'int4'
     step_length: int = 8                 # decode steps per device dispatch
     prefill_interleave: int = 8          # decode steps squeezed between
     # prefill chunk passes so running sessions keep streaming during a
@@ -119,13 +120,16 @@ class EngineConfig:
     prefill_buckets: tuple = (128, 256, 512, 1024, 2048, 4096)
 
     def __post_init__(self):
-        if self.quant_policy & 0x4:
+        if self.quant_policy & 0x8:      # beyond-reference: int4 KV pool
+            self.kv_dtype = 'int4'
+        elif self.quant_policy & 0x4:
             self.kv_dtype = 'int8'
         if self.max_prefill_len == 0:
             self.max_prefill_len = self.session_len
 
 
 KV_INT8_POLICY = 0x4  # QuantPolicy::kCacheKVInt8 (reference: llama_utils.h:13-20)
+KV_INT4_POLICY = 0x8  # beyond-reference: nibble-packed int4 KV pool
 
 
 def load_workspace_config(model_dir: str):

@@ -121,8 +121,10 @@ class TPUEngine:
                 f'session of {self.max_pages_per_seq} pages')
         self.num_pages = num_pages
 
-        kv_dtype = jnp.int8 if engine_cfg.kv_dtype == 'int8' else jnp.bfloat16
-        kv_scales = kv_scales if kv_dtype == jnp.int8 else None
+        kv_dtype = {'int8': jnp.int8,
+                    'int4': jnp.uint8}.get(engine_cfg.kv_dtype,
+                                           jnp.bfloat16)
+        kv_scales = kv_scales if kv_dtype != jnp.bfloat16 else None
         self._kv_dtype = kv_dtype
         self._kv_scales = kv_scales
         self._cache_sh = None
@@ -348,11 +350,11 @@ class TPUEngine:
         page = self.ecfg.page_size
         # KV heads shard across tp devices and LAYERS across pp stages,
         # so per-device bytes shrink by tp*pp.
-        bytes_per_tok = (self.cfg.num_layer * 2 * self.cfg.kv_head_num
-                         * self.cfg.size_per_head
-                         * (1 if self.ecfg.kv_dtype == 'int8' else 2)
-                         // max(1, self.ecfg.tp)
-                         // max(1, self.ecfg.pp))
+        elem_bytes = {'int8': 1.0, 'int4': 0.5}.get(self.ecfg.kv_dtype, 2.0)
+        bytes_per_tok = int(self.cfg.num_layer * 2 * self.cfg.kv_head_num
+                            * self.cfg.size_per_head * elem_bytes
+                            // max(1, self.ecfg.tp)
+                            // max(1, self.ecfg.pp))
         budget = None
         try:
             stats = jax.devices()[0].memory_stats()

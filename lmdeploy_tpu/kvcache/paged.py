@@ -9,9 +9,13 @@ kernels use (k_cache_per_sample), but with page-granular allocation, LRU
 eviction and prefix reuse handled by a host-side allocator
 (kvcache/manager.py).
 
-Supports bf16 and int8 storage.  INT8 follows the reference's KV-INT8
-scheme (quant_policy=4, docs/en/kv_int8.md): static per-layer qparams from
-calibration, symmetric (zp=0) or asymmetric.
+Supports bf16, int8 and int4 storage.  INT8 follows the reference's
+KV-INT8 scheme (quant_policy=4, docs/en/kv_int8.md): static per-layer
+qparams from calibration, symmetric (zp=0) or asymmetric.  INT4
+(beyond-reference, quant_policy=8) packs two q-domain int4 values per
+byte along the head dim — pool dtype uint8 with last dim Dh/2, doubling
+KV capacity vs int8 — with the same static per-layer qparams (zp in the
+q domain, clip [-8, 7]).
 """
 from __future__ import annotations
 
@@ -25,7 +29,8 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Device KV pool. k/v: [L, P, page_size, KH, Dh] (bf16 or int8).
+    """Device KV pool. k/v: [L, P, page_size, KH, Dh] (bf16 or int8), or
+    [L, P, page_size, KH, Dh/2] uint8 for nibble-packed int4.
 
     k_scale/k_zp/v_scale/v_zp: [L] f32 static quantization parameters
     (ignored for bf16 storage; exported by lite/kv_qparams from calibration
@@ -48,7 +53,16 @@ class KVCache:
 
     @property
     def quantized(self) -> bool:
-        return self.k.dtype == jnp.int8
+        return self.k.dtype in (jnp.int8, jnp.uint8)
+
+    @property
+    def quant_bits(self) -> int:
+        """0 (bf16), 8 (int8) or 4 (nibble-packed uint8 pool)."""
+        if self.k.dtype == jnp.int8:
+            return 8
+        if self.k.dtype == jnp.uint8:
+            return 4
+        return 0
 
 
 def init_cache(num_layers: int, num_pages: int, page_size: int,
@@ -60,6 +74,10 @@ def init_cache(num_layers: int, num_pages: int, page_size: int,
     device_put-ing afterwards would transiently hold the FULL pool on the
     default device (tp x the per-device HBM budget) and OOM at startup on
     real multi-chip hardware."""
+    if dtype == jnp.uint8:               # nibble-packed int4: 2 per byte
+        if head_dim % 2:
+            raise ValueError(f'int4 KV needs even head_dim, got {head_dim}')
+        head_dim = head_dim // 2
     shape = (num_layers, num_pages, page_size, kv_heads, head_dim)
     if kv_scales is None:
         scales = None
@@ -84,15 +102,36 @@ def init_cache(num_layers: int, num_pages: int, page_size: int,
     return jax.jit(build, out_shardings=shardings)()
 
 
-def quantize_kv(x: jnp.ndarray, scale, zp) -> jnp.ndarray:
-    """f -> int8 with static scale/zp (reference: int8 store path of
-    ExtendKVCache / mmha, llama_kernels.cu:342-431)."""
+def quantize_kv(x: jnp.ndarray, scale, zp, bits: int = 8) -> jnp.ndarray:
+    """f -> q-domain int with static scale/zp (reference: int8 store path
+    of ExtendKVCache / mmha, llama_kernels.cu:342-431; bits=4 clips to
+    the int4 range for the packed pool)."""
     q = jnp.round(x.astype(jnp.float32) / scale + zp)
-    return jnp.clip(q, -128, 127).astype(jnp.int8)
+    lo, hi = (-8, 7) if bits == 4 else (-128, 127)
+    return jnp.clip(q, lo, hi).astype(jnp.int8)
 
 
 def dequantize_kv(q: jnp.ndarray, scale, zp, dtype=jnp.bfloat16) -> jnp.ndarray:
     return ((q.astype(jnp.float32) - zp) * scale).astype(dtype)
+
+
+def pack_kv_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """int8 q-domain values in [-8, 7], [..., Dh] -> uint8 [..., Dh/2]
+    (even feature in the low nibble, odd in the high — the same
+    two's-complement nibble layout the packed-weight kernel streams,
+    ops/pallas/quant_matmul.py)."""
+    u = q.astype(jnp.uint8) & 0xF
+    return u[..., 0::2] | (u[..., 1::2] << 4)
+
+
+def unpack_kv_int4(p: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [..., Dh/2] -> sign-extended int8 [..., Dh]."""
+    lo = (p & 0xF).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    lo = (lo ^ 8) - 8
+    hi = (hi ^ 8) - 8
+    return jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1],
+                                                2 * p.shape[-1])
 
 
 def write_kv(cache_k: jnp.ndarray, cache_v: jnp.ndarray, layer,
@@ -110,8 +149,12 @@ def write_kv(cache_k: jnp.ndarray, cache_v: jnp.ndarray, layer,
     phys = jnp.where(valid & (phys >= 0), phys, p)
     if qparams is not None:
         ks, kz, vs, vz = qparams
-        k_new = quantize_kv(k_new, ks, kz)
-        v_new = quantize_kv(v_new, vs, vz)
+        if cache_k.dtype == jnp.uint8:   # nibble-packed int4 pool
+            k_new = pack_kv_int4(quantize_kv(k_new, ks, kz, bits=4))
+            v_new = pack_kv_int4(quantize_kv(v_new, vs, vz, bits=4))
+        else:
+            k_new = quantize_kv(k_new, ks, kz)
+            v_new = quantize_kv(v_new, vs, vz)
     else:
         k_new = k_new.astype(cache_k.dtype)
         v_new = v_new.astype(cache_v.dtype)
@@ -134,6 +177,9 @@ def gather_kv_layer(cache_k_l: jnp.ndarray, cache_v_l: jnp.ndarray,
     idx = jnp.maximum(page_table, 0)
     k = cache_k_l[idx]  # [B, max_pages, page, KH, Dh]
     v = cache_v_l[idx]
+    if cache_k_l.dtype == jnp.uint8:     # nibble-packed int4 pool
+        k = unpack_kv_int4(k)
+        v = unpack_kv_int4(v)
     kh, dh = k.shape[-2], k.shape[-1]
     k = k.reshape(b, max_pages * page_size, kh, dh)
     v = v.reshape(b, max_pages * page_size, kh, dh)
@@ -145,4 +191,5 @@ def gather_kv_layer(cache_k_l: jnp.ndarray, cache_v_l: jnp.ndarray,
 
 
 __all__ = ['KVCache', 'init_cache', 'write_kv', 'gather_kv_layer',
-           'quantize_kv', 'dequantize_kv']
+           'quantize_kv', 'dequantize_kv', 'pack_kv_int4',
+           'unpack_kv_int4']

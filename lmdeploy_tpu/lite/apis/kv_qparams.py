@@ -56,8 +56,12 @@ def kv_qparams(work_dir: str, dst: str, kv_bits: int = 8,
     payload['kv_scales'] = [k_scale.tolist(), k_zp.tolist(),
                             v_scale.tolist(), v_zp.tolist()]
     engine = payload.setdefault('engine', {})
-    engine['quant_policy'] = 4       # QuantPolicy::kCacheKVInt8
-    engine['kv_dtype'] = 'int8'
+    if kv_bits == 4:                 # beyond-reference nibble-packed pool
+        engine['quant_policy'] = 8
+        engine['kv_dtype'] = 'int4'
+    else:
+        engine['quant_policy'] = 4   # QuantPolicy::kCacheKVInt8
+        engine['kv_dtype'] = 'int8'
     with open(cfg_path, 'w') as f:
         json.dump(payload, f, indent=2)
     print(f'kv qparams -> {cfg_path}')

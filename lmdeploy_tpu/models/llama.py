@@ -181,8 +181,13 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
     b, t = batch.ids.shape
     is_decode = t == 1
     # Mosaic tiling requires lane-aligned head_dim; small test models fall
-    # back to the XLA gather path.
-    use_pallas_attn = use_pallas_attn and dh % 128 == 0
+    # back to the XLA gather path.  The int4 KV pool (uint8 nibbles) also
+    # rides the XLA path for now: the attention kernels dequantize int8
+    # in-register, and the in-kernel nibble unpack (the quant_matmul
+    # technique) is pending the same on-chip verdict as the packed-weight
+    # kernel (compile-hang risk class).
+    use_pallas_attn = (use_pallas_attn and dh % 128 == 0
+                       and cache.quant_bits != 4)
 
     # cos/sin (+ logn scale) are position-only and identical for every
     # layer — computed ONCE here, closed over by the scan body

@@ -103,6 +103,26 @@ def test_calibrate_and_auto_awq_end_to_end(tiny_hf_llama, tmp_path):
     finally:
         eng.shutdown()
 
+    # KV-INT4 (beyond-reference): re-export qparams at 4 bits, boot the
+    # engine on the nibble-packed pool and generate through decode rounds
+    kv_qparams(work, dst, kv_bits=4)
+    with open(osp.join(dst, 'config.json')) as f:
+        cfg = json.load(f)
+    assert cfg['engine']['quant_policy'] == 8
+    assert cfg['engine']['kv_dtype'] == 'int4'
+    import dataclasses as dc
+    eng = build_engine(dst, engine_config=dc.replace(ecfg, quant_policy=8))
+    try:
+        import jax.numpy as jnp
+        assert eng.cache.k.dtype == jnp.uint8
+        out = eng.create_instance().infer(
+            1, [3, 5, 7], gen_config=GenerationConfig(
+                max_new_tokens=4, top_k=1, ignore_eos=True),
+            sequence_end=True)
+        assert len(out.token_ids) == 4
+    finally:
+        eng.shutdown()
+
 
 def test_kv_qparams_roundtrip_accuracy(tiny_hf_llama, tmp_path):
     """Asym KV-INT8 qparams must reconstruct values, not clip them.
@@ -155,8 +175,8 @@ def test_ppl_harness_end_to_end(tiny_hf_llama):
                      prefill_buckets=(128,), use_pallas=False,
                      step_length=2)
     res = run(path, dataset='synthetic', nsamples=2, seqlen=96,
-              configs=['bf16', 'w4a16', 'kv_int8'], group_size=16,
-              oracle=True, engine_kw=engine_kw)
+              configs=['bf16', 'w4a16', 'kv_int8', 'kv_int4'],
+              group_size=16, oracle=True, engine_kw=engine_kw)
     base = res['bf16']
     assert 1.0 < base < 1e5
     # bf16 engine path must agree with the torch-eager oracle closely
@@ -164,6 +184,8 @@ def test_ppl_harness_end_to_end(tiny_hf_llama):
     # quantization degrades ppl only mildly on this tiny model
     assert abs(res['w4a16'] - base) / base < 0.5
     assert abs(res['kv_int8'] - base) / base < 0.5
+    # int4 KV (beyond-reference): coarser, still sane on calib'd scales
+    assert abs(res['kv_int4'] - base) / base < 1.0
 
 
 def test_quant_error_reduced_by_smoothing(tiny_hf_llama):

@@ -157,3 +157,30 @@ def test_int8_kv_cache_close_to_fp():
     # int8 KV: correlation should survive even if absolute error grows.
     cos = got @ want / (np.linalg.norm(got) * np.linalg.norm(want))
     assert cos > 0.99
+
+
+def test_int4_kv_cache_close_to_fp():
+    """Nibble-packed INT4 KV (beyond-reference quant_policy=8): the pool
+    stores two q-domain int4 per byte along Dh; logits must stay
+    correlated with the fp oracle (coarser than int8, same harness)."""
+    hf_cfg, model = tiny_hf_llama()
+    cfg = config_from_hf(hf_cfg.to_dict(), 'llama')
+    params = convert_hf_llama(model.state_dict(), cfg, np.float32)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 128, size=(1, 9))
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.numpy()[0, -1]
+
+    page_size, max_pages = 8, 2
+    scales = [np.full(cfg.num_layer, 0.1), np.zeros(cfg.num_layer),
+              np.full(cfg.num_layer, 0.1), np.zeros(cfg.num_layer)]
+    cache = init_cache(cfg.num_layer, max_pages + 1, page_size,
+                       cfg.kv_head_num, cfg.size_per_head, jnp.uint8,
+                       kv_scales=scales)
+    assert cache.quant_bits == 4
+    assert cache.k.shape[-1] == cfg.size_per_head // 2
+    batch = make_batch(ids, max_pages, page_size)
+    logits, _ = forward(params, cache, batch, cfg)
+    got = np.asarray(logits)[0, :cfg.vocab_size]
+    cos = got @ want / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.97

@@ -103,6 +103,33 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(got, q)
 
 
+def test_kv_int4_pack_roundtrip_and_write_gather():
+    """Signed q-domain int4 KV nibbles round-trip exactly, and a
+    write_kv -> gather_kv_layer pass through a uint8 pool reproduces the
+    input within half a quantization step."""
+    from lmdeploy_tpu.kvcache.paged import (init_cache, gather_kv_layer,
+                                            pack_kv_int4, unpack_kv_int4,
+                                            write_kv)
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.integers(-8, 8, size=(5, 3, 2, 16)), jnp.int8)
+    np.testing.assert_array_equal(np.asarray(unpack_kv_int4(
+        pack_kv_int4(q))), np.asarray(q))
+
+    scales = [np.full(2, 0.05), np.zeros(2), np.full(2, 0.05), np.zeros(2)]
+    cache = init_cache(2, 4, 8, 2, 16, jnp.uint8, kv_scales=scales)
+    assert cache.quant_bits == 4 and cache.k.shape[-1] == 8
+    k = jnp.asarray(rng.normal(size=(1, 8, 2, 16)) * 0.2, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 8, 2, 16)) * 0.2, jnp.float32)
+    pos = jnp.arange(8, dtype=jnp.int32)[None]
+    pt = jnp.asarray([[1, 2, -1, -1]], jnp.int32)
+    qp = (cache.k_scale[0], cache.k_zp[0], cache.v_scale[0], cache.v_zp[0])
+    ck, cv = write_kv(cache.k, cache.v, 0, k, v, pos, pt,
+                      jnp.ones((1, 8), bool), qp)
+    kk, vv = gather_kv_layer(ck[0], cv[0], pt, qp, jnp.float32)
+    want_k = np.clip(np.asarray(k)[0], -8 * 0.05, 7 * 0.05)
+    np.testing.assert_allclose(np.asarray(kk)[0, :8], want_k, atol=0.026)
+
+
 def test_quantize_dequantize_error():
     rng = np.random.default_rng(5)
     w = rng.normal(size=(256, 128)).astype(np.float32) * 0.1
