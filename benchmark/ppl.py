@@ -101,6 +101,8 @@ def build_variant(model_path: str, variant: str, group_size: int,
     kv_int8_sym — symmetric KV scales (reference kv_qparams --symmetry).
     kv_int4    — bf16 weights + nibble-packed INT4 KV cache
                  (beyond-reference quant_policy=8; 2x KV capacity).
+    kv_int4_ph — same with per-head [L, KH] qparams (kv_qparams
+                 --per-head; measured worse than per-layer, docs).
     """
     import jax.numpy as jnp
 
@@ -146,12 +148,12 @@ def build_variant(model_path: str, variant: str, group_size: int,
         params = convert_hf_llama(sd, cfg, _np.float32)
         params = quantize_params(params, cfg, group_size=group_size)
         return TPUEngine(cfg, ecfg, params)
-    if variant in ('kv_int8', 'kv_int8_sym', 'kv_int4'):
+    if variant in ('kv_int8', 'kv_int8_sym', 'kv_int4', 'kv_int4_ph'):
         import tempfile
 
         from lmdeploy_tpu.lite.apis.calibrate import calibrate
         from lmdeploy_tpu.lite.apis.kv_qparams import kv_qparams
-        bits = 4 if variant == 'kv_int4' else 8
+        bits = 4 if variant.startswith('kv_int4') else 8
         with tempfile.TemporaryDirectory() as tmp:
             calibrate(model_path, calib_dataset, calib_samples=4,
                       calib_seqlen=min(256, ecfg.session_len),
@@ -160,7 +162,8 @@ def build_variant(model_path: str, variant: str, group_size: int,
             with open(cfg_path, 'w') as f:
                 json.dump({}, f)
             kv_qparams(tmp, tmp, kv_bits=bits,
-                       kv_sym=variant.endswith('_sym'))
+                       kv_sym=variant.endswith('_sym'),
+                       per_head=variant.endswith('_ph'))
             with open(cfg_path) as f:
                 kv_scales = json.load(f)['kv_scales']
         import dataclasses

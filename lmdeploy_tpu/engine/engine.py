@@ -127,6 +127,13 @@ class TPUEngine:
         kv_scales = kv_scales if kv_dtype != jnp.bfloat16 else None
         self._kv_dtype = kv_dtype
         self._kv_scales = kv_scales
+        # per-head [L, KH] qparams: int4-pool only (the Pallas int8
+        # attention kernels take per-layer scalars)
+        per_head = (kv_scales is not None
+                    and np.asarray(kv_scales[0]).ndim == 2)
+        if per_head and kv_dtype != jnp.uint8:
+            raise ValueError('per-head kv_scales require kv_dtype=int4')
+        self._per_head_kv = per_head
         self._cache_sh = None
         self._state_sharding = None
         if engine_cfg.pp > 1:
@@ -158,7 +165,8 @@ class TPUEngine:
                 state_spec = PartitionSpec()
             self._cache_sh = jax.tree.map(
                 lambda s: NamedSharding(self.mesh, s),
-                pp_cache_pspecs(dp_axis=dp_axis),
+                pp_cache_pspecs(dp_axis=dp_axis,
+                                per_head_scales=self._per_head_kv),
                 is_leaf=lambda x: isinstance(x, PartitionSpec))
             self._state_sharding = NamedSharding(self.mesh, state_spec)
             self.cache, self.state = self._alloc_device_state()
@@ -173,7 +181,8 @@ class TPUEngine:
                                      self.mesh)
             self.fns = PPStepFns(model_cfg, self.mesh,
                                  use_pallas_attn=self._pallas_enabled(),
-                                 dp_shard_batch=self.dp > 1)
+                                 dp_shard_batch=self.dp > 1,
+                                 per_head_kv_scales=self._per_head_kv)
         elif engine_cfg.tp > 1 or self.dp > 1:
             # One SPMD program over the (dp, tp) mesh replaces the
             # reference's per-GPU threads + NCCL ranks (turbomind.py:
@@ -192,7 +201,8 @@ class TPUEngine:
             # unsharded pool (tp x per-device budget) and OOM at startup
             self._cache_sh = jax.tree.map(
                 lambda s: NamedSharding(self.mesh, s),
-                cache_pspecs(dp_axis=dp_axis),
+                cache_pspecs(dp_axis=dp_axis,
+                             per_head_scales=self._per_head_kv),
                 is_leaf=lambda x: isinstance(x, PartitionSpec))
             state_spec = PartitionSpec(DP_AXIS) if self.dp > 1 \
                 else PartitionSpec()
@@ -210,7 +220,8 @@ class TPUEngine:
                                      param_pspecs(self.params), self.mesh)
             self.fns = ShardedStepFns(model_cfg, self.mesh,
                                       use_pallas_attn=self._pallas_enabled(),
-                                      dp_shard_batch=self.dp > 1)
+                                      dp_shard_batch=self.dp > 1,
+                                      per_head_kv_scales=self._per_head_kv)
         else:
             self.mesh = None
             if self._packed_int4_enabled():

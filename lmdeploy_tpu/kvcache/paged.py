@@ -102,17 +102,26 @@ def init_cache(num_layers: int, num_pages: int, page_size: int,
     return jax.jit(build, out_shardings=shardings)()
 
 
+def _per_head(p):
+    """Per-layer qparams are scalars; per-head qparams arrive as [KH]
+    (one layer's slice of a [L, KH] export) and must broadcast against
+    [..., KH, Dh] tensors."""
+    return p[..., :, None] if getattr(p, 'ndim', 0) >= 1 else p
+
+
 def quantize_kv(x: jnp.ndarray, scale, zp, bits: int = 8) -> jnp.ndarray:
     """f -> q-domain int with static scale/zp (reference: int8 store path
     of ExtendKVCache / mmha, llama_kernels.cu:342-431; bits=4 clips to
-    the int4 range for the packed pool)."""
-    q = jnp.round(x.astype(jnp.float32) / scale + zp)
+    the int4 range for the packed pool).  scale/zp: scalar (per-layer)
+    or [KH] (per-head, int4 pools)."""
+    q = jnp.round(x.astype(jnp.float32) / _per_head(scale) + _per_head(zp))
     lo, hi = (-8, 7) if bits == 4 else (-128, 127)
     return jnp.clip(q, lo, hi).astype(jnp.int8)
 
 
 def dequantize_kv(q: jnp.ndarray, scale, zp, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return ((q.astype(jnp.float32) - zp) * scale).astype(dtype)
+    return ((q.astype(jnp.float32) - _per_head(zp))
+            * _per_head(scale)).astype(dtype)
 
 
 def pack_kv_int4(q: jnp.ndarray) -> jnp.ndarray:

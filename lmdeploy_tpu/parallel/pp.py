@@ -105,15 +105,16 @@ def pp_param_pspecs(params: Dict[str, Any]):
     return jax.tree_util.tree_map_with_path(add_pp, params, base)
 
 
-def pp_cache_pspecs(dp_axis=None):
+def pp_cache_pspecs(dp_axis=None, per_head_scales: bool = False):
     """KV pool: layer dim over pp, KV heads over tp; per-layer quant
-    scales [L] shard over pp with the layers they describe.  With
-    ``dp_axis`` the page-pool dim additionally shards over dp groups
-    (pool-local page ids, like parallel.tp.cache_pspecs)."""
+    scales [L] shard over pp with the layers they describe ([L, KH]
+    per-head scales additionally shard heads over tp).  With ``dp_axis``
+    the page-pool dim additionally shards over dp groups (pool-local
+    page ids, like parallel.tp.cache_pspecs)."""
+    s = P(PP_AXIS, TP_AXIS) if per_head_scales else P(PP_AXIS)
     return KVCache(k=P(PP_AXIS, dp_axis, None, TP_AXIS, None),
                    v=P(PP_AXIS, dp_axis, None, TP_AXIS, None),
-                   k_scale=P(PP_AXIS), k_zp=P(PP_AXIS),
-                   v_scale=P(PP_AXIS), v_zp=P(PP_AXIS))
+                   k_scale=s, k_zp=s, v_scale=s, v_zp=s)
 
 
 # ---------------------------------------------------------------------------
@@ -380,7 +381,8 @@ class PPStepFns:
     bubble-free microbatch-ring greedy pipeline."""
 
     def __init__(self, cfg: ModelConfig, mesh: Mesh, *,
-                 use_pallas_attn: bool = False, dp_shard_batch: bool = False):
+                 use_pallas_attn: bool = False, dp_shard_batch: bool = False,
+                 per_head_kv_scales: bool = False):
         from ..engine import step as _step
         from .tp import DP_AXIS
 
@@ -390,12 +392,14 @@ class PPStepFns:
         self.dp = int(mesh.shape.get(DP_AXIS, 1)) if dp_shard_batch else 1
         dp_axis = DP_AXIS if dp_shard_batch else None
         if dp_shard_batch:
-            cache_spec = pp_cache_pspecs(dp_axis=DP_AXIS)
+            cache_spec = pp_cache_pspecs(dp_axis=DP_AXIS,
+                                         per_head_scales=per_head_kv_scales)
             rep = P(DP_AXIS)                  # batch-leading state tensors
             packed_spec = P(None, None, DP_AXIS)   # [5, k, B] / [R, *, B]
             lp_spec = P(None, DP_AXIS)
         else:
-            cache_spec = pp_cache_pspecs()
+            cache_spec = pp_cache_pspecs(
+                per_head_scales=per_head_kv_scales)
             rep = P()
             packed_spec = P()
             lp_spec = P()

@@ -265,14 +265,18 @@ def param_pspecs(params: Dict[str, Any], axis: str = TP_AXIS):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def cache_pspecs(axis: str = TP_AXIS, dp_axis: Optional[str] = None):
+def cache_pspecs(axis: str = TP_AXIS, dp_axis: Optional[str] = None,
+                 per_head_scales: bool = False):
     """KVCache spec: KV heads sharded over tp (reference: LlamaV2.cc:111);
     with ``dp_axis`` the page-pool dim additionally shards over dp — each
-    dp group owns an independent pool addressed by pool-local page ids."""
+    dp group owns an independent pool addressed by pool-local page ids.
+    ``per_head_scales``: qparams are [L, KH] (int4 pools) and their head
+    dim shards with the KV heads."""
     from ..kvcache.paged import KVCache
+    s = P(None, axis) if per_head_scales else P()
     return KVCache(k=P(None, dp_axis, None, axis, None),
                    v=P(None, dp_axis, None, axis, None),
-                   k_scale=P(), k_zp=P(), v_scale=P(), v_zp=P())
+                   k_scale=s, k_zp=s, v_scale=s, v_zp=s)
 
 
 def shard_tree(tree, pspecs, mesh: Mesh):
@@ -300,7 +304,8 @@ class ShardedStepFns:
     """
 
     def __init__(self, cfg: ModelConfig, mesh: Mesh, *,
-                 use_pallas_attn: bool = False, dp_shard_batch: bool = False):
+                 use_pallas_attn: bool = False, dp_shard_batch: bool = False,
+                 per_head_kv_scales: bool = False):
         """With ``dp_shard_batch`` the batch dim of decode state AND the
         page-pool dim of the KV cache shard over the 'dp' mesh axis — each
         dp group runs an independent continuous batch with its own page
@@ -308,7 +313,9 @@ class ShardedStepFns:
         page-table entries are pool-local so no cross-dp traffic exists.
         Prefill routes to the slot's owning group inside the program
         (masked on the other shards); the logits/PPL path is pinned to
-        group 0 (scratch pages come from group 0's pool)."""
+        group 0 (scratch pages come from group 0's pool).
+        ``per_head_kv_scales``: [L, KH] int4-pool qparams sharded with
+        the KV heads."""
         from ..engine import step as _step
 
         self.cfg = cfg
@@ -317,13 +324,14 @@ class ShardedStepFns:
         dp_axis = DP_AXIS if dp_shard_batch else None
 
         if dp_shard_batch:
-            pspecs_cache = cache_pspecs(dp_axis=DP_AXIS)
+            pspecs_cache = cache_pspecs(dp_axis=DP_AXIS,
+                                        per_head_scales=per_head_kv_scales)
             rep = P(DP_AXIS)   # batch-leading state/batch tensors
             # decode_steps packs outputs batch-LAST: [5, k, B] / [k, B]
             packed_spec = P(None, None, DP_AXIS)
             lp_spec = P(None, DP_AXIS)
         else:
-            pspecs_cache = cache_pspecs()
+            pspecs_cache = cache_pspecs(per_head_scales=per_head_kv_scales)
             rep = P()
             packed_spec = P()
             lp_spec = P()

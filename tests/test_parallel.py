@@ -28,10 +28,11 @@ CFG = ModelConfig(head_num=8, kv_head_num=4, size_per_head=16, inter_size=64,
 B, MAXP, PAGE, NPAGES = 2, 8, 8, 32
 
 
-def build_state(params, fns):
+def build_state(params, fns, cache=None):
     state = init_decode_state(B, MAXP, CFG.session_len, eos_id=CFG.end_id)
-    cache = init_cache(CFG.num_layer, NPAGES, PAGE, CFG.kv_head_num,
-                       CFG.size_per_head, jnp.float32)
+    if cache is None:
+        cache = init_cache(CFG.num_layer, NPAGES, PAGE, CFG.kv_head_num,
+                           CFG.size_per_head, jnp.float32)
     prompt = [3, 17, 42, 99, 5]
     hist = np.zeros((CFG.session_len,), np.int32)
     hist[:len(prompt)] = prompt
@@ -111,6 +112,39 @@ def test_tp_prefill_logits_match(tp=4):
     v = CFG.vocab_size
     np.testing.assert_allclose(np.asarray(got)[:5, :v],
                                np.asarray(want)[:5, :v], rtol=2e-4, atol=2e-4)
+
+
+def test_tp_kv_int4_per_head_scales(tp=2):
+    """Nibble-packed INT4 KV with per-head [L, KH] qparams: the scale
+    head dim shards with the KV heads (cache_pspecs per_head_scales), and
+    decode matches the single-device engine token for token."""
+    params = init_params(CFG, jax.random.PRNGKey(5), jnp.float32)
+    rng = np.random.default_rng(9)
+    scales = [rng.uniform(0.05, 0.15,
+                          (CFG.num_layer, CFG.kv_head_num)).astype(np.float32),
+              np.zeros((CFG.num_layer, CFG.kv_head_num), np.float32),
+              rng.uniform(0.05, 0.15,
+                          (CFG.num_layer, CFG.kv_head_num)).astype(np.float32),
+              np.zeros((CFG.num_layer, CFG.kv_head_num), np.float32)]
+
+    def build_int4(fns):
+        pool = init_cache(CFG.num_layer, NPAGES, PAGE, CFG.kv_head_num,
+                          CFG.size_per_head, jnp.uint8, kv_scales=scales)
+        return build_state(params, fns, cache=pool)
+
+    ref = CompiledStepFns(CFG)
+    cache, state = build_int4(ref)
+    want = run_steps(ref, params, cache, state)
+
+    mesh = make_mesh(tp)
+    tparams = prepare_params_for_tp(params, CFG, tp)
+    tparams = shard_tree(tparams, param_pspecs(tparams), mesh)
+    fns = ShardedStepFns(CFG, mesh, per_head_kv_scales=True)
+    cache2, state2 = build_int4(ref)
+    cache2 = shard_tree(cache2, cache_pspecs(per_head_scales=True), mesh)
+    state2 = replicate_tree(state2, mesh)
+    got = run_steps(fns, tparams, cache2, state2)
+    assert got == want
 
 
 def test_tp_int4_weights(tp=2):
