@@ -297,7 +297,7 @@ def main():
     extra = {}
     import os.path as _osp
     for name in ('saturation', 'interleave', 'prefill_mfu', 'prefix_ttft',
-                 'perf_ab', 'risky_ab', 'spec_sampled'):
+                 'perf_ab', 'risky_ab', 'spec_sampled', 'accuracy'):
         p = _osp.join(_osp.dirname(_osp.abspath(__file__)),
                       '.r3', f'{name}.json')
         if _osp.exists(p):
