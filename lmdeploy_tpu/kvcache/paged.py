@@ -32,9 +32,13 @@ class KVCache:
     """Device KV pool. k/v: [L, P, page_size, KH, Dh] (bf16 or int8), or
     [L, P, page_size, KH, Dh/2] uint8 for nibble-packed int4.
 
-    k_scale/k_zp/v_scale/v_zp: [L] f32 static quantization parameters
-    (ignored for bf16 storage; exported by lite/kv_qparams from calibration
-    like the reference's past_kv_scale.{rank}.weight files).
+    k_scale/k_zp/v_scale/v_zp: f32 static quantization parameters —
+    [L] per-layer (int8 pools, reference parity) or [L, KH] per-head
+    (int4 pools, kv_qparams --per-head) — ignored for bf16 storage;
+    exported by lite/kv_qparams from calibration like the reference's
+    past_kv_scale.{rank}.weight files.  NOTE: quantize_kv/dequantize_kv
+    take PER-LAYER SLICES of these arrays (a scalar, or [KH] for
+    per-head), never the full [L]/[L, KH] array.
     """
     k: jnp.ndarray
     v: jnp.ndarray
@@ -102,11 +106,20 @@ def init_cache(num_layers: int, num_pages: int, page_size: int,
     return jax.jit(build, out_shardings=shardings)()
 
 
-def _per_head(p):
+def _per_head(p, x):
     """Per-layer qparams are scalars; per-head qparams arrive as [KH]
     (one layer's slice of a [L, KH] export) and must broadcast against
-    [..., KH, Dh] tensors."""
-    return p[..., :, None] if getattr(p, 'ndim', 0) >= 1 else p
+    x's [..., KH, Dh] trailing dims.  A non-scalar whose length is not
+    x's KV-head count is a caller bug (e.g. an unsliced [L] array) —
+    fail at trace time rather than mis-broadcast."""
+    if getattr(p, 'ndim', 0) >= 1:
+        if p.shape[-1] != x.shape[-2]:
+            raise ValueError(
+                f'per-head kv qparams {p.shape} do not match KV heads '
+                f'{x.shape[-2]}; per-layer [L] arrays must be sliced to '
+                f'scalars before quantize_kv/dequantize_kv')
+        return p[..., :, None]
+    return p
 
 
 def quantize_kv(x: jnp.ndarray, scale, zp, bits: int = 8) -> jnp.ndarray:
@@ -114,14 +127,15 @@ def quantize_kv(x: jnp.ndarray, scale, zp, bits: int = 8) -> jnp.ndarray:
     of ExtendKVCache / mmha, llama_kernels.cu:342-431; bits=4 clips to
     the int4 range for the packed pool).  scale/zp: scalar (per-layer)
     or [KH] (per-head, int4 pools)."""
-    q = jnp.round(x.astype(jnp.float32) / _per_head(scale) + _per_head(zp))
+    q = jnp.round(x.astype(jnp.float32) / _per_head(scale, x)
+                  + _per_head(zp, x))
     lo, hi = (-8, 7) if bits == 4 else (-128, 127)
     return jnp.clip(q, lo, hi).astype(jnp.int8)
 
 
 def dequantize_kv(q: jnp.ndarray, scale, zp, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return ((q.astype(jnp.float32) - _per_head(zp))
-            * _per_head(scale)).astype(dtype)
+    return ((q.astype(jnp.float32) - _per_head(zp, q))
+            * _per_head(scale, q)).astype(dtype)
 
 
 def pack_kv_int4(q: jnp.ndarray) -> jnp.ndarray:

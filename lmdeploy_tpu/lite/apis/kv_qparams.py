@@ -21,6 +21,9 @@ def kv_qparams(work_dir: str, dst: str, kv_bits: int = 8,
                stats_path: str = '', per_head: bool = False) -> None:
     from ..quantization.calibration import load_stats
 
+    if kv_bits not in (4, 8):
+        raise ValueError(f'kv_bits must be 4 or 8, got {kv_bits} (the '
+                         'cache pools store int8 or nibble-packed int4)')
     stats_path = stats_path or osp.join(work_dir, 'calib_stats.npz')
     _, keys, values = load_stats(stats_path)
     nl = len(keys)
