@@ -396,6 +396,43 @@ def test_engine_ring_greedy_then_sampled_continuation():
     assert got == want
 
 
+def test_engine_ring_with_int4_kv():
+    """INT4 KV (uint8 nibble pool, quant_policy=8) composes with the pp
+    ring: the pool's packed last dim rides the (pp, tp) cache specs and
+    decode stays token-identical to the single-device int4 engine."""
+    import dataclasses as dc
+
+    from lmdeploy_tpu.config import EngineConfig
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(9), jnp.float32)
+    scales = [np.full(CFG.num_layer, 0.1, np.float32),
+              np.zeros(CFG.num_layer, np.float32),
+              np.full(CFG.num_layer, 0.1, np.float32),
+              np.zeros(CFG.num_layer, np.float32)]
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=4, quant_policy=8)
+    g = GenerationConfig(max_new_tokens=6, top_k=1, ignore_eos=True)
+
+    def run(engine_cfg):
+        eng = TPUEngine(CFG, engine_cfg, params, kv_scales=scales)
+        try:
+            assert eng.cache.k.dtype == jnp.uint8
+            inst = eng.create_instance()
+            out = inst.infer(1, [3, 9, 4], gen_config=g, sequence_end=True)
+            return out.token_ids, eng.stats['ring_rounds']
+        finally:
+            eng.shutdown()
+
+    want, r0 = run(ecfg)
+    assert len(want) == 6 and r0 == 0
+    got, rr = run(dc.replace(ecfg, pp=2, tp=2))
+    assert got == want and rr > 0
+
+
 def test_spec_keeps_priority_on_pp_mesh():
     """Speculative decoding composes with pipeline parallelism: on a pp
     mesh a relay verify round streams the same stage weights as a ring
