@@ -20,6 +20,10 @@ def main():
                              'In a shocking turn of events,'])
     ap.add_argument('--max-new-tokens', type=int, default=64)
     ap.add_argument('--tp', type=int, default=1)
+    ap.add_argument('--pp', type=int, default=1,
+                    help='pipeline stages (bubble-free microbatch-ring '
+                         'decode, parallel/pp.py)')
+    ap.add_argument('--dp', type=int, default=1)
     ap.add_argument('--greedy', action='store_true')
     args = ap.parse_args()
 
@@ -28,8 +32,10 @@ def main():
     from lmdeploy_tpu.messages import GenerationConfig
 
     engine = build_engine(args.model_path,
-                          engine_config=None if args.tp == 1
-                          else EngineConfig(tp=args.tp))
+                          engine_config=None
+                          if args.tp == args.pp == args.dp == 1
+                          else EngineConfig(tp=args.tp, pp=args.pp,
+                                            dp=args.dp))
     inst = engine.create_instance()
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
                            top_k=1 if args.greedy else 40)
