@@ -139,22 +139,26 @@ def dequantize_kv(q: jnp.ndarray, scale, zp, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def pack_kv_int4(q: jnp.ndarray) -> jnp.ndarray:
-    """int8 q-domain values in [-8, 7], [..., Dh] -> uint8 [..., Dh/2]
-    (even feature in the low nibble, odd in the high — the same
-    two's-complement nibble layout the packed-weight kernel streams,
-    ops/pallas/quant_matmul.py)."""
+    """int8 q-domain values in [-8, 7], [..., Dh] -> uint8 [..., Dh/2].
+
+    HALF-SPLIT layout: byte j holds feature j in the low nibble and
+    feature j + Dh/2 in the high nibble — the same trick the packed-
+    weight kernel uses (ops/pallas/quant_matmul.py): unpacking is two
+    contiguous slices + concat, NO lane interleaving, so the Pallas
+    attention kernels can unpack in-register on the TPU vector unit."""
     u = q.astype(jnp.uint8) & 0xF
-    return u[..., 0::2] | (u[..., 1::2] << 4)
+    dh2 = u.shape[-1] // 2
+    return u[..., :dh2] | (u[..., dh2:] << 4)
 
 
 def unpack_kv_int4(p: jnp.ndarray) -> jnp.ndarray:
-    """uint8 [..., Dh/2] -> sign-extended int8 [..., Dh]."""
+    """uint8 [..., Dh/2] -> sign-extended int8 [..., Dh] (half-split
+    layout: low nibbles are features [0, Dh/2), high are [Dh/2, Dh))."""
     lo = (p & 0xF).astype(jnp.int8)
     hi = (p >> 4).astype(jnp.int8)
     lo = (lo ^ 8) - 8
     hi = (hi ^ 8) - 8
-    return jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1],
-                                                2 * p.shape[-1])
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def write_kv(cache_k: jnp.ndarray, cache_v: jnp.ndarray, layer,

@@ -68,6 +68,17 @@ def _fused_rope_enabled() -> bool:
     return os.environ.get('LMDEPLOY_TPU_FUSED_ROPE', '0') == '1'
 
 
+def _int4_kv_kernel_enabled() -> bool:
+    """Route the nibble-packed INT4 KV pool through the Pallas attention
+    kernels (in-register half-split nibble unpack, the quant_matmul
+    technique) instead of the XLA gather path.  Compile-hang risk class
+    on this runtime — off until measured on-chip; enable via
+    LMDEPLOY_TPU_INT4_KV_KERNEL=1.  Per-head int4 qparams always take
+    the XLA path (the kernels read scalar per-layer qparams)."""
+    import os
+    return os.environ.get('LMDEPLOY_TPU_INT4_KV_KERNEL', '0') == '1'
+
+
 def vocab_padded(cfg: ModelConfig, tp: int = 1) -> int:
     """Pad vocab to a multiple of 128*tp so the TP-split lm_head tiles the
     MXU (reference pads to a multiple of tp: LlamaV2.cc:96-97)."""
@@ -181,13 +192,16 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
     b, t = batch.ids.shape
     is_decode = t == 1
     # Mosaic tiling requires lane-aligned head_dim; small test models fall
-    # back to the XLA gather path.  The int4 KV pool (uint8 nibbles) also
-    # rides the XLA path for now: the attention kernels dequantize int8
-    # in-register, and the in-kernel nibble unpack (the quant_matmul
-    # technique) is pending the same on-chip verdict as the packed-weight
-    # kernel (compile-hang risk class).
-    use_pallas_attn = (use_pallas_attn and dh % 128 == 0
-                       and cache.quant_bits != 4)
+    # back to the XLA gather path.  The int4 KV pool (uint8 nibbles)
+    # defaults to the XLA path: the in-kernel half-split nibble unpack is
+    # implemented in the attention kernels but compile-hang risk class on
+    # this runtime, so it's opt-in (LMDEPLOY_TPU_INT4_KV_KERNEL=1) until
+    # the on-chip verdict; per-head int4 qparams always ride XLA (the
+    # kernels read scalar per-layer qparams).
+    int4_kv_ok = (cache.quant_bits != 4
+                  or (_int4_kv_kernel_enabled()
+                      and cache.k_scale.ndim == 1))
+    use_pallas_attn = use_pallas_attn and dh % 128 == 0 and int4_kv_ok
 
     # cos/sin (+ logn scale) are position-only and identical for every
     # layer — computed ONCE here, closed over by the scan body

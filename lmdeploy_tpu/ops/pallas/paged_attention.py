@@ -26,9 +26,45 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _kv_bits_of(cache_dtype, quantized: bool) -> int:
+    """Static pool quantization width: 0 (bf16), 8 (int8) or 4
+    (nibble-packed uint8, kvcache/paged.py half-split layout)."""
+    if not quantized:
+        return 0
+    return 4 if cache_dtype == jnp.uint8 else 8
+
+
+def _dequant_tile(x, scale, zp, kv_bits: int):
+    """Pool-dtype page tile -> f32.  kv_bits=4 unpacks the half-split
+    nibble layout in-register (two slices + concat — lane-friendly, the
+    quant_matmul technique) before the static-qparam dequant."""
+    if kv_bits == 4:
+        lo = (x & 0xF).astype(jnp.int32)
+        hi = (x >> 4).astype(jnp.int32)
+        q = jnp.concatenate([lo, hi], axis=-1)
+        return (((q ^ 8) - 8).astype(jnp.float32) - zp) * scale
+    if kv_bits == 8:
+        return (x.astype(jnp.float32) - zp) * scale
+    return x.astype(jnp.float32)
+
+
+def _quant_pack(x_f32, scale, zp, kv_bits: int, out_dtype):
+    """f32 [..., Dh] -> pool dtype ([..., Dh/2] uint8 when kv_bits=4)."""
+    if kv_bits == 4:
+        q = jnp.clip(jnp.round(x_f32 / scale + zp), -8, 7) \
+               .astype(jnp.int32)
+        u = (q & 0xF).astype(jnp.uint8)
+        dh2 = u.shape[-1] // 2
+        return u[..., :dh2] | (u[..., dh2:] << 4)
+    if kv_bits == 8:
+        q = jnp.round(x_f32 / scale + zp)
+        return jnp.clip(q, -128, 127).astype(out_dtype)
+    return x_f32.astype(out_dtype)
+
+
 def _online_attend(b, ctx, layer, q, page_tables_ref, k_src, v_src,
                    k_buf, v_buf, sem, qp_ref, *, page_size: int, kh: int,
-                   g: int, dh: int, quantized: bool):
+                   g: int, dh: int, kv_bits: int):
     """Shared double-buffered page walk + fp32 online-softmax attend.
 
     q: [KH*G, Dh] float32, already scaled.  Returns [KH*G, Dh] float32.
@@ -56,14 +92,8 @@ def _online_attend(b, ctx, layer, q, page_tables_ref, k_src, v_src,
 
         for c in dma(slot, i):
             c.wait()
-        k = k_buf[slot]                                   # [page, KH, Dh]
-        v = v_buf[slot]
-        if quantized:
-            k = (k.astype(jnp.float32) - qp_ref[1]) * qp_ref[0]
-            v = (v.astype(jnp.float32) - qp_ref[3]) * qp_ref[2]
-        else:
-            k = k.astype(jnp.float32)
-            v = v.astype(jnp.float32)
+        k = _dequant_tile(k_buf[slot], qp_ref[0], qp_ref[1], kv_bits)
+        v = _dequant_tile(v_buf[slot], qp_ref[2], qp_ref[3], kv_bits)
         k_t = k.transpose(1, 2, 0)                        # [KH, Dh, page]
         v_t = v.transpose(1, 0, 2)                        # [KH, page, Dh]
         qh = q.reshape(kh, g, dh)
@@ -96,14 +126,14 @@ def _decode_kernel(page_tables_ref, ctx_len_ref, layer_ref,  # scalar prefetch
                    o_ref,                                    # output
                    k_buf, v_buf, sem,                        # scratch
                    *, page_size: int, kh: int, g: int, dh: int,
-                   quantized: bool, scale: float):
+                   kv_bits: int, scale: float):
     b = pl.program_id(0)
     ctx = ctx_len_ref[b]
     layer = layer_ref[0]
     q = q_ref[:].astype(jnp.float32) * scale             # [KH*G, Dh]
     out = _online_attend(b, ctx, layer, q, page_tables_ref, k_hbm, v_hbm,
                          k_buf, v_buf, sem, qp_ref, page_size=page_size,
-                         kh=kh, g=g, dh=dh, quantized=quantized)
+                         kh=kh, g=g, dh=dh, kv_bits=kv_bits)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -113,7 +143,7 @@ def _decode_write_kernel(page_tables_ref, ctx_len_ref, layer_ref,
                          k_out, v_out, o_ref,
                          kq_buf, vq_buf, k_buf, v_buf, sem, wsem,
                          *, page_size: int, kh: int, g: int, dh: int,
-                         quantized: bool, scale: float):
+                         kv_bits: int, scale: float):
     """Fused KV-append + paged attention for one decode step: stores the
     current token's K/V into the pool (in place via aliasing), then
     attends — replacing the per-layer XLA scatter + separate kernel
@@ -128,18 +158,12 @@ def _decode_write_kernel(page_tables_ref, ctx_len_ref, layer_ref,
     wr_slot = jax.lax.rem(pos, page_size)
     phys_w = page_tables_ref[b, wr_page]
 
-    # quantize (or cast) the new K/V into a pool-dtype VMEM staging buf,
-    # then DMA it into the pool row
-    if quantized:
-        kq = jnp.round(kn_ref[0].astype(jnp.float32) / qp_ref[0]
-                       + qp_ref[1])
-        vq = jnp.round(vn_ref[0].astype(jnp.float32) / qp_ref[2]
-                       + qp_ref[3])
-        kq_buf[:] = jnp.clip(kq, -128, 127).astype(k_out.dtype)
-        vq_buf[:] = jnp.clip(vq, -128, 127).astype(v_out.dtype)
-    else:
-        kq_buf[:] = kn_ref[0].astype(k_out.dtype)
-        vq_buf[:] = vn_ref[0].astype(v_out.dtype)
+    # quantize/pack (or cast) the new K/V into a pool-dtype VMEM staging
+    # buf, then DMA it into the pool row
+    kq_buf[:] = _quant_pack(kn_ref[0].astype(jnp.float32), qp_ref[0],
+                            qp_ref[1], kv_bits, k_out.dtype)
+    vq_buf[:] = _quant_pack(vn_ref[0].astype(jnp.float32), qp_ref[2],
+                            qp_ref[3], kv_bits, v_out.dtype)
     # masked slots (retired/empty, valid=0) must NOT write — their page
     # rows may belong to other sequences (the XLA scatter drops these
     # via the valid mask; same contract here)
@@ -161,7 +185,7 @@ def _decode_write_kernel(page_tables_ref, ctx_len_ref, layer_ref,
     q = q_ref[0].astype(jnp.float32) * scale             # [KH*G, Dh]
     out = _online_attend(b, ctx, layer, q, page_tables_ref, k_out, v_out,
                          k_buf, v_buf, sem, qp_ref, page_size=page_size,
-                         kh=kh, g=g, dh=dh, quantized=quantized)
+                         kh=kh, g=g, dh=dh, kv_bits=kv_bits)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -187,7 +211,7 @@ def _decode_rope_write_kernel(page_tables_ref, ctx_len_ref, layer_ref,
                               k_out, v_out, o_ref,
                               kq_buf, vq_buf, k_buf, v_buf, sem, wsem,
                               *, page_size: int, kh: int, g: int, dh: int,
-                              half: int, quantized: bool, scale: float):
+                              half: int, kv_bits: int, scale: float):
     """Fully fused decode attention layer: rope(q,k) + KV-append +
     paged attend in ONE kernel — the reference mmha applies rope at
     cuh:1381-1401, stores at cuh:1434 and attends, all in one kernel;
@@ -206,15 +230,10 @@ def _decode_rope_write_kernel(page_tables_ref, ctx_len_ref, layer_ref,
     sin_f = sin_ref[0]
     k_rot = _rope_full(kn_ref[0], cos_f, sin_f, half)     # [KH, Dh] f32
 
-    if quantized:
-        kq = jnp.round(k_rot / qp_ref[0] + qp_ref[1])
-        vq = jnp.round(vn_ref[0].astype(jnp.float32) / qp_ref[2]
-                       + qp_ref[3])
-        kq_buf[:] = jnp.clip(kq, -128, 127).astype(k_out.dtype)
-        vq_buf[:] = jnp.clip(vq, -128, 127).astype(v_out.dtype)
-    else:
-        kq_buf[:] = k_rot.astype(k_out.dtype)
-        vq_buf[:] = vn_ref[0].astype(v_out.dtype)
+    kq_buf[:] = _quant_pack(k_rot, qp_ref[0], qp_ref[1], kv_bits,
+                            k_out.dtype)
+    vq_buf[:] = _quant_pack(vn_ref[0].astype(jnp.float32), qp_ref[2],
+                            qp_ref[3], kv_bits, v_out.dtype)
 
     @pl.when(valid_ref[b] != 0)
     def _store():
@@ -234,7 +253,7 @@ def _decode_rope_write_kernel(page_tables_ref, ctx_len_ref, layer_ref,
     q = _rope_full(q_ref[0], cos_f, sin_f, half) * (scale * qs_ref[b])
     out = _online_attend(b, ctx, layer, q, page_tables_ref, k_out, v_out,
                          k_buf, v_buf, sem, qp_ref, page_size=page_size,
-                         kh=kh, g=g, dh=dh, quantized=quantized)
+                         kh=kh, g=g, dh=dh, kv_bits=kv_bits)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -258,6 +277,7 @@ def paged_decode_attention_write(q, k_new, v_new, k_cache, v_cache, layer,
     kh = k_cache.shape[-2]
     g = h // kh
     page_size = k_cache.shape[-3]
+    dp = k_cache.shape[-1]           # pool feature width (Dh/2 for int4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b,),
@@ -279,17 +299,17 @@ def paged_decode_attention_write(q, k_new, v_new, k_cache, v_cache, layer,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((kh, dh), k_cache.dtype),
-            pltpu.VMEM((kh, dh), v_cache.dtype),
-            pltpu.VMEM((2, page_size, kh, dh), k_cache.dtype),
-            pltpu.VMEM((2, page_size, kh, dh), v_cache.dtype),
+            pltpu.VMEM((kh, dp), k_cache.dtype),
+            pltpu.VMEM((kh, dp), v_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dp), k_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dp), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _decode_write_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
-        quantized=quantized, scale=dh ** -0.5)
+        kv_bits=_kv_bits_of(k_cache.dtype, quantized), scale=dh ** -0.5)
     # inputs (after the 4 scalar-prefetch args): q, k_new, v_new,
     # k_cache, v_cache, qp -> alias pool inputs onto outputs 0/1
     return pl.pallas_call(
@@ -346,6 +366,7 @@ def paged_decode_attention_rope_write(q, k_new, v_new, cos_f, sin_f,
     kh = k_cache.shape[-2]
     g = h // kh
     page_size = k_cache.shape[-3]
+    dp = k_cache.shape[-1]           # pool feature width (Dh/2 for int4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b,),
@@ -372,17 +393,18 @@ def paged_decode_attention_rope_write(q, k_new, v_new, cos_f, sin_f,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((kh, dh), k_cache.dtype),
-            pltpu.VMEM((kh, dh), v_cache.dtype),
-            pltpu.VMEM((2, page_size, kh, dh), k_cache.dtype),
-            pltpu.VMEM((2, page_size, kh, dh), v_cache.dtype),
+            pltpu.VMEM((kh, dp), k_cache.dtype),
+            pltpu.VMEM((kh, dp), v_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dp), k_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dp), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _decode_rope_write_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
-        half=half, quantized=quantized, scale=dh ** -0.5)
+        half=half, kv_bits=_kv_bits_of(k_cache.dtype, quantized),
+        scale=dh ** -0.5)
     # inputs (after the 4 prefetch args): q, k_new, v_new, cos_f, sin_f,
     # k_cache, v_cache, qp, qs -> alias pool inputs onto outputs 0/1
     return pl.pallas_call(
@@ -424,6 +446,7 @@ def paged_decode_attention(q, k_cache, v_cache, layer, page_table,
     kh = k_cache.shape[-2]
     g = h // kh
     page_size = k_cache.shape[-3]
+    dp = k_cache.shape[-1]           # pool feature width (Dh/2 for int4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b,),
@@ -437,14 +460,14 @@ def paged_decode_attention(q, k_cache, v_cache, layer, page_table,
         out_specs=pl.BlockSpec((1, h, dh), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, page_size, kh, dh), k_cache.dtype),
-            pltpu.VMEM((2, page_size, kh, dh), v_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dp), k_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dp), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = functools.partial(
         _decode_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
-        quantized=quantized, scale=dh ** -0.5)
+        kv_bits=_kv_bits_of(k_cache.dtype, quantized), scale=dh ** -0.5)
 
     def kern(pt, cl, lyr, q_ref, k_hbm, v_hbm, qp_ref, o_ref,
              k_buf, v_buf, sem):

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .paged_attention import _dequant_tile, _kv_bits_of
+
 Q_BLOCK = 128
 
 
@@ -29,7 +31,7 @@ def _prefill_kernel(page_table_ref, end_pos_ref, layer_ref,  # prefetch
                     o_ref,
                     k_buf, v_buf, sem,
                     *, page_size: int, kh: int, g: int, dh: int,
-                    start_pos: None, quantized: bool, scale: float):
+                    start_pos: None, kv_bits: int, scale: float):
     si = pl.program_id(0)           # batch slot (grid dim 0)
     qi = pl.program_id(1)           # q block within the slot's chunk
     layer = layer_ref[0]
@@ -67,14 +69,8 @@ def _prefill_kernel(page_table_ref, end_pos_ref, layer_ref,  # prefetch
 
         for c in dma(slot, i):
             c.wait()
-        k = k_buf[slot]                                # [page, KH, Dh]
-        v = v_buf[slot]
-        if quantized:
-            k = (k.astype(jnp.float32) - qp_ref[1]) * qp_ref[0]
-            v = (v.astype(jnp.float32) - qp_ref[3]) * qp_ref[2]
-        else:
-            k = k.astype(jnp.float32)
-            v = v.astype(jnp.float32)
+        k = _dequant_tile(k_buf[slot], qp_ref[0], qp_ref[1], kv_bits)
+        v = _dequant_tile(v_buf[slot], qp_ref[2], qp_ref[3], kv_bits)
         k_t = k.transpose(1, 2, 0)                     # [KH, Dh, page]
         v_t = v.transpose(1, 0, 2)                     # [KH, page, Dh]
         s = jax.lax.dot_general(                       # [KH, QB*G, page]
@@ -131,6 +127,7 @@ def paged_prefill_attention_batched(q, k_cache, v_cache, layer, page_tables,
     kh = k_cache.shape[-2]
     g = h // kh
     page_size = k_cache.shape[-3]
+    dp = k_cache.shape[-1]           # pool feature width (Dh/2 for int4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, t // Q_BLOCK),
@@ -145,14 +142,15 @@ def paged_prefill_attention_batched(q, k_cache, v_cache, layer, page_tables,
                                lambda s, i, *_: (s, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, page_size, kh, dh), k_cache.dtype),
-            pltpu.VMEM((2, page_size, kh, dh), v_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dp), k_cache.dtype),
+            pltpu.VMEM((2, page_size, kh, dp), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = functools.partial(
         _prefill_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
-        start_pos=None, quantized=quantized, scale=dh ** -0.5)
+        start_pos=None, kv_bits=_kv_bits_of(k_cache.dtype, quantized),
+        scale=dh ** -0.5)
     end_pos = jnp.stack([jnp.asarray(context_end, jnp.int32),
                          jnp.asarray(start_pos, jnp.int32)])  # [2, B]
     return pl.pallas_call(

@@ -389,3 +389,114 @@ def test_fused_rope_forward_token_parity(monkeypatch):
     assert np.asarray(tok_ref).tolist() == np.asarray(tok_fr).tolist()
     np.testing.assert_allclose(np.asarray(lp_ref), np.asarray(lp_fr),
                                rtol=1e-3, atol=1e-3)
+
+
+def _int4_case(rng, B, KH, G, DH, PAGE, MAXP, P, L):
+    """Nibble-packed pool (uint8, last dim DH/2) + scalar qparams."""
+    from lmdeploy_tpu.kvcache.paged import init_cache
+    import dataclasses as dc
+    cache = init_cache(L, P, PAGE, KH, DH, jnp.uint8,
+                       kv_scales=([0.21] * L, [0.5] * L,
+                                  [0.19] * L, [-0.5] * L))
+    cache = dc.replace(
+        cache,
+        k=jnp.asarray(rng.integers(0, 256, cache.k.shape), jnp.uint8),
+        v=jnp.asarray(rng.integers(0, 256, cache.v.shape), jnp.uint8))
+    pt = np.full((B, MAXP), -1, np.int32)
+    ctx = rng.integers(1, MAXP * PAGE, size=B).astype(np.int32)
+    for i in range(B):
+        need = -(-int(ctx[i]) // PAGE)
+        pt[i, :need] = rng.choice(P, size=need, replace=False)
+    q = jnp.asarray(rng.normal(size=(B, KH * G, DH)), jnp.float32)
+    return cache, q, jnp.asarray(pt), jnp.asarray(ctx)
+
+
+def test_paged_decode_attention_int4_kv():
+    """In-kernel half-split nibble unpack == XLA gather+dequant path."""
+    rng = np.random.default_rng(5)
+    B, KH, G, DH, PAGE, MAXP, P, L = 2, 4, 2, 64, 16, 4, 16, 2
+    cache, q, pt, ctx = _int4_case(rng, B, KH, G, DH, PAGE, MAXP, P, L)
+    layer = 1
+    qp = np.stack([np.asarray(x)[layer] for x in
+                   (cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)])
+    got = paged_decode_attention(
+        q, cache.k, cache.v, jnp.int32(layer), pt, ctx,
+        jnp.asarray(qp, jnp.float32), quantized=True, interpret=True)
+    kk, vv = gather_kv_layer(cache.k[layer], cache.v[layer], pt,
+                             tuple(qp), dtype=jnp.float32)
+    want = gqa_attention(q[:, None], kk, vv, (ctx - 1)[:, None], ctx)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_fused_write_attend_int4_kv():
+    """Fused append+attend on the nibble-packed pool: identical packed
+    bytes to the XLA write path and matching attention output."""
+    from lmdeploy_tpu.kvcache.paged import write_kv
+    from lmdeploy_tpu.ops.pallas.paged_attention import \
+        paged_decode_attention_write
+
+    rng = np.random.default_rng(6)
+    B, KH, G, DH, PAGE, MAXP, P, L = 3, 2, 2, 64, 16, 4, 12, 2
+    cache, q, _, _ = _int4_case(rng, B, KH, G, DH, PAGE, MAXP, P, L)
+    layer = 0
+    k_new = jnp.asarray(rng.normal(size=(B, KH, DH)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(B, KH, DH)), jnp.float32)
+    qp = np.stack([np.asarray(x)[layer] for x in
+                   (cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)])
+    # page tables must cover ctx (engine invariant: a slot's pages are
+    # mapped before its tokens exist)
+    ctx_np = np.asarray([9, 17, 1], np.int32)
+    pt = np.full((B, MAXP), -1, np.int32)
+    pool_pages = iter(rng.permutation(P))    # globally disjoint pages
+    for i in range(B):
+        need = -(-int(ctx_np[i]) // PAGE)
+        pt[i, :need] = [next(pool_pages) for _ in range(need)]
+    pt = jnp.asarray(pt)
+    ctx = jnp.asarray(ctx_np)
+
+    ck, cv = write_kv(cache.k, cache.v, layer, k_new[:, None],
+                      v_new[:, None], (np.asarray(ctx) - 1)[:, None],
+                      pt, jnp.ones((B, 1), bool), tuple(qp))
+    want = paged_decode_attention(q, ck, cv, jnp.int32(layer), pt, ctx,
+                                  jnp.asarray(qp, jnp.float32),
+                                  quantized=True, interpret=True)
+    gk, gv, got = paged_decode_attention_write(
+        q, k_new, v_new, jnp.array(cache.k), jnp.array(cache.v),
+        jnp.int32(layer), pt, ctx, jnp.ones((B,), jnp.int32),
+        jnp.asarray(qp, jnp.float32), quantized=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(ck))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(cv))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_paged_prefill_attention_int4_kv():
+    """Prefill kernel unpacks the nibble pool == XLA gather oracle."""
+    from lmdeploy_tpu.ops.pallas.prefill_attention import (
+        Q_BLOCK, paged_prefill_attention)
+
+    rng = np.random.default_rng(7)
+    KH, G, DH, PAGE, P, L = 2, 2, 64, 64, 8, 2
+    MAXP = 4
+    cache, _, _, _ = _int4_case(rng, 1, KH, G, DH, PAGE, MAXP, P, L)
+    layer = 1
+    qp = np.stack([np.asarray(x)[layer] for x in
+                   (cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)])
+    T, hist = Q_BLOCK, 37
+    pt = np.asarray([2, 5, 1, 3], np.int32)
+    q = jnp.asarray(rng.normal(size=(T, KH * G, DH)), jnp.float32)
+    ctx_end = hist + T
+
+    got = paged_prefill_attention(
+        q, cache.k, cache.v, jnp.int32(layer), jnp.asarray(pt),
+        jnp.int32(hist), jnp.int32(ctx_end),
+        jnp.asarray(qp, jnp.float32), quantized=True, interpret=True)
+    kk, vv = gather_kv_layer(cache.k[layer], cache.v[layer],
+                             jnp.asarray(pt)[None], tuple(qp),
+                             dtype=jnp.float32)
+    pos = hist + np.arange(T)
+    want = gqa_attention(q[None], kk, vv, jnp.asarray(pos)[None],
+                         jnp.asarray([ctx_end]))[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
