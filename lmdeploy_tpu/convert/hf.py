@@ -210,7 +210,12 @@ def convert_hf_llama(state_dict: Dict[str, Any], cfg: ModelConfig,
 
 def load_hf_dir(model_dir: str, dtype=np.float32):
     """Load config + weights from an HF model directory (safetensors or
-    torch .bin) and return (ModelConfig, params)."""
+    torch .bin) and return (ModelConfig, params).  Original meta-llama
+    checkpoint directories (params.json + consolidated.*.pth) dispatch
+    to convert.meta (reference: deploy.py deploy_llama:263)."""
+    from .meta import is_meta_llama, load_meta_dir
+    if is_meta_llama(model_dir):
+        return load_meta_dir(model_dir, dtype)
     with open(osp.join(model_dir, 'config.json')) as f:
         hf_cfg = json.load(f)
     cfg = config_from_hf(hf_cfg, osp.basename(model_dir.rstrip('/')))

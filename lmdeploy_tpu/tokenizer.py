@@ -96,6 +96,90 @@ class HuggingFaceTokenizer:
         return self.model(s)
 
 
+# qwen's tiktoken setup (public tokenization_qwen.py; the reference
+# special-cases this vocab in deploy.py:786-913)
+_QWEN_PAT = (r"""(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+"""
+             r"""|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)"""
+             r"""|\s+""")
+_QWEN_SPECIALS = (['<|endoftext|>', '<|im_start|>', '<|im_end|>']
+                  + [f'<|extra_{i}|>' for i in range(205)])
+
+
+class TiktokenTokenizer:
+    """Native tiktoken backend for qwen-style ``*.tiktoken`` vocab files —
+    no ``trust_remote_code`` execution needed (the reference instead
+    reads the tiktoken vocab in deploy.py:786-913 to rebuild its
+    tokenizer tables).  Byte-level BPE: no sentencepiece prefix-space
+    fixup applies."""
+
+    def __init__(self, model_dir: str):
+        import base64
+        import glob
+
+        import tiktoken
+        vf = sorted(glob.glob(osp.join(model_dir, '*.tiktoken')))[0]
+        ranks = {}
+        with open(vf, 'rb') as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                tok, rank = line.split()
+                ranks[base64.b64decode(tok)] = int(rank)
+        self._special = {t: len(ranks) + i
+                         for i, t in enumerate(_QWEN_SPECIALS)}
+        self.model = tiktoken.Encoding(
+            osp.basename(vf), pat_str=_QWEN_PAT, mergeable_ranks=ranks,
+            special_tokens=self._special)
+        self._containing_cache = {}
+
+    @property
+    def vocab_size(self) -> int:
+        return self.model.n_vocab
+
+    @property
+    def bos_token_id(self) -> Optional[int]:
+        return None                      # qwen has no BOS
+
+    @property
+    def eos_token_id(self) -> Optional[int]:
+        return self._special['<|endoftext|>']
+
+    def encode(self, s: str, add_bos: bool = False,
+               add_eos: bool = False) -> List[int]:
+        # chat templates embed <|im_start|>/<|im_end|> markers — allow all
+        ids = self.model.encode(s, allowed_special='all')
+        if add_eos and self.eos_token_id is not None:
+            ids = ids + [self.eos_token_id]
+        return ids
+
+    def decode(self, t: Sequence[int], offset: Optional[int] = None) -> str:
+        new = list(t)[offset or 0:]
+        return self.model.decode(new, errors='replace')
+
+    def _piece(self, i: int) -> str:
+        try:
+            return self.model.decode_single_token_bytes(i).decode(
+                'utf-8', errors='replace')
+        except KeyError:
+            return ''
+
+    def indexes_containing_token(self, token: str) -> List[int]:
+        hit = self._containing_cache.get(token)
+        if hit is None:
+            hit = [i for i in range(self.model.n_vocab)
+                   if token in self._piece(i)]
+            self._containing_cache[token] = hit
+        return hit
+
+    def __call__(self, s):
+        return {'input_ids': self.encode(s)}
+
+
+def _has_tiktoken_vocab(model_dir: str) -> bool:
+    import glob
+    return bool(glob.glob(osp.join(model_dir, '*.tiktoken')))
+
+
 class Tokenizer:
     """Facade that consumes ``<BOS>``/``<EOS>`` markers from chat templates
     (reference: lmdeploy/turbomind/tokenizer.py:59-69)."""
@@ -105,7 +189,10 @@ class Tokenizer:
             model_dir = model_path
         else:
             model_dir = osp.dirname(model_path) or '.'
-        self.model = HuggingFaceTokenizer(model_dir)
+        if _has_tiktoken_vocab(model_dir):
+            self.model = TiktokenTokenizer(model_dir)
+        else:
+            self.model = HuggingFaceTokenizer(model_dir)
 
     @property
     def vocab_size(self) -> int:

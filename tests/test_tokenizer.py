@@ -117,3 +117,54 @@ def test_stop_string_cross_boundary_encoding_kept():
     seqs = tok.stop_sequences_for(['\n\n'])
     assert [7] in seqs          # containment hit (device stop word)
     assert [3, 3] in seqs       # cross-boundary encoding (host matcher)
+
+
+# ---------------------------------------------------------------------------
+# tiktoken backend (qwen-style vocab; ref deploy.py:786-913)
+# ---------------------------------------------------------------------------
+
+def _write_tiktoken_vocab(tmp_path):
+    """256 single-byte ranks + a few merges — a minimal valid BPE."""
+    import base64
+    lines = []
+    for i in range(256):
+        lines.append(b'%s %d' % (base64.b64encode(bytes([i])), i))
+    for j, merge in enumerate((b'he', b'll', b'llo', b' wo')):
+        lines.append(b'%s %d' % (base64.b64encode(merge), 256 + j))
+    p = tmp_path / 'qwen.tiktoken'
+    p.write_bytes(b'\n'.join(lines) + b'\n')
+    return tmp_path
+
+
+def test_tiktoken_backend_roundtrip(tmp_path):
+    pytest.importorskip('tiktoken')
+    from lmdeploy_tpu.tokenizer import Tokenizer
+    tok = Tokenizer(str(_write_tiktoken_vocab(tmp_path)))
+    from lmdeploy_tpu.tokenizer import TiktokenTokenizer
+    assert isinstance(tok.model, TiktokenTokenizer)
+    s = 'hello world'
+    ids = tok.encode(s)
+    assert tok.decode(ids) == s
+    # merges actually apply (not byte-per-char)
+    assert len(ids) < len(s)
+    # incremental decode: offset slices the new suffix
+    assert tok.decode(ids, offset=len(ids) - 1) == tok.model.decode(
+        ids[len(ids) - 1:])
+    # eos is the first special (<|endoftext|>), right after the ranks
+    assert tok.eos_token_id == 260
+    assert tok.model.bos_token_id is None
+
+
+def test_tiktoken_specials_and_stops(tmp_path):
+    pytest.importorskip('tiktoken')
+    from lmdeploy_tpu.tokenizer import Tokenizer
+    tok = Tokenizer(str(_write_tiktoken_vocab(tmp_path)))
+    # chat-template markers encode as single special ids
+    ids = tok.encode('<|im_start|>hi<|im_end|>')
+    assert ids[0] == 261 and ids[-1] == 262
+    # stop-word expansion through the facade: piece containment works
+    stops = tok.stop_sequences_for(['<|im_end|>'])
+    assert [262] in stops
+    # multi-token stop strings become host-side stop sequences
+    stops = tok.stop_sequences_for(['xy'])
+    assert list(tok.encode('xy')) in stops
