@@ -46,6 +46,14 @@ log = get_logger()
 
 _LEN = struct.Struct('>I')
 
+# frame-size caps: a malformed/hostile peer must not make one recv
+# allocate unbounded memory.  Requests (engine side) are token ids +
+# gen config — 16 MB is orders of magnitude above any real request;
+# outputs (router side) can carry base64 full-vocab logits for long
+# prompt scoring, so the bound is looser but still finite.
+MAX_REQ_FRAME = 16 << 20
+MAX_OUT_FRAME = 1 << 30
+
 
 def _send_frame(sock: socket.socket, obj: dict, lock: threading.Lock):
     data = json.dumps(obj).encode()
@@ -53,7 +61,8 @@ def _send_frame(sock: socket.socket, obj: dict, lock: threading.Lock):
         sock.sendall(_LEN.pack(len(data)) + data)
 
 
-def _recv_frame(sock: socket.socket) -> Optional[dict]:
+def _recv_frame(sock: socket.socket,
+                max_frame: int = MAX_OUT_FRAME) -> Optional[dict]:
     hdr = b''
     while len(hdr) < _LEN.size:
         chunk = sock.recv(_LEN.size - len(hdr))
@@ -61,6 +70,8 @@ def _recv_frame(sock: socket.socket) -> Optional[dict]:
             return None
         hdr += chunk
     n = _LEN.unpack(hdr)[0]
+    if n > max_frame:
+        raise ValueError(f'frame of {n} bytes exceeds cap {max_frame}')
     buf = bytearray()
     while len(buf) < n:
         chunk = sock.recv(min(1 << 16, n - len(buf)))
@@ -132,7 +143,7 @@ def _serve_conn(engine, conn: socket.socket):
     wlock = threading.Lock()
     try:
         while True:
-            frame = _recv_frame(conn)
+            frame = _recv_frame(conn, max_frame=MAX_REQ_FRAME)
             if frame is None:
                 return
             if frame.get('type') == 'metrics':
@@ -157,7 +168,11 @@ def _serve_conn(engine, conn: socket.socket):
 
             threading.Thread(target=drain, daemon=True,
                              name=f'router-drain-{rid}').start()
-    except (OSError, json.JSONDecodeError):
+    except Exception:
+        # per-connection isolation: ANY malformed frame (bad length
+        # prefix, oversize, invalid JSON, missing/invalid fields) drops
+        # THIS connection only — the engine pump and every other router
+        # connection keep serving (tests/test_router.py)
         log.exception('router connection dropped')
     finally:
         conn.close()
