@@ -28,14 +28,29 @@ def _resolve_tokenizer(model_path: str, vocab_size: int):
 def build_engine(model_path: str,
                  engine_config: Optional[EngineConfig] = None,
                  model_name: str = '', tp: int = 1, pp: int = 1,
-                 dp: int = 1, **engine_kw) -> TPUEngine:
-    """Load a workspace (converted) or HF directory and start the engine."""
+                 dp: int = 1, quant_policy: Optional[int] = None,
+                 **engine_kw) -> TPUEngine:
+    """Load a workspace (converted) or HF directory and start the engine.
+
+    ``quant_policy`` overrides the KV-cache policy of whatever engine
+    config is resolved (0 bf16, 4 int8, 8 int4 — reference CLI parity;
+    int4 without calibrated qparams uses dynamic per-token scales)."""
+    import dataclasses
+
     from .convert.converter import is_workspace, load_workspace
 
     kv_scales = None
     if is_workspace(model_path):
         cfg, ws_ecfg, params, kv_scales = load_workspace(model_path)
         engine_config = engine_config or ws_ecfg
+        # measured packed-kernel tile winners (autotune.py --packed)
+        import json as _json
+        import os.path as _osp
+        tune = _osp.join(model_path, 'mm_tune.json')
+        if _osp.exists(tune):
+            from .ops.linear import set_tune_table
+            with open(tune) as f:
+                set_tune_table(_json.load(f))
     else:
         import jax.numpy as jnp
         from .convert.hf import load_hf_dir
@@ -53,6 +68,10 @@ def build_engine(model_path: str,
             engine_config.pp = max(engine_config.pp, pp)
         if dp > 1:
             engine_config.dp = max(engine_config.dp, dp)
+    if quant_policy is not None:
+        # replace re-runs __post_init__, which derives kv_dtype
+        engine_config = dataclasses.replace(engine_config,
+                                            quant_policy=quant_policy)
 
     name = model_name or cfg.model_name
     template_name = name if name in MODELS.module_dict else \

@@ -134,6 +134,10 @@ class TPUEngine:
         if per_head and kv_dtype != jnp.uint8:
             raise ValueError('per-head kv_scales require kv_dtype=int4')
         self._per_head_kv = per_head
+        # int4 pool with NO calibrated qparams -> DYNAMIC per-token-head
+        # scales (default; no calibration needed, ~20x better proxy ppl
+        # than static per-layer scales — kvcache/paged.py)
+        self._dyn_kv = kv_dtype == jnp.uint8 and kv_scales is None
         self._cache_sh = None
         self._state_sharding = None
         if engine_cfg.pp > 1:
@@ -145,7 +149,8 @@ class TPUEngine:
 
             from ..parallel.pp import (PPStepFns, make_mesh_3d,
                                        make_mesh_pp, pp_cache_pspecs,
-                                       pp_param_pspecs)
+                                       pp_param_pspecs,
+                                       prepare_params_for_pp)
             from ..parallel.tp import (DP_AXIS, prepare_params_for_tp,
                                        shard_tree)
             if model_cfg.num_layer % engine_cfg.pp:
@@ -166,11 +171,16 @@ class TPUEngine:
             self._cache_sh = jax.tree.map(
                 lambda s: NamedSharding(self.mesh, s),
                 pp_cache_pspecs(dp_axis=dp_axis,
-                                per_head_scales=self._per_head_kv),
+                                per_head_scales=self._per_head_kv,
+                                token_scales=self._dyn_kv),
                 is_leaf=lambda x: isinstance(x, PartitionSpec))
             self._state_sharding = NamedSharding(self.mesh, state_spec)
             self.cache, self.state = self._alloc_device_state()
             self.params = prepare_params_for_tp(params, model_cfg,
+                                                engine_cfg.tp)
+            # lm_head vocab-shards over (pp, tp): materialize + pad it
+            self.params = prepare_params_for_pp(self.params,
+                                                engine_cfg.pp,
                                                 engine_cfg.tp)
             if self._packed_int4_enabled():
                 from ..parallel.tp import pack_params_for_tp
@@ -182,7 +192,8 @@ class TPUEngine:
             self.fns = PPStepFns(model_cfg, self.mesh,
                                  use_pallas_attn=self._pallas_enabled(),
                                  dp_shard_batch=self.dp > 1,
-                                 per_head_kv_scales=self._per_head_kv)
+                                 per_head_kv_scales=self._per_head_kv,
+                                 token_kv_scales=self._dyn_kv)
         elif engine_cfg.tp > 1 or self.dp > 1:
             # One SPMD program over the (dp, tp) mesh replaces the
             # reference's per-GPU threads + NCCL ranks (turbomind.py:
@@ -202,7 +213,8 @@ class TPUEngine:
             self._cache_sh = jax.tree.map(
                 lambda s: NamedSharding(self.mesh, s),
                 cache_pspecs(dp_axis=dp_axis,
-                             per_head_scales=self._per_head_kv),
+                             per_head_scales=self._per_head_kv,
+                             token_scales=self._dyn_kv),
                 is_leaf=lambda x: isinstance(x, PartitionSpec))
             state_spec = PartitionSpec(DP_AXIS) if self.dp > 1 \
                 else PartitionSpec()
@@ -221,7 +233,8 @@ class TPUEngine:
             self.fns = ShardedStepFns(model_cfg, self.mesh,
                                       use_pallas_attn=self._pallas_enabled(),
                                       dp_shard_batch=self.dp > 1,
-                                      per_head_kv_scales=self._per_head_kv)
+                                      per_head_kv_scales=self._per_head_kv,
+                                      token_kv_scales=self._dyn_kv)
         else:
             self.mesh = None
             if self._packed_int4_enabled():
@@ -274,16 +287,10 @@ class TPUEngine:
                       'spec_emitted': 0, 'spec_fallbacks': 0,
                       'interleaved_rounds': 0, 'prefix_hit_tokens': 0,
                       'ring_rounds': 0}
-        # bubble-free pp ring decode (pp_decode_greedy) eligibility —
-        # static part; the per-round part requires every running slot to
-        # be plain greedy (_all_plain_greedy)
-        self._ring_ok = False
-        if engine_cfg.pp > 1 and engine_cfg.pp_ring_decode:
-            if self.b_local % engine_cfg.pp == 0:
-                self._ring_ok = True
-            else:
-                log.info('pp ring decode disabled: local batch %d not '
-                         'divisible by pp=%d', self.b_local, engine_cfg.pp)
+        # bubble-free pp ring decode eligibility: any local batch rides
+        # the ring (pp_decode_sampled pads indivisible batches with
+        # inactive microbatch rows internally)
+        self._ring_ok = engine_cfg.pp > 1 and engine_cfg.pp_ring_decode
         # adaptive speculative gating: EMA of accepted tokens/round;
         # below break-even the engine falls back to plain rounds and
         # re-probes after a cooloff (speculation must never cost more
@@ -315,7 +322,8 @@ class TPUEngine:
         cache = init_cache(
             self.cfg.num_layer, self.num_pages, self.ecfg.page_size,
             self.cfg.kv_head_num, self.cfg.size_per_head, self._kv_dtype,
-            self._kv_scales, shardings=self._cache_sh)
+            self._kv_scales, shardings=self._cache_sh,
+            dynamic_scales=self._dyn_kv)
         state = init_decode_state(self.ecfg.max_batch_size,
                                   self.max_pages_per_seq, self.session_len,
                                   eos_id=self.cfg.end_id)

@@ -14,8 +14,18 @@ KV-INT8 scheme (quant_policy=4, docs/en/kv_int8.md): static per-layer
 qparams from calibration, symmetric (zp=0) or asymmetric.  INT4
 (beyond-reference, quant_policy=8) packs two q-domain int4 values per
 byte along the head dim — pool dtype uint8 with last dim Dh/2, doubling
-KV capacity vs int8 — with the same static per-layer qparams (zp in the
-q domain, clip [-8, 7]).
+KV capacity vs int8.  Two int4 qparam schemes:
+
+- DYNAMIC per-token-head (default, no calibration needed): each written
+  token's K (and V) vector gets its own asymmetric (scale, min) pair
+  computed at append time over its Dh features and stored in parallel
+  f32 pools [L, P, page_size, KH] (+12.5% of the int4 payload bytes).
+  16 levels span exactly one vector's range, so the accuracy loss is
+  dominated by rounding, not range clipping — measured proxy Δppl is
+  ~20x smaller than static per-layer scales (docs/kv_int8.md).
+- STATIC per-layer / per-head qparams from calibration (kv_qparams
+  --kv-bits 4), q-domain zp, clip [-8, 7] — used when a workspace
+  carries calibrated int4 scales.
 """
 from __future__ import annotations
 
@@ -32,13 +42,16 @@ class KVCache:
     """Device KV pool. k/v: [L, P, page_size, KH, Dh] (bf16 or int8), or
     [L, P, page_size, KH, Dh/2] uint8 for nibble-packed int4.
 
-    k_scale/k_zp/v_scale/v_zp: f32 static quantization parameters —
-    [L] per-layer (int8 pools, reference parity) or [L, KH] per-head
-    (int4 pools, kv_qparams --per-head) — ignored for bf16 storage;
-    exported by lite/kv_qparams from calibration like the reference's
-    past_kv_scale.{rank}.weight files.  NOTE: quantize_kv/dequantize_kv
-    take PER-LAYER SLICES of these arrays (a scalar, or [KH] for
-    per-head), never the full [L]/[L, KH] array.
+    k_scale/k_zp/v_scale/v_zp: f32 quantization parameters —
+    [L] per-layer (int8 pools, reference parity), [L, KH] per-head
+    (int4 pools, kv_qparams --per-head), or [L, P, page_size, KH]
+    DYNAMIC per-token-head pools (int4 default: scale + f-domain min
+    written alongside each token) — ignored for bf16 storage.  Static
+    variants are exported by lite/kv_qparams from calibration like the
+    reference's past_kv_scale.{rank}.weight files.  NOTE:
+    quantize_kv/dequantize_kv take PER-LAYER SLICES of the static
+    arrays (a scalar, or [KH] for per-head), never the full [L]/[L, KH]
+    array.
     """
     k: jnp.ndarray
     v: jnp.ndarray
@@ -46,6 +59,12 @@ class KVCache:
     k_zp: jnp.ndarray
     v_scale: jnp.ndarray
     v_zp: jnp.ndarray
+
+    @property
+    def dynamic_scales(self) -> bool:
+        """Per-token-head dynamic int4 qparam pools (ndim 4) vs static
+        per-layer/per-head calibration arrays."""
+        return self.k_scale.ndim == 4
 
     @property
     def num_pages(self) -> int:
@@ -71,7 +90,8 @@ class KVCache:
 
 def init_cache(num_layers: int, num_pages: int, page_size: int,
                kv_heads: int, head_dim: int, dtype=jnp.bfloat16,
-               kv_scales=None, shardings=None) -> KVCache:
+               kv_scales=None, shardings=None,
+               dynamic_scales: bool = False) -> KVCache:
     """Allocate the pool.  With ``shardings`` (a KVCache pytree of
     NamedSharding) the arrays are created directly sharded — each device
     materializes only its own shard.  Allocating unsharded and
@@ -89,7 +109,15 @@ def init_cache(num_layers: int, num_pages: int, page_size: int,
         scales = tuple(jnp.asarray(x, jnp.float32) for x in kv_scales)
 
     def build():
-        if scales is None:
+        if dynamic_scales:
+            # per-token-head dynamic qparam pools, written by
+            # write_kv_dynamic alongside the nibble payload
+            pshape = (num_layers, num_pages, page_size, kv_heads)
+            ks = jnp.ones(pshape, jnp.float32)
+            kz = jnp.zeros(pshape, jnp.float32)
+            vs = jnp.ones(pshape, jnp.float32)
+            vz = jnp.zeros(pshape, jnp.float32)
+        elif scales is None:
             # NB: four distinct arrays — sharing one buffer breaks jit
             # donation
             ks = jnp.ones((num_layers,), jnp.float32)
@@ -161,6 +189,27 @@ def unpack_kv_int4(p: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=-1)
 
 
+def unpack_kv_uint4(p: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [..., Dh/2] -> UNSIGNED int8 values 0..15, [..., Dh]
+    (dynamic per-token scheme: q-domain is [0, 15], x = q*s + min)."""
+    lo = (p & 0xF).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def quantize_kv_dynamic(x: jnp.ndarray):
+    """Asymmetric per-token-head int4: each [..., Dh] vector quantizes
+    against its OWN (scale, min) so the 16 levels span exactly the
+    vector's range.  Returns (packed uint8 [..., Dh/2], scale [...],
+    mn [...]) with x ~= q*scale + mn."""
+    xf = x.astype(jnp.float32)
+    mn = jnp.min(xf, axis=-1)
+    mx = jnp.max(xf, axis=-1)
+    s = jnp.maximum((mx - mn) / 15.0, 1e-8)
+    q = jnp.clip(jnp.round((xf - mn[..., None]) / s[..., None]), 0, 15)
+    return pack_kv_int4(q.astype(jnp.uint8)), s, mn
+
+
 def write_kv(cache_k: jnp.ndarray, cache_v: jnp.ndarray, layer,
              k_new: jnp.ndarray, v_new: jnp.ndarray,
              positions: jnp.ndarray, page_table: jnp.ndarray,
@@ -190,6 +239,27 @@ def write_kv(cache_k: jnp.ndarray, cache_v: jnp.ndarray, layer,
     return cache_k, cache_v
 
 
+def write_kv_dynamic(cache_k, cache_v, ks_pool, kz_pool, vs_pool, vz_pool,
+                     layer, k_new, v_new, positions, page_table, valid):
+    """Dynamic-int4 variant of :func:`write_kv`: quantizes each token-head
+    vector against its own (scale, min) and scatters the qparams into the
+    parallel [L, P, page, KH] pools at the same (page, slot) indices."""
+    p, page_size = cache_k.shape[1], cache_k.shape[2]
+    page_of = positions // page_size
+    slot_of = positions % page_size
+    phys = jnp.take_along_axis(page_table, page_of, axis=1)
+    phys = jnp.where(valid & (phys >= 0), phys, p)
+    kq, ks, kz = quantize_kv_dynamic(k_new)
+    vq, vs, vz = quantize_kv_dynamic(v_new)
+    cache_k = cache_k.at[layer, phys, slot_of].set(kq, mode='drop')
+    cache_v = cache_v.at[layer, phys, slot_of].set(vq, mode='drop')
+    ks_pool = ks_pool.at[layer, phys, slot_of].set(ks, mode='drop')
+    kz_pool = kz_pool.at[layer, phys, slot_of].set(kz, mode='drop')
+    vs_pool = vs_pool.at[layer, phys, slot_of].set(vs, mode='drop')
+    vz_pool = vz_pool.at[layer, phys, slot_of].set(vz, mode='drop')
+    return cache_k, cache_v, ks_pool, kz_pool, vs_pool, vz_pool
+
+
 def gather_kv_layer(cache_k_l: jnp.ndarray, cache_v_l: jnp.ndarray,
                     page_table: jnp.ndarray, qparams=None,
                     dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -217,6 +287,28 @@ def gather_kv_layer(cache_k_l: jnp.ndarray, cache_v_l: jnp.ndarray,
     return k, v
 
 
-__all__ = ['KVCache', 'init_cache', 'write_kv', 'gather_kv_layer',
-           'quantize_kv', 'dequantize_kv', 'pack_kv_int4',
-           'unpack_kv_int4']
+def gather_kv_layer_dynamic(cache_k_l, cache_v_l, ks_l, kz_l, vs_l, vz_l,
+                            page_table, dtype=jnp.bfloat16):
+    """Dynamic-int4 variant of :func:`gather_kv_layer`: gathers the
+    per-token qparam pools with the same page indirection and applies
+    x = q*scale + min.  ks_l/... are ONE layer's [P, page, KH] slices."""
+    b, max_pages = page_table.shape
+    page_size = cache_k_l.shape[1]
+    idx = jnp.maximum(page_table, 0)
+    kq = unpack_kv_uint4(cache_k_l[idx])     # [B, mp, page, KH, Dh]
+    vq = unpack_kv_uint4(cache_v_l[idx])
+    ks = ks_l[idx][..., None]                # [B, mp, page, KH, 1]
+    kz = kz_l[idx][..., None]
+    vs = vs_l[idx][..., None]
+    vz = vz_l[idx][..., None]
+    k = (kq.astype(jnp.float32) * ks + kz).astype(dtype)
+    v = (vq.astype(jnp.float32) * vs + vz).astype(dtype)
+    kh, dh = k.shape[-2], k.shape[-1]
+    return (k.reshape(b, max_pages * page_size, kh, dh),
+            v.reshape(b, max_pages * page_size, kh, dh))
+
+
+__all__ = ['KVCache', 'init_cache', 'write_kv', 'write_kv_dynamic',
+           'gather_kv_layer', 'gather_kv_layer_dynamic', 'quantize_kv',
+           'quantize_kv_dynamic', 'dequantize_kv', 'pack_kv_int4',
+           'unpack_kv_int4', 'unpack_kv_uint4']

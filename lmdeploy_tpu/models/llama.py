@@ -29,7 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
-from ..kvcache.paged import KVCache, gather_kv_layer, write_kv
+from ..kvcache.paged import (KVCache, gather_kv_layer,
+                             gather_kv_layer_dynamic, write_kv,
+                             write_kv_dynamic)
 from ..ops.attention import gqa_attention
 from ..ops.linear import (PackedInt4Weight, QuantizedWeight, linear,
                           pack_quantized, quant_matmul_packed,
@@ -198,9 +200,14 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
     # this runtime, so it's opt-in (LMDEPLOY_TPU_INT4_KV_KERNEL=1) until
     # the on-chip verdict; per-head int4 qparams always ride XLA (the
     # kernels read scalar per-layer qparams).
+    # the int4 pool's lane (last) dim is dh/2 nibble-packed bytes, so the
+    # kernel additionally needs (dh//2) % 128 == 0 — for the common
+    # dh=128 the lane dim is 64, BELOW the uint8 tile, exactly the
+    # configuration the on-chip A/B must clear before any default flip
     int4_kv_ok = (cache.quant_bits != 4
                   or (_int4_kv_kernel_enabled()
-                      and cache.k_scale.ndim == 1))
+                      and cache.k_scale.ndim == 1
+                      and (dh // 2) % 128 == 0))
     use_pallas_attn = use_pallas_attn and dh % 128 == 0 and int4_kv_ok
 
     # cos/sin (+ logn scale) are position-only and identical for every
@@ -240,13 +247,23 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
     packed_w = {n: w for n, w in params['layers'].items()
                 if isinstance(w, PackedInt4Weight)}
 
+    # dynamic per-token int4 qparams ride the CARRY with the pools they
+    # describe (written during the step); static per-layer/per-head
+    # qparams ride xs as before
+    dyn_kv = cache.quant_bits == 4 and cache.dynamic_scales
+
     def layer_fn(carry, xs):
         # The cache rides the CARRY; KV writes scatter into the full pool
         # (aliased in place by XLA inside the loop) and attention reads it
         # layer-indexed — scan xs/ys or slice-modify-writeback would copy
         # the multi-GB pool every step.
-        h, cache_k, cache_v, layer = carry
-        lw, k_scale, k_zp, v_scale, v_zp = xs
+        if dyn_kv:
+            h, cache_k, cache_v, ks_p, kz_p, vs_p, vz_p, layer = carry
+            lw = xs
+            k_scale = k_zp = v_scale = v_zp = jnp.float32(0)  # placeholders
+        else:
+            h, cache_k, cache_v, layer = carry
+            lw, k_scale, k_zp, v_scale, v_zp = xs
 
         def lin(xx, name, bias=None):
             if name in packed_w:
@@ -259,7 +276,7 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
                 return out
             return linear(xx, lw[name], bias)
         qparams = ((k_scale, k_zp, v_scale, v_zp)
-                   if cache.quantized else None)
+                   if cache.quantized and not dyn_kv else None)
         x = rms_norm(h, lw['attn_norm'], cfg.norm_eps)
         qkv = lin(x, 'wqkv', lw.get('bqkv'))
         q, k, v = _split_qkv(qkv, cfg, tp)
@@ -268,9 +285,16 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
         fused_write = (use_pallas_attn and is_decode
                        and _fused_write_enabled())
         if not fused_write:
-            cache_k, cache_v = write_kv(cache_k, cache_v, layer, k, v,
-                                        batch.positions, batch.page_table,
-                                        batch.valid, qparams)
+            if dyn_kv:
+                (cache_k, cache_v, ks_p, kz_p,
+                 vs_p, vz_p) = write_kv_dynamic(
+                    cache_k, cache_v, ks_p, kz_p, vs_p, vz_p, layer, k, v,
+                    batch.positions, batch.page_table, batch.valid)
+            else:
+                cache_k, cache_v = write_kv(cache_k, cache_v, layer, k, v,
+                                            batch.positions,
+                                            batch.page_table,
+                                            batch.valid, qparams)
         if fused_rope:
             # rope + append + attend, one kernel per layer (mmha parity:
             # cuh:1381-1434); q/k arrive unrotated
@@ -326,8 +350,16 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
                                               keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(cache_v, layer, 0,
                                               keepdims=False)
-            kk, vv = gather_kv_layer(ck, cv, batch.page_table, qparams,
-                                     dtype=q.dtype)
+            if dyn_kv:
+                def didx(x):
+                    return jax.lax.dynamic_index_in_dim(x, layer, 0,
+                                                        keepdims=False)
+                kk, vv = gather_kv_layer_dynamic(
+                    ck, cv, didx(ks_p), didx(kz_p), didx(vs_p),
+                    didx(vz_p), batch.page_table, dtype=q.dtype)
+            else:
+                kk, vv = gather_kv_layer(ck, cv, batch.page_table,
+                                         qparams, dtype=q.dtype)
             o = gqa_attention(q, kk, vv, batch.positions, batch.context_len)
         o = o.reshape(b, t, -1)
         o = lin(o, 'wo')
@@ -345,10 +377,21 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
             f = jax.lax.psum(f, axis)
         h = h + f
         dbg('layer_out', h)   # golden-file debugging (utils/debug.py)
+        if dyn_kv:
+            return (h, cache_k, cache_v, ks_p, kz_p, vs_p, vz_p,
+                    layer + 1), None
         return (h, cache_k, cache_v, layer + 1), None
 
     lw_stacked = {n: w for n, w in params['layers'].items()
                   if n not in packed_w}
+    if dyn_kv:
+        carry0 = (h_res, cache.k, cache.v, cache.k_scale, cache.k_zp,
+                  cache.v_scale, cache.v_zp, jnp.int32(0))
+        (h_out, new_k, new_v, nks, nkz, nvs, nvz, _), _ = jax.lax.scan(
+            layer_fn, carry0, lw_stacked)
+        return h_out, dataclasses.replace(
+            cache, k=new_k, v=new_v, k_scale=nks, k_zp=nkz,
+            v_scale=nvs, v_zp=nvz)
     xs = (lw_stacked, cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)
     (h_out, new_k, new_v, _), _ = jax.lax.scan(
         layer_fn, (h_res, cache.k, cache.v, jnp.int32(0)), xs)

@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kv_bits_of(cache_dtype, quantized: bool) -> int:
+def kv_bits_of(cache_dtype, quantized: bool) -> int:
     """Static pool quantization width: 0 (bf16), 8 (int8) or 4
     (nibble-packed uint8, kvcache/paged.py half-split layout)."""
     if not quantized:
@@ -34,7 +34,7 @@ def _kv_bits_of(cache_dtype, quantized: bool) -> int:
     return 4 if cache_dtype == jnp.uint8 else 8
 
 
-def _dequant_tile(x, scale, zp, kv_bits: int):
+def dequant_tile(x, scale, zp, kv_bits: int):
     """Pool-dtype page tile -> f32.  kv_bits=4 unpacks the half-split
     nibble layout in-register (two slices + concat — lane-friendly, the
     quant_matmul technique) before the static-qparam dequant."""
@@ -92,8 +92,8 @@ def _online_attend(b, ctx, layer, q, page_tables_ref, k_src, v_src,
 
         for c in dma(slot, i):
             c.wait()
-        k = _dequant_tile(k_buf[slot], qp_ref[0], qp_ref[1], kv_bits)
-        v = _dequant_tile(v_buf[slot], qp_ref[2], qp_ref[3], kv_bits)
+        k = dequant_tile(k_buf[slot], qp_ref[0], qp_ref[1], kv_bits)
+        v = dequant_tile(v_buf[slot], qp_ref[2], qp_ref[3], kv_bits)
         k_t = k.transpose(1, 2, 0)                        # [KH, Dh, page]
         v_t = v.transpose(1, 0, 2)                        # [KH, page, Dh]
         qh = q.reshape(kh, g, dh)
@@ -309,7 +309,7 @@ def paged_decode_attention_write(q, k_new, v_new, k_cache, v_cache, layer,
     )
     kernel = functools.partial(
         _decode_write_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
-        kv_bits=_kv_bits_of(k_cache.dtype, quantized), scale=dh ** -0.5)
+        kv_bits=kv_bits_of(k_cache.dtype, quantized), scale=dh ** -0.5)
     # inputs (after the 4 scalar-prefetch args): q, k_new, v_new,
     # k_cache, v_cache, qp -> alias pool inputs onto outputs 0/1
     return pl.pallas_call(
@@ -403,7 +403,7 @@ def paged_decode_attention_rope_write(q, k_new, v_new, cos_f, sin_f,
     )
     kernel = functools.partial(
         _decode_rope_write_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
-        half=half, kv_bits=_kv_bits_of(k_cache.dtype, quantized),
+        half=half, kv_bits=kv_bits_of(k_cache.dtype, quantized),
         scale=dh ** -0.5)
     # inputs (after the 4 prefetch args): q, k_new, v_new, cos_f, sin_f,
     # k_cache, v_cache, qp, qs -> alias pool inputs onto outputs 0/1
@@ -467,7 +467,7 @@ def paged_decode_attention(q, k_cache, v_cache, layer, page_table,
     )
     kernel = functools.partial(
         _decode_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
-        kv_bits=_kv_bits_of(k_cache.dtype, quantized), scale=dh ** -0.5)
+        kv_bits=kv_bits_of(k_cache.dtype, quantized), scale=dh ** -0.5)
 
     def kern(pt, cl, lyr, q_ref, k_hbm, v_hbm, qp_ref, o_ref,
              k_buf, v_buf, sem):

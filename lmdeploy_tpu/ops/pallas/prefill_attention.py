@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .paged_attention import _dequant_tile, _kv_bits_of
+from .paged_attention import dequant_tile, kv_bits_of
 
 Q_BLOCK = 128
 
@@ -69,8 +69,8 @@ def _prefill_kernel(page_table_ref, end_pos_ref, layer_ref,  # prefetch
 
         for c in dma(slot, i):
             c.wait()
-        k = _dequant_tile(k_buf[slot], qp_ref[0], qp_ref[1], kv_bits)
-        v = _dequant_tile(v_buf[slot], qp_ref[2], qp_ref[3], kv_bits)
+        k = dequant_tile(k_buf[slot], qp_ref[0], qp_ref[1], kv_bits)
+        v = dequant_tile(v_buf[slot], qp_ref[2], qp_ref[3], kv_bits)
         k_t = k.transpose(1, 2, 0)                     # [KH, Dh, page]
         v_t = v.transpose(1, 0, 2)                     # [KH, page, Dh]
         s = jax.lax.dot_general(                       # [KH, QB*G, page]
@@ -119,7 +119,7 @@ def paged_prefill_attention_batched(q, k_cache, v_cache, layer, page_tables,
       start_pos: int32 [B] absolute position of each row's q[0].
       context_end: int32 [B] = start_pos + valid chunk length (== start
         for padding rows: they do one masked page pass and write zeros).
-      qparams4: f32 [4] per-layer INT8 qparams.
+      qparams4: f32 [4] per-layer INT8/INT4 qparams.
     Returns [B, T, KH*G, Dh] in q.dtype.
     """
     b, t, h, dh = q.shape
@@ -149,7 +149,7 @@ def paged_prefill_attention_batched(q, k_cache, v_cache, layer, page_tables,
     )
     kernel = functools.partial(
         _prefill_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
-        start_pos=None, kv_bits=_kv_bits_of(k_cache.dtype, quantized),
+        start_pos=None, kv_bits=kv_bits_of(k_cache.dtype, quantized),
         scale=dh ** -0.5)
     end_pos = jnp.stack([jnp.asarray(context_end, jnp.int32),
                          jnp.asarray(start_pos, jnp.int32)])  # [2, B]

@@ -266,14 +266,21 @@ def param_pspecs(params: Dict[str, Any], axis: str = TP_AXIS):
 
 
 def cache_pspecs(axis: str = TP_AXIS, dp_axis: Optional[str] = None,
-                 per_head_scales: bool = False):
+                 per_head_scales: bool = False,
+                 token_scales: bool = False):
     """KVCache spec: KV heads sharded over tp (reference: LlamaV2.cc:111);
     with ``dp_axis`` the page-pool dim additionally shards over dp — each
     dp group owns an independent pool addressed by pool-local page ids.
     ``per_head_scales``: qparams are [L, KH] (int4 pools) and their head
-    dim shards with the KV heads."""
+    dim shards with the KV heads.  ``token_scales``: dynamic per-token
+    qparam pools [L, P, page, KH] shard like the payload pool."""
     from ..kvcache.paged import KVCache
-    s = P(None, axis) if per_head_scales else P()
+    if token_scales:
+        s = P(None, dp_axis, None, axis)
+    elif per_head_scales:
+        s = P(None, axis)
+    else:
+        s = P()
     return KVCache(k=P(None, dp_axis, None, axis, None),
                    v=P(None, dp_axis, None, axis, None),
                    k_scale=s, k_zp=s, v_scale=s, v_zp=s)
@@ -305,7 +312,8 @@ class ShardedStepFns:
 
     def __init__(self, cfg: ModelConfig, mesh: Mesh, *,
                  use_pallas_attn: bool = False, dp_shard_batch: bool = False,
-                 per_head_kv_scales: bool = False):
+                 per_head_kv_scales: bool = False,
+                 token_kv_scales: bool = False):
         """With ``dp_shard_batch`` the batch dim of decode state AND the
         page-pool dim of the KV cache shard over the 'dp' mesh axis — each
         dp group runs an independent continuous batch with its own page
@@ -325,13 +333,15 @@ class ShardedStepFns:
 
         if dp_shard_batch:
             pspecs_cache = cache_pspecs(dp_axis=DP_AXIS,
-                                        per_head_scales=per_head_kv_scales)
+                                        per_head_scales=per_head_kv_scales,
+                                        token_scales=token_kv_scales)
             rep = P(DP_AXIS)   # batch-leading state/batch tensors
             # decode_steps packs outputs batch-LAST: [5, k, B] / [k, B]
             packed_spec = P(None, None, DP_AXIS)
             lp_spec = P(None, DP_AXIS)
         else:
-            pspecs_cache = cache_pspecs(per_head_scales=per_head_kv_scales)
+            pspecs_cache = cache_pspecs(per_head_scales=per_head_kv_scales,
+                                        token_scales=token_kv_scales)
             rep = P()
             packed_spec = P()
             lp_spec = P()

