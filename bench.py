@@ -160,7 +160,7 @@ def _stale_fallback():
     number beats an indefinite hang that records nothing."""
     import os.path as osp
     prev = {}
-    for name in ('BENCH_r02.json', 'BENCH_r01.json'):
+    for name in ('BENCH_r03.json', 'BENCH_r02.json', 'BENCH_r01.json'):
         p = osp.join(osp.dirname(osp.abspath(__file__)), name)
         if osp.exists(p):
             try:
@@ -295,17 +295,15 @@ def main():
     # MFU, prefix-cache TTFT, packed-int4/fused-rope A/B) when present —
     # they take hours on the tunneled chip and can't rerun inside bench
     extra = {}
+    import glob as _glob
     import os.path as _osp
-    for name in ('saturation', 'interleave', 'prefill_mfu', 'prefix_ttft',
-                 'perf_ab', 'risky_ab', 'spec_sampled', 'accuracy'):
-        p = _osp.join(_osp.dirname(_osp.abspath(__file__)),
-                      '.r3', f'{name}.json')
-        if _osp.exists(p):
-            try:
-                with open(p) as f:
-                    extra[name] = json.load(f)
-            except (OSError, ValueError):
-                pass
+    for p in sorted(_glob.glob(_osp.join(
+            _osp.dirname(_osp.abspath(__file__)), '.r4', '*.json'))):
+        try:
+            with open(p) as f:
+                extra[_osp.basename(p)[:-5]] = json.load(f)
+        except (OSError, ValueError):
+            pass
 
     print(json.dumps({
         'metric': 'llama2-7b w4a16 decode tok/s (bs1, 1 in / 512 out)',

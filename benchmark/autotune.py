@@ -75,6 +75,81 @@ def measure_mm_regime(cfg, m: int, iters: int = 20) -> dict:
     return out
 
 
+def measure_packed_block_n(cfg, m: int, block_n: int,
+                           iters: int = 20) -> float:
+    """Time the packed-int4 Pallas kernel at (m, block_n) over the
+    model's GEMM shapes — the reference's Measure over its tile zoo
+    (gemm_s4_f16.cu:98-169).  Returns total ms per call."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from lmdeploy_tpu.ops.pallas.quant_matmul import (pack_nibbles,
+                                                      packed_int4_matmul)
+
+    d, dh = cfg.hidden_size, cfg.size_per_head
+    shapes = [(d, (cfg.head_num + 2 * cfg.kv_head_num) * dh),
+              (cfg.head_num * dh, d), (d, cfg.inter_size),
+              (d, cfg.inter_size), (cfg.inter_size, d)]
+    g = cfg.group_size or 128
+    total = 0.0
+    for k, n in shapes:
+        packed = jnp.asarray(pack_nibbles(
+            np.random.randint(0, 256, (1, k // 2, n)).astype(np.uint8)
+            & 0xF))
+        scales = jnp.full((1, k // g, n), 0.002, jnp.bfloat16)
+        x = jnp.asarray(np.random.randn(m, k), jnp.bfloat16)
+
+        @jax.jit
+        def run(x=x, packed=packed, scales=scales, block_n=block_n):
+            def step(i, acc):
+                return acc + packed_int4_matmul(
+                    x + i.astype(jnp.bfloat16), packed, scales, 0,
+                    block_n=block_n)
+            return jax.lax.fori_loop(0, iters, step,
+                                     jnp.zeros((m, n), jnp.float32))
+        import numpy as _np
+        _np.asarray(run())  # compile
+        t0 = time.perf_counter()
+        _np.asarray(run())
+        total += (time.perf_counter() - t0) / iters
+    return total * 1e3
+
+
+def tune_packed(cfg, model_path: str, write: bool,
+                ms=(1, 4, 8, 16, 32, 64),
+                block_ns=(128, 256, 512, 1024)) -> dict:
+    """Sweep the packed kernel's N tile per (shape, M-bucket) and persist
+    winners into the workspace's mm_tune.json (the repo's gemm_config.in
+    equivalent — reference: generate_gemm_config.py writes the sweep
+    result consumed at engine start)."""
+    from lmdeploy_tpu.ops.linear import tune_key
+
+    d, dh = cfg.hidden_size, cfg.size_per_head
+    shapes = [(d, (cfg.head_num + 2 * cfg.kv_head_num) * dh),
+              (cfg.head_num * dh, d), (d, cfg.inter_size),
+              (d, cfg.inter_size), (cfg.inter_size, d)]
+    table = {}
+    for m in ms:
+        per_bn = {}
+        for bn in block_ns:
+            per_bn[bn] = measure_packed_block_n(cfg, m, bn)
+            print(f'M={m:3d} block_n={bn:5d}: {per_bn[bn]:8.2f} ms',
+                  flush=True)
+        best = min(per_bn, key=per_bn.get)
+        # the sweep times all shapes together; record the winner per shape
+        # key so per-shape loads still resolve
+        for k, n in shapes:
+            table[tune_key(k, n, m)] = best
+        print(f'M={m}: best block_n={best}')
+    if write:
+        path = _osp.join(model_path, 'mm_tune.json')
+        with open(path, 'w') as f:
+            json.dump(table, f, indent=1)
+        print(f'wrote {len(table)} entries -> {path}')
+    return table
+
+
 def main():
     ap = argparse.ArgumentParser('engine autotune')
     ap.add_argument('model_path')
@@ -84,9 +159,18 @@ def main():
                     help='also sweep the quantized-matmul regime '
                          'threshold over M (decode vs prefill row '
                          'counts) and report the crossover')
+    ap.add_argument('--packed', action='store_true',
+                    help='sweep the packed-int4 Pallas kernel N tile '
+                         'per M-bucket and write mm_tune.json')
     ap.add_argument('--write', action='store_true',
                     help='write the best step_length into config.json')
     args = ap.parse_args()
+
+    if args.packed:
+        from lmdeploy_tpu.convert.converter import load_workspace
+        model_cfg = load_workspace(args.model_path)[0]
+        tune_packed(model_cfg, args.model_path, args.write)
+        return
 
     from lmdeploy_tpu.api import build_engine
     engine = build_engine(args.model_path)

@@ -242,6 +242,36 @@ def pack_quantized(qw: QuantizedWeight) -> PackedInt4Weight:
 # compute-bound at large M; the kernel's tiny-M MXU tiles stop paying)
 _PACKED_PALLAS_MAX_M = 64
 
+# measured block_n winners for the packed kernel, keyed
+# "K:N:M-bucket" (M-bucket = next power of two).  The reference ships a
+# ~17-shape kernel zoo picked by Estimate/Measure (gemm_s4_f16.cu:
+# 73-206); here the one tunable is the kernel's N tile.  Populated from
+# the workspace's mm_tune.json (benchmark/autotune.py --packed) via
+# :func:`set_tune_table` at engine start.
+_TUNE_TABLE: dict = {}
+
+
+def set_tune_table(table: dict) -> None:
+    """Install measured packed-kernel tile winners (workspace
+    mm_tune.json, the repo's gemm_config.in equivalent)."""
+    _TUNE_TABLE.clear()
+    _TUNE_TABLE.update(table or {})
+
+
+def _m_bucket(m: int) -> int:
+    b = 1
+    while b < m:
+        b *= 2
+    return b
+
+
+def tune_key(k: int, n: int, m: int) -> str:
+    return f'{k}:{n}:{_m_bucket(m)}'
+
+
+def _tuned_block_n(m: int, k: int, n: int, default: int = 512) -> int:
+    return int(_TUNE_TABLE.get(tune_key(k, n, m), default))
+
 
 def quant_matmul_packed(x2: jnp.ndarray, pw: PackedInt4Weight, layer,
                         *, interpret: bool = False) -> jnp.ndarray:
@@ -254,6 +284,7 @@ def quant_matmul_packed(x2: jnp.ndarray, pw: PackedInt4Weight, layer,
     group = k // g
     if m <= _PACKED_PALLAS_MAX_M:
         out = packed_int4_matmul(x2, pw.packed, pw.scales, layer,
+                                 block_n=_tuned_block_n(m, k, pw.n),
                                  interpret=interpret)
     else:
         # large-M regime: unpack the layer's bytes and ride the measured
@@ -292,24 +323,25 @@ def quant_matmul_dequant(x2: jnp.ndarray, qw: QuantizedWeight) -> jnp.ndarray:
 def _dequant_min_m() -> int:
     """Static-M threshold where the dequant regime takes over.
 
-    MEASURED on the live chip (v5e, 2026-08-17, benchmark/autotune.py
-    --mm-regime over all five 7B GEMM shapes, 20-iter fori loops):
+    MEASURED on the live chip (v5e; two campaigns of benchmark/autotune.py
+    --mm-regime over all five 7B GEMM shapes, serialized fori loops):
 
-        M=4   group  8.69 ms   dequant  9.89 ms   -> group  (+14%)
-        M=16  group 11.54 ms   dequant 11.06 ms   -> dequant (+4%)
-        M=64  group 18.33 ms   dequant 18.58 ms   -> group   (+1%)
+        2026-08-17:  M=4   group  8.69 ms   dequant  9.89 ms -> group (+14%)
+                     M=16  group 11.54 ms   dequant 11.06 ms -> dequant (+4%)
+        2026-08-18:  M=32  group 41.6 ms    dequant 30.5 ms  -> dequant (1.36x)
+                     M=64  group 54.2 ms    dequant 41.2 ms  -> dequant (1.32x)
+                     M=512 group 847.6 ms   dequant 274.5 ms -> dequant (3.1x)
 
-    No crossover up to M=64: the two regimes are within ~4% at every
-    prefill/verify row count that the engine's buckets actually emit, so
-    the default keeps the batched-group path for every M (one compiled
-    formulation, no regime-switch recompiles).  The M=128 point wedged
-    the runtime mid-compile (3 h no progress, killed) — consistent with
-    this stack's history of pathological compiles for novel matmul
-    formulations; do not re-measure without a runtime upgrade.  The
-    dequant regime stays available via LMDEPLOY_TPU_DEQUANT_MIN_M
-    (e.g. 16) for future runtimes where big-M behavior may differ."""
+    The batched-group formulation's [G, M, N] partial sums grow with M
+    while dequant's one [K, N] bf16 materialization amortizes, so dequant
+    takes over from M=16 up — decisively at prefill M (3.1x at 512).  The
+    crossover sits between M=4 and M=16; default 16 keeps decode (M<=8)
+    and small spec-verify on the group path and sends prefill + large
+    verify batches to dequant.  (The old "M=128 wedges the compiler"
+    caveat is STALE: M=128/256/512 compile fine on the 2026-08-18
+    runtime.)  Override via LMDEPLOY_TPU_DEQUANT_MIN_M."""
     import os
-    return int(os.environ.get('LMDEPLOY_TPU_DEQUANT_MIN_M', str(1 << 30)))
+    return int(os.environ.get('LMDEPLOY_TPU_DEQUANT_MIN_M', '16'))
 
 
 def linear(x: jnp.ndarray, w, bias: Optional[jnp.ndarray] = None,
@@ -345,4 +377,5 @@ def linear(x: jnp.ndarray, w, bias: Optional[jnp.ndarray] = None,
 
 __all__ = ['QuantizedWeight', 'PackedInt4Weight', 'pack_int4',
            'unpack_int4', 'pack_quantized', 'quantize_weight_int4',
-           'dequantize', 'quant_matmul', 'quant_matmul_packed', 'linear']
+           'dequantize', 'quant_matmul', 'quant_matmul_packed', 'linear',
+           'set_tune_table', 'tune_key']
