@@ -223,7 +223,7 @@ def run(dst: str = '/tmp/lmdeploy_tpu_proxy', steps: int = 400,
     results = ppl_run(
         dst, dataset=f'file:{eval_path}', nsamples=nsamples, seqlen=seqlen,
         configs=['bf16', 'w4a16', 'w4a16_awq', 'kv_int8', 'kv_int8_sym',
-                 'kv_int4', 'kv_int4_ph'],
+                 'kv_int4', 'kv_int4_ph', 'kv_int4_dyn'],
         group_size=group_size, oracle=True)
     base = results['bf16']
     table = {k: {'ppl': round(v, 4), 'delta': round(v - base, 4)}

@@ -32,11 +32,17 @@ def measure_decode(engine, steps: int, tokens: int = 96) -> float:
     return out.num_generated / (time.perf_counter() - t0)
 
 
-def measure_mm_regime(cfg, m: int, iters: int = 20) -> dict:
+def measure_mm_regime(cfg, m: int, iters: int = 20,
+                      repeats: int = 3) -> dict:
     """Measure both quantized-matmul regimes at batch-row count ``m`` for
     the model's GEMM shapes — the reference's Measure autotune analogue
     (gemm_s4_f16.cu:98-169 times every kernel in its zoo per shape).
-    Returns {'group': ms, 'dequant': ms} per-call totals."""
+    Returns {'group': ms, 'dequant': ms} per-call totals.
+
+    Timing discipline (CLAUDE.md hard-won facts): the host<->TPU link
+    costs ~35 ms per round trip, so each measurement subtracts an
+    empty-fori-loop baseline and takes the min of ``repeats`` wall
+    timings of one in-jit ``iters``-long loop."""
     import numpy as np
 
     import jax
@@ -49,6 +55,24 @@ def measure_mm_regime(cfg, m: int, iters: int = 20) -> dict:
               (cfg.head_num * dh, d), (d, cfg.inter_size),
               (d, cfg.inter_size), (cfg.inter_size, d)]
     g = cfg.group_size or 128
+
+    def timed(fn):
+        np.asarray(fn())  # compile
+        best = min(_time_once(fn) for _ in range(repeats))
+        return best
+
+    def _time_once(fn):
+        t0 = time.perf_counter()
+        np.asarray(fn())
+        return time.perf_counter() - t0
+
+    @jax.jit
+    def empty(x=jnp.zeros((8, 8), jnp.float32)):
+        def step(i, acc):
+            return acc
+        return jax.lax.fori_loop(0, iters, step, x)
+    rtt = timed(empty)
+
     out = {}
     for name, mm in (('group', quant_matmul),
                      ('dequant', quant_matmul_dequant)):
@@ -67,10 +91,7 @@ def measure_mm_regime(cfg, m: int, iters: int = 20) -> dict:
                     return acc + mm(x + i.astype(jnp.bfloat16), qw)
                 return jax.lax.fori_loop(0, iters, step,
                                          jnp.zeros((m, n), jnp.float32))
-            np.asarray(run())  # compile
-            t0 = time.perf_counter()
-            np.asarray(run())
-            total += (time.perf_counter() - t0) / iters
+            total += max(timed(run) - rtt, 0.0) / iters
         out[name] = total * 1e3
     return out
 

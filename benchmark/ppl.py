@@ -103,6 +103,9 @@ def build_variant(model_path: str, variant: str, group_size: int,
                  (beyond-reference quant_policy=8; 2x KV capacity).
     kv_int4_ph — same with per-head [L, KH] qparams (kv_qparams
                  --per-head; measured worse than per-layer, docs).
+    kv_int4_dyn — INT4 KV with DYNAMIC per-token-head scales (the
+                 engine default for int4 without calibrated qparams;
+                 no calibration pass at all).
     """
     import jax.numpy as jnp
 
@@ -147,6 +150,10 @@ def build_variant(model_path: str, variant: str, group_size: int,
                           group_size=group_size, layer_prefix=prefix)
         params = convert_hf_llama(sd, cfg, _np.float32)
         params = quantize_params(params, cfg, group_size=group_size)
+        return TPUEngine(cfg, ecfg, params)
+    if variant == 'kv_int4_dyn':
+        import dataclasses
+        ecfg = dataclasses.replace(ecfg, quant_policy=8, kv_dtype='int4')
         return TPUEngine(cfg, ecfg, params)
     if variant in ('kv_int8', 'kv_int8_sym', 'kv_int4', 'kv_int4_ph'):
         import tempfile

@@ -374,6 +374,14 @@ class TPUEngine:
                             * self.cfg.size_per_head * elem_bytes
                             // max(1, self.ecfg.tp)
                             // max(1, self.ecfg.pp))
+        if self.ecfg.kv_dtype == 'int4':
+            # dynamic per-token qparam pools: 4 f32 values per token-head
+            # (runs before kv_scales are known; counting them for static-
+            # qparams int4 too just under-sizes the pool by ~12%)
+            bytes_per_tok += int(self.cfg.num_layer * 4 * 4
+                                 * self.cfg.kv_head_num
+                                 // max(1, self.ecfg.tp)
+                                 // max(1, self.ecfg.pp))
         budget = None
         try:
             stats = jax.devices()[0].memory_stats()

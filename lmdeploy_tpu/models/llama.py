@@ -417,7 +417,13 @@ def lm_head_logits(params: Dict[str, Any], h_out: jnp.ndarray,
             h_out, last[:, None, None], axis=1)[:, 0]  # [B, D]
     lm_head = params.get('lm_head')
     if lm_head is None:
+        # tied embeddings: the lookup table is REPLICATED (param_pspecs),
+        # so the fallback logits are already full-vocab on every shard —
+        # gathering would concatenate duplicate copies.  Sharded runs
+        # materialize an explicit lm_head at prepare time
+        # (prepare_params_for_tp / prepare_params_for_pp).
         lm_head = params['tok_embedding'].T
+        axis = None
     logits = jnp.dot(h_out.astype(lm_head.dtype), lm_head,
                      preferred_element_type=jnp.float32)
     if axis:

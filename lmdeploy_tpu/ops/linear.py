@@ -331,17 +331,21 @@ def _dequant_min_m() -> int:
         2026-08-18:  M=32  group 41.6 ms    dequant 30.5 ms  -> dequant (1.36x)
                      M=64  group 54.2 ms    dequant 41.2 ms  -> dequant (1.32x)
                      M=512 group 847.6 ms   dequant 274.5 ms -> dequant (3.1x)
+        2026-08-19:  M=16  group  9.59 ms   dequant 10.5 ms  -> group (+9%)
+                     M=32  group 13.16 ms   dequant 13.04 ms -> tie
+                     M=64  group 25.96 ms   dequant 19.61 ms -> dequant (1.32x)
 
     The batched-group formulation's [G, M, N] partial sums grow with M
-    while dequant's one [K, N] bf16 materialization amortizes, so dequant
-    takes over from M=16 up — decisively at prefill M (3.1x at 512).  The
-    crossover sits between M=4 and M=16; default 16 keeps decode (M<=8)
-    and small spec-verify on the group path and sends prefill + large
-    verify batches to dequant.  (The old "M=128 wedges the compiler"
-    caveat is STALE: M=128/256/512 compile fine on the 2026-08-18
+    while dequant's one [K, N] bf16 materialization amortizes, so
+    dequant takes over decisively from M=64 up (3.1x at prefill M=512).
+    M=16 flips between campaigns (noise-level); M=32 is a tie on the
+    fresh run and 1.36x dequant on the 08-18 run — default 32 keeps
+    decode (M<=8) and small spec-verify on the group path and loses
+    nothing at the boundary on either dataset.  (The old "M=128 wedges
+    the compiler" caveat is STALE: M=128/256/512 compile fine on this
     runtime.)  Override via LMDEPLOY_TPU_DEQUANT_MIN_M."""
     import os
-    return int(os.environ.get('LMDEPLOY_TPU_DEQUANT_MIN_M', '16'))
+    return int(os.environ.get('LMDEPLOY_TPU_DEQUANT_MIN_M', '32'))
 
 
 def linear(x: jnp.ndarray, w, bias: Optional[jnp.ndarray] = None,

@@ -193,3 +193,22 @@ def test_packed_with_fused_rope_decode_parity(monkeypatch):
     assert np.asarray(tok_ref).tolist() == np.asarray(tok).tolist()
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
                                rtol=0.05, atol=0.05)
+
+
+def test_tune_table_block_n_selection():
+    """mm_tune.json winners steer the packed kernel's N tile; unknown
+    shapes fall back to the default (gemm_config.in-equivalent plumbing,
+    benchmark/autotune.py --packed)."""
+    from lmdeploy_tpu.ops.linear import (_tuned_block_n, set_tune_table,
+                                         tune_key)
+    try:
+        set_tune_table({tune_key(4096, 12288, 3): 256})
+        # M=3 buckets to 4 -> same key
+        assert tune_key(4096, 12288, 3) == '4096:12288:4'
+        assert _tuned_block_n(3, 4096, 12288) == 256
+        assert _tuned_block_n(4, 4096, 12288) == 256
+        # different M bucket / shape -> default
+        assert _tuned_block_n(8, 4096, 12288) == 512
+        assert _tuned_block_n(3, 4096, 11008) == 512
+    finally:
+        set_tune_table({})
