@@ -62,6 +62,16 @@ def _fused_write_enabled() -> bool:
     return os.environ.get('LMDEPLOY_TPU_FUSED_ATTN', '1') == '1'
 
 
+def _weights_by_index_enabled() -> bool:
+    """Quantized weights closed over whole and dynamic-indexed INSIDE the
+    layer body instead of riding the scan xs (whose slices the round-4
+    decode trace showed materialized as full-bandwidth scratch copies —
+    weights streamed TWICE).  Opt-in via LMDEPLOY_TPU_WEIGHTS_BY_INDEX=1
+    pending the on-chip A/B."""
+    import os
+    return os.environ.get('LMDEPLOY_TPU_WEIGHTS_BY_INDEX', '0') == '1'
+
+
 def _fused_rope_enabled() -> bool:
     """Rope fused INTO the decode append+attend kernel (one kernel per
     layer, like the reference mmha cuh:1381-1434).  Off until measured
@@ -247,6 +257,18 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
     packed_w = {n: w for n, w in params['layers'].items()
                 if isinstance(w, PackedInt4Weight)}
 
+    # LMDEPLOY_TPU_WEIGHTS_BY_INDEX=1: keep quantized weights OUT of the
+    # scan xs and dynamic-index them inside the body instead.  The
+    # round-4 decode trace showed the scan-xs weight slices being
+    # MATERIALIZED as full-bandwidth scratch copies before the
+    # convert-dots re-read them (~8.9 ms of the 17 ms step — weights
+    # stream twice); in-body indexing gives XLA the chance to fuse the
+    # slice into the dot's operand read.  Opt-in pending an on-chip A/B.
+    indexed_w = {}
+    if _weights_by_index_enabled():
+        indexed_w = {n: w for n, w in params['layers'].items()
+                     if isinstance(w, QuantizedWeight)}
+
     # dynamic per-token int4 qparams ride the CARRY with the pools they
     # describe (written during the step); static per-layer/per-head
     # qparams ride xs as before
@@ -274,6 +296,15 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
                 if bias is not None:
                     out = out + bias.astype(out.dtype)
                 return out
+            if name in indexed_w:
+                w = indexed_w[name]
+
+                def didx(a):
+                    return jax.lax.dynamic_index_in_dim(a, layer, 0,
+                                                        keepdims=False)
+                return linear(xx, QuantizedWeight(
+                    qvals=didx(w.qvals), scales=didx(w.scales),
+                    zeros=didx(w.zeros)), bias)
             return linear(xx, lw[name], bias)
         qparams = ((k_scale, k_zp, v_scale, v_zp)
                    if cache.quantized and not dyn_kv else None)
@@ -383,7 +414,7 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
         return (h, cache_k, cache_v, layer + 1), None
 
     lw_stacked = {n: w for n, w in params['layers'].items()
-                  if n not in packed_w}
+                  if n not in packed_w and n not in indexed_w}
     if dyn_kv:
         carry0 = (h_res, cache.k, cache.v, cache.k_scale, cache.k_zp,
                   cache.v_scale, cache.v_zp, jnp.int32(0))
