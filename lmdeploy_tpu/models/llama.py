@@ -62,6 +62,18 @@ def _fused_write_enabled() -> bool:
     return os.environ.get('LMDEPLOY_TPU_FUSED_ATTN', '1') == '1'
 
 
+def _unroll_layers() -> int:
+    """lax.scan unroll factor for the layer loop
+    (LMDEPLOY_TPU_UNROLL_LAYERS, default 1).  Full unroll turns the
+    scan-xs weight slices into STATIC slices XLA can fuse into the dot
+    operand reads — the round-4 decode trace showed the dynamic slices
+    materialized as full-bandwidth scratch copies (~8.9 ms of the 17 ms
+    bs1 step, weights streamed twice).  Costs compile time
+    (body x layers) — opt-in pending the on-chip A/B."""
+    import os
+    return int(os.environ.get('LMDEPLOY_TPU_UNROLL_LAYERS', '1'))
+
+
 def _weights_by_index_enabled() -> bool:
     """Quantized weights closed over whole and dynamic-indexed INSIDE the
     layer body instead of riding the scan xs (whose slices the round-4
@@ -415,17 +427,19 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
 
     lw_stacked = {n: w for n, w in params['layers'].items()
                   if n not in packed_w and n not in indexed_w}
+    unroll = min(_unroll_layers(), cfg.num_layer)
     if dyn_kv:
         carry0 = (h_res, cache.k, cache.v, cache.k_scale, cache.k_zp,
                   cache.v_scale, cache.v_zp, jnp.int32(0))
         (h_out, new_k, new_v, nks, nkz, nvs, nvz, _), _ = jax.lax.scan(
-            layer_fn, carry0, lw_stacked)
+            layer_fn, carry0, lw_stacked, unroll=unroll)
         return h_out, dataclasses.replace(
             cache, k=new_k, v=new_v, k_scale=nks, k_zp=nkz,
             v_scale=nvs, v_zp=nvz)
     xs = (lw_stacked, cache.k_scale, cache.k_zp, cache.v_scale, cache.v_zp)
     (h_out, new_k, new_v, _), _ = jax.lax.scan(
-        layer_fn, (h_res, cache.k, cache.v, jnp.int32(0)), xs)
+        layer_fn, (h_res, cache.k, cache.v, jnp.int32(0)), xs,
+        unroll=unroll)
     return h_out, dataclasses.replace(cache, k=new_k, v=new_v)
 
 

@@ -226,8 +226,8 @@ def _decode_rope_write_kernel(page_tables_ref, ctx_len_ref, layer_ref,
     wr_slot = jax.lax.rem(pos, page_size)
     phys_w = page_tables_ref[b, wr_page]
 
-    cos_f = cos_ref[0]                                    # [Dh] f32
-    sin_f = sin_ref[0]
+    cos_f = cos_ref[0, 0]                                 # [Dh] f32
+    sin_f = sin_ref[0, 0]
     k_rot = _rope_full(kn_ref[0], cos_f, sin_f, half)     # [KH, Dh] f32
 
     kq_buf[:] = _quant_pack(k_rot, qp_ref[0], qp_ref[1], kv_bits,
@@ -377,9 +377,12 @@ def paged_decode_attention_rope_write(q, k_new, v_new, cos_f, sin_f,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kh, dh), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dh), lambda i, *_: (i, 0),
+            # [B, 1, Dh] with block (1, 1, dh): the unit sublane dim
+            # satisfies Mosaic's block-mapping rule ((1, dh) on [B, dh]
+            # does not — chip-verified lowering error)
+            pl.BlockSpec((1, 1, dh), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dh), lambda i, *_: (i, 0),
+            pl.BlockSpec((1, 1, dh), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -419,7 +422,8 @@ def paged_decode_attention_rope_write(q, k_new, v_new, cos_f, sin_f,
         interpret=interpret,
     )(jnp.maximum(page_table, 0), context_len,
       jnp.reshape(layer, (1,)).astype(jnp.int32),
-      valid.astype(jnp.int32), q, k_new, v_new, cos_f, sin_f,
+      valid.astype(jnp.int32), q, k_new, v_new,
+      cos_f[:, None, :], sin_f[:, None, :],
       k_cache, v_cache, jnp.asarray(qparams4, jnp.float32),
       qscale.astype(jnp.float32))
 

@@ -78,8 +78,8 @@ def _mm_kernel(layer_ref,                       # scalar prefetch
                             preferred_element_type=jnp.float32)
     b = jax.lax.dot_general(xhi_ref[...], hi, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    acc = (a * slo_ref[0, 0].astype(jnp.float32)
-           + b * shi_ref[0, 0].astype(jnp.float32))
+    acc = (a * slo_ref[0, 0, 0].astype(jnp.float32)
+           + b * shi_ref[0, 0, 0].astype(jnp.float32))
 
     @pl.when(g == 0)
     def _init():
@@ -140,10 +140,15 @@ def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, group, bn), lambda ni, gi, lr: (lr[0], gi, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn), lambda ni, gi, lr: (lr[0], gi, ni),
+            # scales carry a unit sublane dim ([L, G, 1, N]): Mosaic
+            # requires the block's second-to-last dim be a multiple of 8
+            # OR equal to the array dim — (1, bn) on [..., 1, N] is legal
+            # where (1, bn) on [..., G, N] is not (chip-verified)
+            pl.BlockSpec((1, 1, 1, bn), lambda ni, gi, lr: (lr[0], gi, 0,
+                                                            ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn),
-                         lambda ni, gi, lr: (lr[0], g2 + gi, ni),
+            pl.BlockSpec((1, 1, 1, bn),
+                         lambda ni, gi, lr: (lr[0], g2 + gi, 0, ni),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((mp, bn), lambda ni, gi, lr: (0, ni),
@@ -155,7 +160,7 @@ def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
         interpret=interpret,
     )(jnp.reshape(layer, (1,)).astype(jnp.int32),
-      x_lo, x_hi, packed, scales, scales)
+      x_lo, x_hi, packed, scales[:, :, None, :], scales[:, :, None, :])
     return out[:m]
 
 
