@@ -39,8 +39,11 @@ def dequant_tile(x, scale, zp, kv_bits: int):
     nibble layout in-register (two slices + concat — lane-friendly, the
     quant_matmul technique) before the static-qparam dequant."""
     if kv_bits == 4:
-        lo = (x & 0xF).astype(jnp.int32)
-        hi = (x >> 4).astype(jnp.int32)
+        # widen to i32 BEFORE shifting: Mosaic cannot legalize u8 shifts
+        # (arith.shrui — chip-verified in the packed-weight kernel)
+        x32 = x.astype(jnp.int32)
+        lo = x32 & 0xF
+        hi = x32 >> 4
         q = jnp.concatenate([lo, hi], axis=-1)
         return (((q ^ 8) - 8).astype(jnp.float32) - zp) * scale
     if kv_bits == 8:
@@ -51,11 +54,12 @@ def dequant_tile(x, scale, zp, kv_bits: int):
 def _quant_pack(x_f32, scale, zp, kv_bits: int, out_dtype):
     """f32 [..., Dh] -> pool dtype ([..., Dh/2] uint8 when kv_bits=4)."""
     if kv_bits == 4:
+        # pack in i32 and narrow LAST (u8 shifts fail Mosaic
+        # legalization, see dequant_tile)
         q = jnp.clip(jnp.round(x_f32 / scale + zp), -8, 7) \
-               .astype(jnp.int32)
-        u = (q & 0xF).astype(jnp.uint8)
-        dh2 = u.shape[-1] // 2
-        return u[..., :dh2] | (u[..., dh2:] << 4)
+               .astype(jnp.int32) & 0xF
+        dh2 = q.shape[-1] // 2
+        return (q[..., :dh2] | (q[..., dh2:] << 4)).astype(jnp.uint8)
     if kv_bits == 8:
         q = jnp.round(x_f32 / scale + zp)
         return jnp.clip(q, -128, 127).astype(out_dtype)

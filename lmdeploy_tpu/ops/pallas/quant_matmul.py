@@ -69,11 +69,13 @@ def _mm_kernel(layer_ref,                       # scalar prefetch
     g = pl.program_id(1)
 
     wp = w_ref[0]                               # [group, BN] u8
-    # Mosaic has no native u8->bf16 convert (measured: unsupported cast
-    # error); widen through int32 on the VPU, then narrow into the MXU
-    # feed.  The nibble split itself is two VPU ops.
-    lo = (wp & 0xF).astype(jnp.int32).astype(jnp.bfloat16)
-    hi = (wp >> 4).astype(jnp.int32).astype(jnp.bfloat16)
+    # Mosaic has no native u8->bf16 convert NOR u8 shifts (arith.shrui
+    # fails to legalize — chip-verified); widen to int32 FIRST, do the
+    # nibble split there (i32 shrsi on 0..255 == shrui), then narrow
+    # into the MXU feed.
+    w32 = wp.astype(jnp.int32)
+    lo = (w32 & 0xF).astype(jnp.bfloat16)
+    hi = (w32 >> 4).astype(jnp.bfloat16)
     a = jax.lax.dot_general(xlo_ref[...], lo, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     b = jax.lax.dot_general(xhi_ref[...], hi, (((1,), (0,)), ((), ())),
