@@ -64,12 +64,18 @@ def _fused_write_enabled() -> bool:
 
 def _unroll_layers() -> int:
     """lax.scan unroll factor for the layer loop
-    (LMDEPLOY_TPU_UNROLL_LAYERS, default 1).  Full unroll turns the
-    scan-xs weight slices into STATIC slices XLA can fuse into the dot
-    operand reads — the round-4 decode trace showed the dynamic slices
-    materialized as full-bandwidth scratch copies (~8.9 ms of the 17 ms
-    bs1 step, weights streamed twice).  Costs compile time
-    (body x layers) — opt-in pending the on-chip A/B."""
+    (LMDEPLOY_TPU_UNROLL_LAYERS, default 1).
+
+    MEASURED VERDICT (v5e, 2026-08-19): full unroll (32) is 40% SLOWER —
+    35.8 vs 59.7 tok/s bs1.  The hypothesis (turn the scan-xs weight
+    slices into fusable static slices) was wrong in a useful way: the
+    while-loop's copy-start slices are ASYNC PREFETCHES that
+    double-buffer the next layer's weights during compute, and the
+    unrolled form loses that pipelining.  Do not enable; kept only as a
+    measurement knob.  The remaining 17.4-vs-10.6 ms/step gap is the
+    slice-copy stream not fully overlapping the dots' own HBM reads —
+    weights effectively stream closer to twice; the packed-int4 Pallas
+    kernel (one stream, half bytes, no staging copy) is the real fix."""
     import os
     return int(os.environ.get('LMDEPLOY_TPU_UNROLL_LAYERS', '1'))
 
