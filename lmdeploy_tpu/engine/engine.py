@@ -355,12 +355,22 @@ class TPUEngine:
         return getattr(pallas_ops, 'PAGED_ATTENTION_AVAILABLE', False)
 
     def _packed_int4_enabled(self) -> bool:
-        """Opt-in (LMDEPLOY_TPU_PACKED_INT4=1) true 4-bit packed weight
-        residency until the on-chip A/B lands; requires the Pallas path
-        and int4 weights."""
+        """True 4-bit packed weight residency (in-dot Pallas nibble
+        unpack): DEFAULT ON on real TPU — measured 900 GB/s effective
+        packed-byte streaming with full-N kernel tiles, i.e. half the
+        byte-per-int4 path's HBM traffic AND no scan-xs slice copies
+        (.r4/kernel_tune3.log).  CPU defaults OFF (interpret-mode Pallas
+        is test-only).  Override either way: LMDEPLOY_TPU_PACKED_INT4=
+        0/1.  Unpackable weight shapes fall back per-weight inside
+        pack_params."""
         import os
-        if os.environ.get('LMDEPLOY_TPU_PACKED_INT4', '0') != '1':
+        v = os.environ.get('LMDEPLOY_TPU_PACKED_INT4', '')
+        if v == '0':
             return False
+        if v != '1':
+            import jax
+            if jax.devices()[0].platform != 'tpu':
+                return False
         return self.cfg.weight_type == 'int4' and self._pallas_enabled()
 
     def _derive_num_pages(self) -> int:
@@ -853,7 +863,13 @@ class TPUEngine:
             return
         try:
             self.stats['interleaved_rounds'] += 1
-            self._decode_round(min(k, self.ecfg.step_length))
+            # snap to a round length normal operation has ALREADY
+            # compiled (1 = admission ramp, step_length = steady state):
+            # a novel length jits a third scan program on the first long
+            # admission, stalling running slots ~5.7s mid-stream
+            # (measured on-chip, .r4/interleave.json gap_max)
+            k = self.ecfg.step_length if k >= self.ecfg.step_length else 1
+            self._decode_round(k)
         except Exception:
             log.exception('interleaved decode round failed')
             self._fail_all()

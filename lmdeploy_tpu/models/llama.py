@@ -177,13 +177,24 @@ def quantize_params(params: Dict[str, Any], cfg: ModelConfig,
     return out
 
 
+def packable(w) -> bool:
+    """Whether a :class:`QuantizedWeight` can take sub-byte residency:
+    the half-split pack needs an even group count and the Pallas kernel
+    needs a lane-aligned N tile."""
+    g = w.scales.shape[-2]
+    return w.k % 2 == 0 and g % 2 == 0 and w.n % 128 == 0
+
+
 def pack_params(params: Dict[str, Any]) -> Dict[str, Any]:
     """Convert stacked :class:`QuantizedWeight` layers to true sub-byte
     :class:`PackedInt4Weight` residency (halves W4A16 HBM traffic and
-    weight memory; decode rides the Pallas packed kernel)."""
+    weight memory; decode rides the Pallas packed kernel).  Weights whose
+    shape can't pack (odd group count / unaligned N — tiny test models)
+    stay byte-per-int4; the forward dispatches per-weight, so mixed
+    residency is fine."""
     layers = dict(params['layers'])
     for name, w in list(layers.items()):
-        if isinstance(w, QuantizedWeight):
+        if isinstance(w, QuantizedWeight) and packable(w):
             layers[name] = pack_quantized(w)
     out = dict(params)
     out['layers'] = layers

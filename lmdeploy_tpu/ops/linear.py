@@ -12,13 +12,22 @@ measured exhaustively (v5e, serialized in-jit timing):
 - uint8 -> bf16 convert fused into dot:  623 GB/s of u8 traffic
 - uint4 via bitcast_convert_type: 34 GB/s (XLA materializes + relayouts
   the sub-byte buffer), u4 jit args/constants: broken/UNIMPLEMENTED in
-  this jax build, Pallas/Mosaic nibble unpack: 58 GB/s (no native
-  sub-byte converts).
+  this jax build, STANDALONE Pallas/Mosaic nibble unpack: 58 GB/s (the
+  2x-sized unpacked buffer dominates).
+- IN-DOT Pallas nibble unpack (ops/pallas/quant_matmul.py) with full-N
+  kernel tiles: 900 GB/s EFFECTIVE on packed bytes — true sub-byte
+  residency at HBM speed (round 4, .r4/kernel_tune3.log).  The same
+  stacked-layer kernel also kills the scan-xs weight-slice copies that
+  made XLA's byte path stream weights ~2x.
 
-So W4A16 weights live in HBM as ONE int4 VALUE PER uint8 BYTE (`qvals`)
-— 2x the bytes of ideal int4 packing but the fastest quantized path the
-hardware stack exposes (1.45x bf16 per-weight).  The on-disk workspace
-format stays truly 4-bit packed (pack_int4/unpack_int4 at save/load).
+So the DEFAULT W4A16 residency on TPU is the nibble-packed
+:class:`PackedInt4Weight` riding that kernel (engine packs at startup).
+:class:`QuantizedWeight` — ONE int4 VALUE PER uint8 BYTE (`qvals`) — is
+the load/compute-regime form: XLA prefill/large-M paths consume it, CPU
+tests default to it (interpret-mode Pallas is slow), and unpackable
+shapes (odd group count, unaligned N) stay on it.  The on-disk
+workspace format stays truly 4-bit packed (pack_int4/unpack_int4 at
+save/load).
 
 Per-group asymmetric dequant w = (q - z) * s is algebraically moved OUT
 of the weight path:  x @ w = sum_g (x_g @ q_g) * s_g - rowsum_g(x)@(s*z)
@@ -205,9 +214,14 @@ class PackedInt4Weight:
     dequant GEMM (gemm_s_f16/common.h:115-156); here the Pallas kernel
     ops/pallas/quant_matmul.py plays that role — HBM traffic is half of
     :class:`QuantizedWeight`'s byte-per-int4 and weight residency halves.
+
+    ``scales`` carries a unit sublane dim ([L, G, 1, N]) PRE-SHAPED for
+    the kernel's block spec: reshaping inside the layer scan relayouts
+    the full array every loop iteration (measured ~half the decode step,
+    .r4/trace_packed.log — XLA does not hoist the copy).
     """
     packed: jnp.ndarray   # uint8 [L, K/2, N]
-    scales: jnp.ndarray   # [L, G, N] float
+    scales: jnp.ndarray   # [L, G, 1, N] float
     sz: jnp.ndarray       # [L, G, N] float — scales * zeros, precomputed
 
     @property
@@ -231,7 +245,7 @@ def pack_quantized(qw: QuantizedWeight) -> PackedInt4Weight:
         s, z = s[None], z[None]
     return PackedInt4Weight(
         packed=jnp.asarray(pack_nibbles(q)),
-        scales=s,
+        scales=s[:, :, None, :],
         sz=(s.astype(jnp.float32)
             * z.astype(jnp.float32)).astype(s.dtype),
     )
@@ -269,8 +283,12 @@ def tune_key(k: int, n: int, m: int) -> str:
     return f'{k}:{n}:{_m_bucket(m)}'
 
 
-def _tuned_block_n(m: int, k: int, n: int, default: int = 512) -> int:
-    return int(_TUNE_TABLE.get(tune_key(k, n, m), default))
+def _tuned_block_n(m: int, k: int, n: int):
+    """Measured tile override, else None -> the kernel's VMEM-budget
+    auto pick (full-N rows when they fit — measured 900 GB/s effective
+    vs 88.7 at the old bn=256/512 defaults, .r4/kernel_tune3.log)."""
+    v = _TUNE_TABLE.get(tune_key(k, n, m))
+    return int(v) if v is not None else None
 
 
 def quant_matmul_packed(x2: jnp.ndarray, pw: PackedInt4Weight, layer,
@@ -280,30 +298,31 @@ def quant_matmul_packed(x2: jnp.ndarray, pw: PackedInt4Weight, layer,
     term is the same algebraic rowsum dot as :func:`quant_matmul`."""
     from .pallas.quant_matmul import packed_int4_matmul, unpack_nibbles_jax
     m, k = x2.shape
-    g = pw.scales.shape[-2]
+    g = pw.scales.shape[1]
     group = k // g
     if m <= _PACKED_PALLAS_MAX_M:
         out = packed_int4_matmul(x2, pw.packed, pw.scales, layer,
                                  block_n=_tuned_block_n(m, k, pw.n),
                                  interpret=interpret)
-    else:
-        # large-M regime: unpack the layer's bytes and ride the measured
-        # batched-group convert-fused dot (same u8 bytes read twice ==
-        # the byte-per-int4 path's traffic; compute-bound here anyway)
-        p = jax.lax.dynamic_index_in_dim(pw.packed, layer, 0,
-                                         keepdims=False)
-        s = jax.lax.dynamic_index_in_dim(pw.scales, layer, 0,
-                                         keepdims=False)
-        qb = unpack_nibbles_jax(p).reshape(g, group, -1).astype(jnp.bfloat16)
-        xg = x2.astype(jnp.bfloat16).reshape(m, g, group).transpose(1, 0, 2)
-        dots = jax.lax.dot_general(xg, qb, (((2,), (1,)), ((0,), (0,))),
-                                   preferred_element_type=jnp.bfloat16)
-        out = jnp.einsum('gmn,gn->mn', dots, s.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
-    sums = jnp.sum(x2.astype(jnp.float32).reshape(m, g, group), axis=2)
+        sums = jnp.sum(x2.astype(jnp.float32).reshape(m, g, group), axis=2)
+        sz = jax.lax.dynamic_index_in_dim(pw.sz, layer, 0, keepdims=False)
+        return out - jnp.dot(sums, sz.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+    # large-M regime: unpack + dequantize once, plain MXU dot — the
+    # measured winner from M>=64 (3.1x at M=512, see _dequant_min_m);
+    # with sz = s*z in hand the zero-point folds into the dequant, so
+    # no algebraic rowsum term is needed here
+    p = jax.lax.dynamic_index_in_dim(pw.packed, layer, 0, keepdims=False)
+    s = jax.lax.dynamic_index_in_dim(pw.scales, layer, 0,
+                                     keepdims=False)       # [G, 1, N]
     sz = jax.lax.dynamic_index_in_dim(pw.sz, layer, 0, keepdims=False)
-    return out - jnp.dot(sums, sz.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
+    qb = unpack_nibbles_jax(p).reshape(g, group, -1).astype(jnp.float32)
+    w = (qb * s.astype(jnp.float32)
+         - sz.astype(jnp.float32)[:, None, :]).astype(jnp.bfloat16)
+    return jax.lax.dot_general(x2.astype(jnp.bfloat16),
+                               w.reshape(k, -1),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def quant_matmul_dequant(x2: jnp.ndarray, qw: QuantizedWeight) -> jnp.ndarray:

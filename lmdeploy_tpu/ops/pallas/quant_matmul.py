@@ -92,9 +92,37 @@ def _mm_kernel(layer_ref,                       # scalar prefetch
         out_ref[...] += acc
 
 
+def _auto_block_n(n: int, mp: int) -> int:
+    """Largest lane-aligned divisor of ``n`` whose kernel working set
+    fits the ~16MB VMEM scoped budget.
+
+    MEASURED (v5e, .r4/kernel_tune3.log, w1 4096x11008 @ M=1): the N
+    tile IS the kernel's performance: bn=256 streams 88.7 GB/s of packed
+    bytes (strided 256B row segments + 71k grid steps/token) while
+    bn=11008 (full rows, 1.4MB contiguous DMAs) hits 900 GB/s effective
+    — HBM-saturated, 10x, true sub-byte speed.  Restructured variants
+    (multi-group blocks w/ scale-on-weight, i32-lane repack) measured
+    395-454 GB/s: unnecessary.  The budget terms (calibrated against a
+    measured 17.88M scoped-vmem OOM at [512, 5504] blocks and the
+    measured-OK [128, 11008]): u8 weight block double-buffered
+    (2x128xbn) + the i32 nibble-widen temp (4B/value, 512xbn — this is
+    what OOMs big blocks; the bf16 halves fuse into the MXU feed) + the
+    [mp, bn] f32 accumulator."""
+    budget = 12_500_000
+    best = 0
+    d = 128
+    while d <= n:
+        if n % d == 0 and d * (768 + 4 * mp) <= budget:
+            best = d
+        d += 128
+    # no lane-aligned divisor (sub-128 TP shards of tiny test models):
+    # bn == n is always Mosaic-legal ("equal to the array dim")
+    return best or n
+
+
 def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
                        scales: jnp.ndarray, layer, *,
-                       block_n: int = 512,
+                       block_n: int | None = None,
                        interpret: bool = False) -> jnp.ndarray:
     """``x [M, K] @ unpacked(packed)[layer] * scales[layer]`` -> [M, N] f32.
 
@@ -104,7 +132,12 @@ def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
     Args:
       x: [M, K] activations (any float dtype; cast to bf16).
       packed: [L, K/2, N] uint8 (``pack_nibbles`` layout).
-      scales: [L, G, N] per-group scales (G = K / group_size).
+      scales: [L, G, 1, N] per-group scales (G = K / group_size) — the
+        unit sublane dim makes the (1, 1, 1, bn) block Mosaic-legal.
+        [L, G, N] is accepted and reshaped, but callers inside a layer
+        scan MUST pre-shape: the in-trace reshape relayouts the full
+        array EVERY loop iteration (measured: ~half the decode step went
+        to these scales copies, .r4/trace_packed.log).
       layer: int32 scalar (traced ok) — which stacked layer to use.
     """
     # Mosaic compiles only on real TPU; CPU (tests) runs interpret mode
@@ -112,20 +145,23 @@ def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
     m, k = x.shape
     l_dim, k2, n = packed.shape
     assert k == 2 * k2, (k, k2)
-    g_groups = scales.shape[-2]
+    if scales.ndim == 3:
+        scales = scales[:, :, None, :]
+    g_groups = scales.shape[1]
     group = k // g_groups
     g2 = g_groups // 2
     assert g2 * 2 == g_groups and k2 % group == 0 and k2 // group == g2
-    bn = min(block_n, n)
-    if n % bn:
-        # largest lane-aligned divisor of n that fits the budget — e.g.
-        # the 7B FFN n=11008 (not a multiple of 512) tiles at 256
-        bn = max((d for d in range(128, block_n + 1, 128) if n % d == 0),
-                 default=n)
-    assert n % bn == 0, (n, bn)
 
     # pad M to the bf16 sublane tile so Mosaic gets aligned blocks
     mp = max(16, -(-m // 16) * 16)
+    if block_n is None:
+        bn = _auto_block_n(n, mp)
+    else:
+        bn = min(block_n, n)
+        if n % bn:
+            bn = max((d for d in range(128, block_n + 1, 128)
+                      if n % d == 0), default=n)
+    assert n % bn == 0, (n, bn)
     xb = x.astype(jnp.bfloat16)
     if mp != m:
         xb = jnp.pad(xb, ((0, mp - m), (0, 0)))
@@ -162,7 +198,7 @@ def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
         interpret=interpret,
     )(jnp.reshape(layer, (1,)).astype(jnp.int32),
-      x_lo, x_hi, packed, scales[:, :, None, :], scales[:, :, None, :])
+      x_lo, x_hi, packed, scales, scales)
     return out[:m]
 
 

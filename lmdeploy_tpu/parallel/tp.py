@@ -197,18 +197,23 @@ def pack_params_for_tp(params: Dict[str, Any], tp: int) -> Dict[str, Any]:
     # count must be EVEN: widen the inter padding quantum to 2*group*tp
     # (idempotent on top of prepare_params_for_tp's group*tp padding)
     layers = _pad_inter_for_tp(layers, tp, mult=2)
+    from ..models.llama import packable
     for name, w in list(layers.items()):
         if not isinstance(w, QuantizedWeight):
+            continue
+        if not packable(w):
+            # unpackable shape (odd group count / unaligned N): stay on
+            # byte-per-int4 for this weight — mixed residency is fine,
+            # the forward dispatches per-weight
             continue
         q = np.asarray(w.qvals, np.uint8)          # [L, K, N]
         if name in _ROW_SPLIT and tp > 1:
             per_rank_groups = w.k // (w.group_size * tp)
             if per_rank_groups % 2:
-                raise ValueError(
-                    f'{name}: per-rank group count {per_rank_groups} is '
-                    f'odd — the packed kernel half-splits each rank\'s K '
-                    f'(K={w.k}, group={w.group_size}, tp={tp}); use '
-                    f'byte-per-int4 weights for this shape')
+                # packed residency is a perf default, not a contract:
+                # fall back to byte-per-int4 rather than failing the
+                # engine on a shape the half-split can't shard
+                continue
             blocks = np.split(q, tp, axis=-2)
             packed = np.concatenate([pack_nibbles(b) for b in blocks],
                                     axis=-2)
@@ -217,7 +222,7 @@ def pack_params_for_tp(params: Dict[str, Any], tp: int) -> Dict[str, Any]:
         s = jnp.asarray(w.scales)
         z = jnp.asarray(w.zeros)
         layers[name] = PackedInt4Weight(
-            packed=jnp.asarray(packed), scales=s,
+            packed=jnp.asarray(packed), scales=s[:, :, None, :],
             sz=(s.astype(jnp.float32)
                 * z.astype(jnp.float32)).astype(s.dtype))
     out = dict(params)
@@ -258,9 +263,10 @@ def param_pspecs(params: Dict[str, Any], axis: str = TP_AXIS):
         if wname in _COL_SPLIT:
             return P(*([None] * (ndim - 1)), axis)    # shard last (N-like)
         if wname in _ROW_SPLIT:
-            if field in ('scales', 'zeros'):
-                return P(None, axis, None)            # [L, K/group, N]
-            return P(None, axis, None)                # [L, K(/2), N]
+            # K-like dim (K rows, K/2 packed rows, K/group scale groups)
+            # is dim 1; packed scales carry a trailing unit sublane dim
+            # ([L, G, 1, N]) so pad the spec to the leaf's rank
+            return P(None, axis, *([None] * (ndim - 2)))
         return P()                                    # norms, bo: replicated
     return jax.tree_util.tree_map_with_path(spec, params)
 

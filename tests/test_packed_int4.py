@@ -207,8 +207,15 @@ def test_tune_table_block_n_selection():
         assert tune_key(4096, 12288, 3) == '4096:12288:4'
         assert _tuned_block_n(3, 4096, 12288) == 256
         assert _tuned_block_n(4, 4096, 12288) == 256
-        # different M bucket / shape -> default
-        assert _tuned_block_n(8, 4096, 12288) == 512
-        assert _tuned_block_n(3, 4096, 11008) == 512
+        # different M bucket / shape -> None = kernel VMEM-budget auto
+        # pick (full-N rows when they fit: measured 900 GB/s vs 88.7 at
+        # the old static 256/512 tiles)
+        assert _tuned_block_n(8, 4096, 12288) is None
+        assert _tuned_block_n(3, 4096, 11008) is None
+        from lmdeploy_tpu.ops.pallas.quant_matmul import _auto_block_n
+        assert _auto_block_n(11008, 16) == 11008   # full rows fit
+        assert _auto_block_n(12288, 16) == 12288
+        assert _auto_block_n(32000, 16) == 6400    # lm_head: budget-capped
+        assert _auto_block_n(32000, 64) == 6400
     finally:
         set_tune_table({})
