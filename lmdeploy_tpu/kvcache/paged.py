@@ -16,13 +16,20 @@ qparams from calibration, symmetric (zp=0) or asymmetric.  INT4
 byte along the head dim — pool dtype uint8 with last dim Dh/2, doubling
 KV capacity vs int8.  Two int4 qparam schemes:
 
-- DYNAMIC per-token-head (default, no calibration needed): each written
-  token's K (and V) vector gets its own asymmetric (scale, min) pair
-  computed at append time over its Dh features and stored in parallel
-  f32 pools [L, P, page_size, KH] (+12.5% of the int4 payload bytes).
-  16 levels span exactly one vector's range, so the accuracy loss is
-  dominated by rounding, not range clipping — measured proxy Δppl is
-  ~20x smaller than static per-layer scales (docs/kv_int8.md).
+- DYNAMIC per-token-head-group (default, no calibration needed): each
+  written token's K (and V) vector splits into G contiguous feature
+  groups (LMDEPLOY_TPU_KV_DYN_GROUPS, default 2 -> 64 features per
+  group at Dh=128, aligned with the nibble half-split) and each group
+  gets its own asymmetric (scale, min) pair computed at append time,
+  stored in parallel f32 pools [L, P, page_size, KH, G].  Grouping
+  along Dh isolates outlier channels: one hot channel inflates only
+  its group's scale instead of the whole vector's — measured proxy
+  Δppl +0.0298 (G=1) -> -0.0181 (G=2) -> -0.0179 (G=4) vs +0.0935
+  static per-layer and +0.0052 int8 (.r4/kv_ppl_groups.log, trained
+  proxy): grouped dynamic int4 sits at NOISE level around bf16.  G=2
+  is the default (G=4 measures the same but doubles the qparam bytes);
+  overhead at G=2 is 4 f32 per 64-byte payload (25%): 0.625
+  bytes/feature total vs int8's 1.0.
 - STATIC per-layer / per-head qparams from calibration (kv_qparams
   --kv-bits 4), q-domain zp, clip [-8, 7] — used when a workspace
   carries calibrated int4 scales.
@@ -44,9 +51,10 @@ class KVCache:
 
     k_scale/k_zp/v_scale/v_zp: f32 quantization parameters —
     [L] per-layer (int8 pools, reference parity), [L, KH] per-head
-    (int4 pools, kv_qparams --per-head), or [L, P, page_size, KH]
-    DYNAMIC per-token-head pools (int4 default: scale + f-domain min
-    written alongside each token) — ignored for bf16 storage.  Static
+    (int4 pools, kv_qparams --per-head), or [L, P, page_size, KH, G]
+    DYNAMIC per-token-head-group pools (int4 default: scale + f-domain
+    min per contiguous Dh/G feature group, written alongside each
+    token) — ignored for bf16 storage.  Static
     variants are exported by lite/kv_qparams from calibration like the
     reference's past_kv_scale.{rank}.weight files.  NOTE:
     quantize_kv/dequantize_kv take PER-LAYER SLICES of the static
@@ -62,9 +70,14 @@ class KVCache:
 
     @property
     def dynamic_scales(self) -> bool:
-        """Per-token-head dynamic int4 qparam pools (ndim 4) vs static
-        per-layer/per-head calibration arrays."""
-        return self.k_scale.ndim == 4
+        """Per-token-head-group dynamic int4 qparam pools (ndim 5) vs
+        static per-layer/per-head calibration arrays."""
+        return self.k_scale.ndim >= 4
+
+    @property
+    def dyn_groups(self) -> int:
+        """Feature groups per head vector in the dynamic qparam pools."""
+        return self.k_scale.shape[-1] if self.dynamic_scales else 0
 
     @property
     def num_pages(self) -> int:
@@ -110,9 +123,10 @@ def init_cache(num_layers: int, num_pages: int, page_size: int,
 
     def build():
         if dynamic_scales:
-            # per-token-head dynamic qparam pools, written by
+            # per-token-head-group dynamic qparam pools, written by
             # write_kv_dynamic alongside the nibble payload
-            pshape = (num_layers, num_pages, page_size, kv_heads)
+            pshape = (num_layers, num_pages, page_size, kv_heads,
+                      kv_dyn_groups(head_dim * 2))
             ks = jnp.ones(pshape, jnp.float32)
             kz = jnp.zeros(pshape, jnp.float32)
             vs = jnp.ones(pshape, jnp.float32)
@@ -197,16 +211,34 @@ def unpack_kv_uint4(p: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=-1)
 
 
-def quantize_kv_dynamic(x: jnp.ndarray):
-    """Asymmetric per-token-head int4: each [..., Dh] vector quantizes
-    against its OWN (scale, min) so the 16 levels span exactly the
-    vector's range.  Returns (packed uint8 [..., Dh/2], scale [...],
-    mn [...]) with x ~= q*scale + mn."""
-    xf = x.astype(jnp.float32)
+def kv_dyn_groups(head_dim: int) -> int:
+    """Feature groups per head vector for dynamic int4 qparams
+    (LMDEPLOY_TPU_KV_DYN_GROUPS, default 2 -> 64-feature groups at
+    Dh=128, aligned with the nibble half-split; measured Δppl table in
+    the module docstring).  Clamped to a divisor of Dh/2 so groups stay
+    aligned with the half-split pack."""
+    import os
+    g = int(os.environ.get('LMDEPLOY_TPU_KV_DYN_GROUPS', '2'))
+    g = max(1, g)
+    while (head_dim // 2) % g:
+        g -= 1
+    return g
+
+
+def quantize_kv_dynamic(x: jnp.ndarray, groups: int | None = None):
+    """Asymmetric per-token-head-GROUP int4: each [..., Dh] vector splits
+    into ``groups`` contiguous feature groups and each group quantizes
+    against its OWN (scale, min), so one outlier channel inflates only
+    its group's 16-level range.  Returns (packed uint8 [..., Dh/2],
+    scale [..., G], mn [..., G]) with x ~= q*scale + mn per group."""
+    dh = x.shape[-1]
+    g = kv_dyn_groups(dh) if groups is None else groups
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], g, dh // g)
     mn = jnp.min(xf, axis=-1)
     mx = jnp.max(xf, axis=-1)
     s = jnp.maximum((mx - mn) / 15.0, 1e-8)
     q = jnp.clip(jnp.round((xf - mn[..., None]) / s[..., None]), 0, 15)
+    q = q.reshape(*x.shape[:-1], dh)
     return pack_kv_int4(q.astype(jnp.uint8)), s, mn
 
 
@@ -249,8 +281,9 @@ def write_kv_dynamic(cache_k, cache_v, ks_pool, kz_pool, vs_pool, vz_pool,
     slot_of = positions % page_size
     phys = jnp.take_along_axis(page_table, page_of, axis=1)
     phys = jnp.where(valid & (phys >= 0), phys, p)
-    kq, ks, kz = quantize_kv_dynamic(k_new)
-    vq, vs, vz = quantize_kv_dynamic(v_new)
+    g = ks_pool.shape[-1]            # groups come from the pool, not env
+    kq, ks, kz = quantize_kv_dynamic(k_new, g)
+    vq, vs, vz = quantize_kv_dynamic(v_new, g)
     cache_k = cache_k.at[layer, phys, slot_of].set(kq, mode='drop')
     cache_v = cache_v.at[layer, phys, slot_of].set(vq, mode='drop')
     ks_pool = ks_pool.at[layer, phys, slot_of].set(ks, mode='drop')
@@ -291,24 +324,29 @@ def gather_kv_layer_dynamic(cache_k_l, cache_v_l, ks_l, kz_l, vs_l, vz_l,
                             page_table, dtype=jnp.bfloat16):
     """Dynamic-int4 variant of :func:`gather_kv_layer`: gathers the
     per-token qparam pools with the same page indirection and applies
-    x = q*scale + min.  ks_l/... are ONE layer's [P, page, KH] slices."""
+    x = q*scale + min per feature group.  ks_l/... are ONE layer's
+    [P, page, KH, G] slices."""
     b, max_pages = page_table.shape
     page_size = cache_k_l.shape[1]
     idx = jnp.maximum(page_table, 0)
     kq = unpack_kv_uint4(cache_k_l[idx])     # [B, mp, page, KH, Dh]
     vq = unpack_kv_uint4(cache_v_l[idx])
-    ks = ks_l[idx][..., None]                # [B, mp, page, KH, 1]
+    g = ks_l.shape[-1]
+    dh = kq.shape[-1]
+    gdim = (*kq.shape[:-1], g, dh // g)      # [..., KH, G, Dh/G]
+    ks = ks_l[idx][..., None]                # [B, mp, page, KH, G, 1]
     kz = kz_l[idx][..., None]
     vs = vs_l[idx][..., None]
     vz = vz_l[idx][..., None]
-    k = (kq.astype(jnp.float32) * ks + kz).astype(dtype)
-    v = (vq.astype(jnp.float32) * vs + vz).astype(dtype)
-    kh, dh = k.shape[-2], k.shape[-1]
+    k = (kq.astype(jnp.float32).reshape(gdim) * ks + kz).astype(dtype)
+    v = (vq.astype(jnp.float32).reshape(gdim) * vs + vz).astype(dtype)
+    kh = kq.shape[-2]
     return (k.reshape(b, max_pages * page_size, kh, dh),
             v.reshape(b, max_pages * page_size, kh, dh))
 
 
-__all__ = ['KVCache', 'init_cache', 'write_kv', 'write_kv_dynamic',
+__all__ = ['KVCache', 'init_cache', 'kv_dyn_groups', 'write_kv',
+           'write_kv_dynamic',
            'gather_kv_layer', 'gather_kv_layer_dynamic', 'quantize_kv',
            'quantize_kv_dynamic', 'dequantize_kv', 'pack_kv_int4',
            'unpack_kv_int4', 'unpack_kv_uint4']
