@@ -75,6 +75,8 @@ class _Slot:
     prefilling: bool = False    # admitted, prompt not fully in KV yet
     tail: List[int] = dataclasses.field(default_factory=list)
     logprobs: List[float] = dataclasses.field(default_factory=list)
+    # per generated token: {token_id: logprob} of the top-N alternatives
+    top_lps: List[dict] = dataclasses.field(default_factory=list)
     done: bool = False
     saw_round: bool = False  # this slot appeared in >=1 decode round
     max_new: int = 0         # host shadow of sampling.max_new_tokens
@@ -305,6 +307,10 @@ class TPUEngine:
         # 1 slot +64%, 2 slots +22%, 4 slots +13%, 8 slots -1% -> the
         # crossover sits near 32 verify rows.
         self.SPEC_MAX_VERIFY_ROWS = 32
+        # top-N alternative plane cap (OpenAI completions caps the
+        # logprobs int at 5; chat top_logprobs larger values clip here).
+        # Each extra N adds two [k, B] int32 readback planes
+        self.MAX_TOP_LOGPROBS = 5
         self._fresh_admission = False
         self._ramp = 1  # post-admission round-length ramp (1->4->16->k)
         self._rng_now: Optional[np.ndarray] = None  # [B, 2] rng keys at the
@@ -385,10 +391,12 @@ class TPUEngine:
                             // max(1, self.ecfg.tp)
                             // max(1, self.ecfg.pp))
         if self.ecfg.kv_dtype == 'int4':
-            # dynamic per-token qparam pools: 4 f32 values per token-head
-            # (runs before kv_scales are known; counting them for static-
-            # qparams int4 too just under-sizes the pool by ~12%)
+            # dynamic per-token qparam pools: 4 f32 values per
+            # token-head-GROUP (runs before kv_scales are known; counting
+            # them for static-qparams int4 too just under-sizes the pool)
+            from ..kvcache.paged import kv_dyn_groups
             bytes_per_tok += int(self.cfg.num_layer * 4 * 4
+                                 * kv_dyn_groups(self.cfg.size_per_head)
                                  * self.cfg.kv_head_num
                                  // max(1, self.ecfg.tp)
                                  // max(1, self.ecfg.pp))
@@ -1015,13 +1023,20 @@ class TPUEngine:
         # a per-token logprob plane (greedy logprobs are exactly 0, the
         # plain path's convention).
         running = len(cfgs)
+        # top-N alternative logprobs for generated tokens (OpenAI
+        # top_logprobs): static plane count for the round = the max any
+        # running slot asked for.  Spec rounds and the pp ring don't
+        # carry the planes, so such slots ride plain decode_steps (a
+        # request-rare feature must not complicate the two hot paths)
+        topn = max((min(g.top_logprobs or 0, self.MAX_TOP_LOGPROBS)
+                    for g in cfgs), default=0)
         spec_mode = None
         # spec keeps its flat break-even under pp: in the weight-
         # bandwidth-bound decode regime a relay verify round and a ring
         # round stream the same weights per stage, so acceptance > 1.15
         # pays exactly as on a flat mesh; in the compute-bound regime the
         # occupancy gate below already hands large batches to the ring
-        if self.ecfg.speculative_k > 0 and cfgs \
+        if self.ecfg.speculative_k > 0 and cfgs and topn == 0 \
                 and running * (self.ecfg.speculative_k + 1) \
                 <= self.SPEC_MAX_VERIFY_ROWS:
             if _all_plain_greedy(cfgs):
@@ -1050,7 +1065,7 @@ class TPUEngine:
             self.stats['spec_fallbacks'] += 1
             if self._spec_cooloff == 0:
                 self._spec_accept_ema = None  # fresh probe next time
-        if self._ring_ok:
+        if self._ring_ok and topn == 0:
             # all traffic rides the bubble-free full-sampling ring on a
             # pp mesh (greedy rides 'candidates' exactly like the plain
             # path — and keeps the keys-advance-every-step invariant)
@@ -1062,15 +1077,22 @@ class TPUEngine:
             else 'candidates'
         self.cache, self.state, packed, logprob = self.fns.decode_steps(
             self.params, self.cache, self.state, num_steps=k,
-            sampling_mode=mode)
-        arr = np.asarray(packed)  # [5, k, B]: tok/fin/logprob/rng0/rng1
+            sampling_mode=mode, topn=topn)
+        # [5 + 2*topn, k, B]: tok/fin/logprob/rng0/rng1 + top-N planes
+        arr = np.asarray(packed)
         logprobs = np.ascontiguousarray(arr[2]).view(np.float32)  # [k, B]
         for t in range(k):
             # per-substep rng snapshot: a slot retired at substep t (host
             # stop sequence) must save the key as of t, not round end
             self._rng_now = np.ascontiguousarray(
                 arr[3:5, t].T).view(np.uint32)
-            self._emit(arr[0, t], arr[1, t], logprobs[t])
+            tops = None
+            if topn:
+                tids = arr[5:5 + topn, t].T                # [B, topn]
+                tlps = np.ascontiguousarray(
+                    arr[5 + topn:5 + 2 * topn, t].T).view(np.float32)
+                tops = (tids, tlps)
+            self._emit(arr[0, t], arr[1, t], logprobs[t], tops=tops)
             if not any(s is not None and not s.done for s in self.slots):
                 return
 
@@ -1187,7 +1209,8 @@ class TPUEngine:
 
     def _emit(self, toks_np: np.ndarray, fin_np: np.ndarray,
               logprobs_np: Optional[np.ndarray] = None,
-              mask: Optional[np.ndarray] = None):
+              mask: Optional[np.ndarray] = None,
+              tops: Optional[tuple] = None):
         for i, slot in enumerate(self.slots):
             if slot is None or slot.done or slot.prefilling:
                 continue
@@ -1196,9 +1219,15 @@ class TPUEngine:
             slot.saw_round = True
             self.stats['generated_tokens'] += 1
             tok = int(toks_np[i])
-            if logprobs_np is not None and \
-                    slot.request.gen_config.output_logprobs:
+            gcfg = slot.request.gen_config
+            if logprobs_np is not None and (gcfg.output_logprobs
+                                            or gcfg.top_logprobs):
                 slot.logprobs.append(float(logprobs_np[i]))
+            if tops is not None and gcfg.top_logprobs:
+                n = min(gcfg.top_logprobs, tops[0].shape[1])
+                slot.top_lps.append({
+                    int(tid): float(tlp)
+                    for tid, tlp in zip(tops[0][i, :n], tops[1][i, :n])})
             slot.generated += 1
             slot.context_len += 1
             slot.seq.token_ids.append(tok)
@@ -1236,7 +1265,9 @@ class TPUEngine:
                 ResponseType.FINISH if finished else ResponseType.SUCCESS,
                 list(visible), len(visible), finished=finished,
                 logprobs=list(slot.logprobs[:len(visible)])
-                if slot.request.gen_config.output_logprobs else None))
+                if (gcfg.output_logprobs or gcfg.top_logprobs) else None,
+                top_logprobs=list(slot.top_lps[:len(visible)])
+                if gcfg.top_logprobs else None))
             if finished:
                 slot.done = True
                 self._retire(i, ResponseType.FINISH)

@@ -68,15 +68,18 @@ def init_decode_state(batch: int, max_pages: int, hist_len: int,
 def decode_step(params: Dict[str, Any], cache: KVCache, state: DecodeState,
                 cfg: ModelConfig, *, use_pallas_attn: bool = False,
                 axis: str = None, sampling_mode: str = 'candidates',
-                forward_fn=None):
+                topn: int = 0, forward_fn=None):
     """One generation step for every running slot.
 
     ``sampling_mode`` is static — the host scheduler knows every running
     slot's GenerationConfig and picks 'greedy' / 'candidates' / 'full'
-    per round (see ops/sampling.py).
+    per round (see ops/sampling.py).  ``topn`` is static: > 0 requests
+    per-step top-``topn`` alternative tokens + logprobs (the OpenAI
+    ``top_logprobs`` field for generated tokens).
 
     Returns (new_cache, new_state, sampled_tokens [B], finished [B],
-    token_logprob [B]).
+    token_logprob [B], tops) where tops is (top_ids [B, topn],
+    top_lps [B, topn]) or None.
     """
     b = state.tokens.shape[0]
     run = state.active & ~state.finished
@@ -91,9 +94,11 @@ def decode_step(params: Dict[str, Any], cache: KVCache, state: DecodeState,
     logits, cache = fwd(params, cache, batch, cfg, axis=axis,
                         use_pallas_attn=use_pallas_attn)
     logits = mask_vocab_padding(logits, cfg.vocab_size)
-    new_tok, new_keys, logprob = sample_step(
+    sampled = sample_step(
         logits, state.sampling, state.history, state.history_len,
-        state.generated, run=run, mode=sampling_mode)
+        state.generated, run=run, mode=sampling_mode, topn=topn)
+    new_tok, new_keys, logprob = sampled[:3]
+    tops = sampled[3] if topn > 0 else None
     new_tok = jnp.where(run, new_tok, state.tokens)
     generated = state.generated + run.astype(jnp.int32)
     fin_now = check_stop(new_tok, state.sampling, generated) & run
@@ -110,42 +115,60 @@ def decode_step(params: Dict[str, Any], cache: KVCache, state: DecodeState,
         state, tokens=new_tok, context_len=state.context_len + inc,
         history=history, history_len=state.history_len + inc,
         generated=generated, finished=finished, sampling=sampling)
+    if topn > 0:
+        return cache, new_state, new_tok, finished, logprob, tops
     return cache, new_state, new_tok, finished, logprob
 
 
 def decode_steps(params, cache: KVCache, state: DecodeState,
                  cfg: ModelConfig, *, num_steps: int,
                  use_pallas_attn: bool = False, axis: str = None,
-                 sampling_mode: str = 'candidates', forward_fn=None):
+                 sampling_mode: str = 'candidates', topn: int = 0,
+                 forward_fn=None):
     """``num_steps`` generation steps in ONE device program (the reference's
     step_length knob, LlamaV2.cc internal loop).  Amortizes the host
     dispatch + readback round-trip — critical when the host↔device link
     is high-latency.  Finished slots keep running masked; the host sees
     per-substep tokens/finished flags packed into one [5, k, B] transfer.
 
-    Returns (cache, state, packed int32 [5, k, B] = (tokens; finished;
-    logprob bits; rng word0; rng word1), logprobs f32 [k, B]).  The
-    per-substep RNG planes let the host snapshot a slot's key at the
+    Returns (cache, state, packed int32 [5 + 2*topn, k, B], logprobs f32
+    [k, B]).  Packed rows: (tokens; finished; logprob bits; rng word0;
+    rng word1), then with ``topn`` > 0 the per-step top-``topn``
+    alternative token ids ([5:5+topn]) and their logprob f32 bits
+    ([5+topn:5+2*topn]) — ONE host transfer still carries everything.
+    The per-substep RNG planes let the host snapshot a slot's key at the
     exact substep it stopped (reference: curand state save,
     LlamaBatch.cc:1097) — a slot retired mid-round by a host-side stop
     sequence must not save a key that advanced past the stop point.
     """
     def body(carry, _):
         cache, state = carry
-        cache, state, tok, fin, logprob = decode_step(
+        stepped = decode_step(
             params, cache, state, cfg, use_pallas_attn=use_pallas_attn,
-            axis=axis, sampling_mode=sampling_mode, forward_fn=forward_fn)
-        return (cache, state), (tok, fin, logprob, state.sampling.rng_key)
+            axis=axis, sampling_mode=sampling_mode, topn=topn,
+            forward_fn=forward_fn)
+        cache, state, tok, fin, logprob = stepped[:5]
+        tops = stepped[5] if topn > 0 else (
+            jnp.zeros((tok.shape[0], 0), jnp.int32),
+            jnp.zeros((tok.shape[0], 0), jnp.float32))
+        return (cache, state), (tok, fin, logprob,
+                                state.sampling.rng_key, tops)
 
-    (cache, state), (toks, fins, logprobs, rngs) = jax.lax.scan(
+    (cache, state), (toks, fins, logprobs, rngs, tops) = jax.lax.scan(
         body, (cache, state), length=num_steps)
     # logprob plane: f32 bits (reference logprob kernels, logprob_kernels.cu)
     lp = jax.lax.bitcast_convert_type(logprobs.astype(jnp.float32),
                                       jnp.int32)                  # [k, B]
     # rngs [k, B, 2] uint32 -> two [k, B] int32 planes
     rng = jax.lax.bitcast_convert_type(rngs, jnp.int32)
-    packed = jnp.stack([toks, fins.astype(jnp.int32), lp,
-                        rng[..., 0], rng[..., 1]])                # [5, k, B]
+    planes = [toks, fins.astype(jnp.int32), lp,
+              rng[..., 0], rng[..., 1]]                           # 5x [k, B]
+    if topn > 0:
+        tid, tlp = tops                                  # [k, B, topn]
+        planes += list(jnp.moveaxis(tid, 2, 0))
+        planes += list(jnp.moveaxis(jax.lax.bitcast_convert_type(
+            tlp.astype(jnp.float32), jnp.int32), 2, 0))
+    packed = jnp.stack(planes)                       # [5 + 2*topn, k, B]
     return cache, state, packed, logprobs
 
 
@@ -476,10 +499,10 @@ class CompiledStepFns:
         kw = dict(cfg=cfg, use_pallas_attn=use_pallas_attn, axis=axis)
         self.decode_step = jax.jit(
             partial(decode_step, **kw), donate_argnums=(1, 2),
-            static_argnames=('sampling_mode',))
+            static_argnames=('sampling_mode', 'topn'))
         self.decode_steps = jax.jit(
             partial(decode_steps, **kw), donate_argnums=(1, 2),
-            static_argnames=('num_steps', 'sampling_mode'))
+            static_argnames=('num_steps', 'sampling_mode', 'topn'))
         self.spec_decode_rounds = jax.jit(
             partial(spec_decode_rounds, **kw), donate_argnums=(1, 2),
             static_argnames=('num_rounds', 'k_draft', 'ngram',

@@ -50,6 +50,11 @@ class GenerationConfig:
     bad_words: Optional[List[int]] = None    # token ids banned from sampling
     min_new_tokens: int = 0
     output_logprobs: bool = False
+    # number of top alternative tokens (+ logprobs) to return per
+    # GENERATED token (OpenAI top_logprobs; 0 = chosen-token logprob
+    # only).  Clipped to MAX_TOP_LOGPROBS by the engine; implies
+    # output_logprobs
+    top_logprobs: int = 0
 
     def clip(self, vocab_size: int) -> 'GenerationConfig':
         """Clamp values into legal ranges."""
@@ -82,6 +87,9 @@ class EngineOutput:
     finished: bool = False
     logits: Optional[object] = None     # [prompt_len, vocab] when requested
     logprobs: Optional[list] = None
+    # per generated token: {token_id: logprob} dicts of the top-N
+    # alternatives (GenerationConfig.top_logprobs > 0)
+    top_logprobs: Optional[list] = None
 
 
 @dataclasses.dataclass
@@ -94,3 +102,4 @@ class GenOut:
     finish_reason: Optional[str] = None  # 'stop' | 'length' | 'cancel' | None
     token_ids: Optional[list] = None     # NEW tokens this frame
     logprobs: Optional[list] = None      # their logprobs (when requested)
+    top_logprobs: Optional[list] = None  # their top-N alternative dicts

@@ -201,7 +201,8 @@ def _approx_topk() -> bool:
 
 
 def sample_step(logits, state: SamplingState, history, history_len,
-                generated, run=None, mode: str = 'candidates'):
+                generated, run=None, mode: str = 'candidates',
+                topn: int = 0):
     """Run the full sampling pipeline for one decode step.
 
     Args:
@@ -223,8 +224,18 @@ def sample_step(logits, state: SamplingState, history, history_len,
           clipped to 1024 like the reference).
         * 'full'       — EXACT full-vocab sorted pipeline for slots with
           top_k <= 0 (no top-1024 truncation of unconstrained sampling).
+      topn: STATIC; when > 0 additionally return the top-``topn``
+        alternative tokens and their logprobs per slot (the OpenAI
+        ``top_logprobs`` field for GENERATED tokens; the reference's
+        output_log_probs cum-log path carries the chosen token only).
+        Alternatives come from the temperature-scaled processed
+        distribution BEFORE the top-k/top-p/min-p cut — alternatives the
+        filters would have rejected still get honest logprobs (OpenAI
+        reports the model distribution, not the truncated sampler's).
     Returns:
       (tokens int32 [B], new_rng_key uint32 [B,2], token_logprob f32 [B])
+      — plus (top_ids int32 [B, topn], top_lps f32 [B, topn]) when
+      ``topn`` > 0.
     """
     b, v = logits.shape
     logits = logits.astype(jnp.float32)
@@ -262,7 +273,15 @@ def sample_step(logits, state: SamplingState, history, history_len,
         # regression on this backend).
         lg = jax.lax.optimization_barrier(logits)
         tokens = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-        return tokens, new_keys, jnp.zeros((b,), jnp.float32)
+        zeros = jnp.zeros((b,), jnp.float32)
+        if topn > 0:
+            tv = lg / jnp.maximum(state.temperature, 1e-5)[:, None]
+            top_vals, top_ids = jax.lax.top_k(tv, topn)
+            top_lps = top_vals - jax.nn.logsumexp(tv, axis=-1,
+                                                  keepdims=True)
+            return (tokens, new_keys, zeros,
+                    (top_ids.astype(jnp.int32), top_lps))
+        return tokens, new_keys, zeros
 
     c = v if (mode == 'full' or v <= MAX_TOPK) else MAX_TOPK
     lg = logits / jnp.maximum(state.temperature, 1e-5)[:, None]
@@ -276,12 +295,19 @@ def sample_step(logits, state: SamplingState, history, history_len,
         vals, idx = jax.lax.approx_max_k(lg, c, recall_target=0.95)
     else:
         vals, idx = jax.lax.top_k(lg, c)              # [B, C] desc-sorted
+    pre_vals = vals                                   # pre-filter snapshot
     vals = filter_candidates(vals, state.top_k, state.top_p, state.min_p)
     tok_c = jax.vmap(lambda k, l: jax.random.categorical(k, l))(
         sample_keys, vals)                            # [B] candidate index
     tokens = jnp.take_along_axis(idx, tok_c[:, None], axis=1)[:, 0]
     logprobs = jax.nn.log_softmax(vals, axis=-1)
     tok_logprob = jnp.take_along_axis(logprobs, tok_c[:, None], axis=1)[:, 0]
+    if topn > 0:
+        # alternatives from the PRE-filter distribution (see docstring);
+        # candidates are desc-sorted so the top-n are the first n columns
+        pre_lps = jax.nn.log_softmax(pre_vals, axis=-1)
+        return (tokens.astype(jnp.int32), new_keys, tok_logprob,
+                (idx[:, :topn].astype(jnp.int32), pre_lps[:, :topn]))
     return tokens.astype(jnp.int32), new_keys, tok_logprob
 
 

@@ -502,11 +502,13 @@ class PPStepFns:
                      out_specs=(cache_spec, rep, rep, rep, rep)),
                 donate_argnums=(1, 2))
 
-        def make_decode_steps(pspec, num_steps, sampling_mode='candidates'):
+        def make_decode_steps(pspec, num_steps, sampling_mode='candidates',
+                              topn=0):
             fn = partial(_step.decode_steps, cfg=cfg, axis=TP_AXIS,
                          num_steps=num_steps,
                          use_pallas_attn=use_pallas_attn,
-                         sampling_mode=sampling_mode, forward_fn=fwd)
+                         sampling_mode=sampling_mode, topn=topn,
+                         forward_fn=fwd)
             return jax.jit(
                 smap(fn, in_specs=(pspec, cache_spec, rep),
                      out_specs=(cache_spec, rep, packed_spec, lp_spec)),
@@ -592,9 +594,9 @@ class PPStepFns:
         return self._get('decode', params)(params, cache, state)
 
     def decode_steps(self, params, cache, state, num_steps: int,
-                     sampling_mode: str = 'candidates'):
-        return self._get('decode_steps', params, num_steps, sampling_mode)(
-            params, cache, state)
+                     sampling_mode: str = 'candidates', topn: int = 0):
+        return self._get('decode_steps', params, num_steps, sampling_mode,
+                         topn)(params, cache, state)
 
     def spec_decode_rounds(self, params, cache, state, num_rounds: int,
                            k_draft: int, ngram: int = 3,

@@ -206,7 +206,12 @@ def pack_params_for_tp(params: Dict[str, Any], tp: int) -> Dict[str, Any]:
             # byte-per-int4 for this weight — mixed residency is fine,
             # the forward dispatches per-weight
             continue
-        q = np.asarray(w.qvals, np.uint8)          # [L, K, N]
+        # keep device-resident qvals ON DEVICE (pack_nibbles dispatches;
+        # np.asarray would drag the full 7B qvals through the chip
+        # tunnel at startup)
+        q = w.qvals if isinstance(w.qvals, jax.Array) \
+            else np.asarray(w.qvals, np.uint8)     # [L, K, N]
+        xp = jnp if isinstance(q, jax.Array) else np
         if name in _ROW_SPLIT and tp > 1:
             per_rank_groups = w.k // (w.group_size * tp)
             if per_rank_groups % 2:
@@ -214,8 +219,8 @@ def pack_params_for_tp(params: Dict[str, Any], tp: int) -> Dict[str, Any]:
                 # fall back to byte-per-int4 rather than failing the
                 # engine on a shape the half-split can't shard
                 continue
-            blocks = np.split(q, tp, axis=-2)
-            packed = np.concatenate([pack_nibbles(b) for b in blocks],
+            blocks = xp.split(q, tp, axis=-2)
+            packed = xp.concatenate([pack_nibbles(b) for b in blocks],
                                     axis=-2)
         else:
             packed = pack_nibbles(q)
@@ -367,11 +372,11 @@ class ShardedStepFns:
                 donate_argnums=(1, 2))
 
         def make_decode_steps(params_spec, num_steps,
-                              sampling_mode='candidates'):
+                              sampling_mode='candidates', topn=0):
             fn = partial(_step.decode_steps, cfg=cfg, axis=TP_AXIS,
                          num_steps=num_steps,
                          use_pallas_attn=use_pallas_attn,
-                         sampling_mode=sampling_mode)
+                         sampling_mode=sampling_mode, topn=topn)
             return jax.jit(
                 smap(fn, in_specs=(params_spec, pspecs_cache, rep),
                      out_specs=(pspecs_cache, rep, packed_spec, lp_spec)),
@@ -463,12 +468,12 @@ class ShardedStepFns:
         return fn(params, cache, state)
 
     def decode_steps(self, params, cache, state, num_steps: int,
-                     sampling_mode: str = 'candidates'):
-        key = (num_steps, sampling_mode)
+                     sampling_mode: str = 'candidates', topn: int = 0):
+        key = (num_steps, sampling_mode, topn)
         fn = self._decode_steps_cache.get(key)
         if fn is None:
             fn = self._make_decode_steps(param_pspecs(params), num_steps,
-                                         sampling_mode)
+                                         sampling_mode, topn)
             self._decode_steps_cache[key] = fn
         return fn(params, cache, state)
 

@@ -99,13 +99,16 @@ class AsyncEngine:
         frequency_penalty: float = 0.0,
         do_preprocess: bool = True,
         output_logprobs: bool = False,
+        top_logprobs: int = 0,
     ):
         """Stream GenOut for one request (reference: async_engine.py:68).
 
         ``do_preprocess=False`` skips the chat template — the raw-prompt
         continuation contract of /v1/completions.  ``output_logprobs``
         rides the engine's per-token logprob stream into
-        ``GenOut.token_ids`` / ``GenOut.logprobs``."""
+        ``GenOut.token_ids`` / ``GenOut.logprobs``; ``top_logprobs`` > 0
+        additionally streams per-token top-N alternative dicts into
+        ``GenOut.top_logprobs`` (device top-k readback planes)."""
         instance = self.generators[session_id % self.instance_num]
         key = str(session_id)
         if key not in self.steps:
@@ -133,6 +136,8 @@ class AsyncEngine:
                                       frequency_penalty=frequency_penalty)
         if output_logprobs:
             gen_config.output_logprobs = True
+        if top_logprobs:
+            gen_config.top_logprobs = int(top_logprobs)
         response_size = 0
         tokens = 0
         finish_reason = None
@@ -160,7 +165,10 @@ class AsyncEngine:
                 continue
             new_ids = list(out.token_ids[response_size:])
             new_lps = (list(out.logprobs[response_size:])
-                       if output_logprobs and out.logprobs else None)
+                       if (output_logprobs or top_logprobs)
+                       and out.logprobs else None)
+            new_tops = (list(out.top_logprobs[response_size:])
+                        if top_logprobs and out.top_logprobs else None)
             response_size = tokens
             if out.finished:
                 finish_reason = ('stop' if out.status == ResponseType.FINISH
@@ -168,7 +176,8 @@ class AsyncEngine:
                                  else 'length'
                                  if tokens >= request_output_len else 'cancel')
             yield GenOut(text, self.steps[key], len(input_ids), tokens,
-                         finish_reason, token_ids=new_ids, logprobs=new_lps)
+                         finish_reason, token_ids=new_ids, logprobs=new_lps,
+                         top_logprobs=new_tops)
         self.steps[key] += len(input_ids) + tokens
         if sequence_end:
             self.steps[key] = 0
@@ -189,6 +198,8 @@ class AsyncEngine:
         stop_strings: Optional[Union[str, List[str]]] = None,
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
+        output_logprobs: bool = False,
+        top_logprobs: int = 0,
     ):
         """OpenAI-flavored generate: session continues until renew_session
         (reference: async_engine.py:154)."""
@@ -206,7 +217,9 @@ class AsyncEngine:
                 repetition_penalty=repetition_penalty,
                 ignore_eos=ignore_eos, stop_strings=stop_strings,
                 presence_penalty=presence_penalty,
-                frequency_penalty=frequency_penalty):
+                frequency_penalty=frequency_penalty,
+                output_logprobs=output_logprobs,
+                top_logprobs=top_logprobs):
             yield out
 
     def shutdown(self):

@@ -94,6 +94,10 @@ async def chat_completions_v1(raw: web.Request) -> web.StreamResponse:
     # sequences (multi-token strings included) by the serving engine
     stop_flag = req.stop if isinstance(req.stop, bool) else False
     stop_strings = None if isinstance(req.stop, bool) else req.stop
+    want_lp = bool(req.logprobs)
+    # engine readback planes cap at 5 alternatives (OpenAI allows up to
+    # 20; values above clip)
+    n_top = min(int(req.top_logprobs or 0), 5) if want_lp else 0
     gen = engine.generate_openai(
         req.messages, session_id, stream_response=bool(req.stream),
         renew_session=bool(req.renew_session),
@@ -103,7 +107,29 @@ async def chat_completions_v1(raw: web.Request) -> web.StreamResponse:
         repetition_penalty=req.repetition_penalty,
         presence_penalty=req.presence_penalty or 0.0,
         frequency_penalty=req.frequency_penalty or 0.0,
-        ignore_eos=bool(req.ignore_eos), stop_strings=stop_strings)
+        ignore_eos=bool(req.ignore_eos), stop_strings=stop_strings,
+        output_logprobs=want_lp, top_logprobs=n_top)
+
+    def _chat_lp_content(out):
+        """OpenAI chat logprobs entries for one GenOut frame."""
+        tok = VariableInterface.async_engine.tokenizer
+        entries = []
+        for i, tid in enumerate(out.token_ids or []):
+            piece = tok.decode([int(tid)])
+            lp = (out.logprobs[i] if out.logprobs
+                  and i < len(out.logprobs) else None)
+            entry = {'token': piece, 'logprob': lp,
+                     'bytes': list(piece.encode('utf-8'))}
+            if n_top:
+                tops = (out.top_logprobs[i] if out.top_logprobs
+                        and i < len(out.top_logprobs) else {})
+                entry['top_logprobs'] = [
+                    {'token': tok.decode([int(t)]), 'logprob': float(v),
+                     'bytes': list(tok.decode([int(t)]).encode('utf-8'))}
+                    for t, v in sorted(tops.items(),
+                                       key=lambda kv: -kv[1])]
+            entries.append(entry)
+        return entries
 
     model_name = req.model
     if req.stream:
@@ -124,6 +150,8 @@ async def chat_completions_v1(raw: web.Request) -> web.StreamResponse:
                 model=model_name,
                 choices=[ChatCompletionResponseStreamChoice(
                     index=0, delta=DeltaMessage(content=out.response),
+                    logprobs=({'content': _chat_lp_content(out)}
+                              if want_lp and out.token_ids else None),
                     finish_reason=None if finish == 'cancel' else finish)])
             await resp.write(
                 f'data: {chunk.model_dump_json()}\n\n'.encode())
@@ -135,15 +163,19 @@ async def chat_completions_v1(raw: web.Request) -> web.StreamResponse:
     tokens = 0
     input_len = 0
     finish = None
+    lp_content = []
     async for out in gen:
         text += out.response
         tokens = out.generate_token_len
         input_len = out.input_token_len
         finish = out.finish_reason
+        if want_lp and out.token_ids:
+            lp_content.extend(_chat_lp_content(out))
     payload = ChatCompletionResponse(
         model=model_name,
         choices=[ChatCompletionResponseChoice(
             index=0, message=ChatMessage(role='assistant', content=text),
+            logprobs={'content': lp_content} if want_lp else None,
             finish_reason=None if finish == 'cancel' else finish)],
         usage=UsageInfo(prompt_tokens=input_len, completion_tokens=tokens,
                         total_tokens=input_len + tokens))
@@ -176,10 +208,13 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
 
     # logprobs=0 still returns the chosen-token logprobs (OpenAI: the
     # int is the number of ALTERNATIVES).  Prompt-scored positions
-    # (echo / max_tokens=0) return top-N alternative dicts; generated
-    # positions return null alternatives — those would need a device
-    # top-k readback in the decode hot loop.
+    # (echo / max_tokens=0) compute top-N alternatives host-side from
+    # the full logits; GENERATED positions ride the engine's device
+    # top-k readback planes (GenerationConfig.top_logprobs).
     want_logprobs = req.logprobs is not None
+    # OpenAI contract: the logprobs int is the number of ALTERNATIVES
+    # per position, capped at 5
+    n_alts = min(int(req.logprobs or 0), 5) if want_logprobs else 0
 
     def _gen(prompt: str, sid: int, stream: bool):
         return engine.generate(
@@ -192,14 +227,20 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
             presence_penalty=req.presence_penalty or 0.0,
             frequency_penalty=req.frequency_penalty or 0.0,
             ignore_eos=bool(req.ignore_eos), stop_strings=stop_strings,
-            do_preprocess=False, output_logprobs=want_logprobs)
+            do_preprocess=False, output_logprobs=want_logprobs,
+            top_logprobs=n_alts)
+
+    def _top_strs(d):
+        """{token_id: lp} -> {token_string: lp}; ascending-lp insert
+        order so the BEST logprob wins a duplicated piece key."""
+        tok = VariableInterface.async_engine.tokenizer
+        return {tok.decode([int(t)]): float(lp)
+                for t, lp in sorted(d.items(), key=lambda kv: kv[1])}
 
     def _logprobs_obj(ids, lps, text_start: int, tops=None):
         """OpenAI completions logprobs.  ``tops`` carries per-position
-        top-N alternative dicts where the full distribution was in hand
-        (the prompt-scoring path); generated-token positions stay null —
-        alternatives there would need a device top-k readback in the
-        decode hot loop."""
+        top-N alternative dicts — host-computed on prompt-scored
+        positions, device top-k readback on generated ones."""
         tok = VariableInterface.async_engine.tokenizer
         pieces, offsets = [], []
         pos = text_start
@@ -211,10 +252,6 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
         return {'tokens': pieces, 'token_logprobs': list(lps),
                 'top_logprobs': list(tops) if tops is not None else None,
                 'text_offset': offsets}
-
-    # OpenAI contract: the logprobs int is the number of ALTERNATIVES
-    # per position, capped at 5
-    n_alts = min(int(req.logprobs or 0), 5) if want_logprobs else 0
 
     async def _prompt_logprobs(prompt: str):
         """Echo+logprobs: score the prompt through the prompt-logits
@@ -299,7 +336,11 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
                     text_pos += len(piece)
                 lp = {'tokens': pieces,
                       'token_logprobs': list(out.logprobs or []),
-                      'top_logprobs': None, 'text_offset': offsets}
+                      'top_logprobs': ([_top_strs(d) for d in
+                                        out.top_logprobs]
+                                       if n_alts and out.top_logprobs
+                                       else None),
+                      'text_offset': offsets}
             chunk = CompletionStreamResponse(
                 model=req.model,
                 choices=[CompletionResponseStreamChoice(
@@ -341,6 +382,7 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
                     index=i * n + j, text=base, logprobs=lp,
                     finish_reason=finish))
                 continue
+            all_tops = []
             async for out in _gen(prompt, sid, False):
                 text += out.response
                 if j == 0:
@@ -351,14 +393,19 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
                     all_ids.extend(out.token_ids)
                 if out.logprobs:
                     all_lps.extend(out.logprobs)
+                if out.top_logprobs:
+                    all_tops.extend(out.top_logprobs)
             base = prompt if req.echo else ''
             lp = None
             if want_logprobs:
                 # echo prepends the PROMPT tokens, scored through the
                 # prompt-logits path (lm-eval loglikelihood pattern);
                 # text offsets are absolute in the returned text
-                tops = echo_tops + [None] * len(all_ids) \
-                    if echo_tops is not None else None
+                tops = None
+                if n_alts:
+                    gen_tops = [_top_strs(d) for d in all_tops]
+                    gen_tops += [None] * (len(all_ids) - len(gen_tops))
+                    tops = (echo_tops or []) + gen_tops
                 lp = _logprobs_obj(echo_ids + all_ids,
                                    echo_lps + all_lps, 0, tops)
             choices.append(CompletionResponseChoice(

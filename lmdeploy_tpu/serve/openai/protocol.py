@@ -82,6 +82,11 @@ class ChatCompletionRequest(BaseModel):
     # /generate): top_k=1 requests greedy decoding, which unlocks the
     # engine's greedy fast paths (speculative verify, pp ring decode)
     top_k: Optional[int] = 40
+    # OpenAI chat logprobs: return per generated token its logprob, and
+    # with top_logprobs (0-5 here; OpenAI caps at 20) the N most likely
+    # alternatives at that position
+    logprobs: Optional[bool] = False
+    top_logprobs: Optional[int] = None
 
 
 class ChatMessage(BaseModel):
@@ -93,6 +98,7 @@ class ChatCompletionResponseChoice(BaseModel):
     index: int
     message: ChatMessage
     finish_reason: Optional[Literal['stop', 'length']] = None
+    logprobs: Optional[Any] = None       # {'content': [...]} OpenAI shape
 
 
 class ChatCompletionResponse(BaseModel):
@@ -113,6 +119,7 @@ class ChatCompletionResponseStreamChoice(BaseModel):
     index: int
     delta: DeltaMessage
     finish_reason: Optional[Literal['stop', 'length']] = None
+    logprobs: Optional[Any] = None       # {'content': [...]} OpenAI shape
 
 
 class ChatCompletionStreamResponse(BaseModel):

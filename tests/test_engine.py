@@ -474,6 +474,58 @@ def test_output_logprobs(engine):
     assert all(lp <= 0.0 for lp in out2.logprobs)
 
 
+def test_top_logprobs_generated(engine):
+    """Top-N alternative logprobs for GENERATED tokens (OpenAI
+    top_logprobs; device readback planes in decode_steps)."""
+    inst = engine.create_instance()
+    cfg = GenerationConfig(max_new_tokens=4, top_k=1, ignore_eos=True,
+                           top_logprobs=3)
+    out = inst.infer(510, [3, 9, 27], gen_config=cfg, sequence_end=True)
+    assert out.top_logprobs is not None and len(out.top_logprobs) == 4
+    for tok, tops in zip(out.token_ids, out.top_logprobs):
+        assert len(tops) == 3
+        # greedy: the chosen token IS the best alternative
+        best = max(tops, key=tops.get)
+        assert best == tok
+        assert all(lp <= 1e-5 for lp in tops.values())
+    # alternatives come from the pre-filter distribution: all finite
+    assert all(np.isfinite(list(t.values())).all()
+               for t in out.top_logprobs)
+    # sampled request: chosen token must appear among its alternatives
+    # whenever it ranks top-3 — at minimum dicts are well-formed
+    cfg2 = GenerationConfig(max_new_tokens=3, top_k=40, temperature=1.0,
+                            ignore_eos=True, top_logprobs=2,
+                            random_seed=11)
+    out2 = inst.infer(511, [3, 9, 27], gen_config=cfg2, sequence_end=True)
+    assert len(out2.top_logprobs) == 3
+    assert all(len(t) == 2 for t in out2.top_logprobs)
+    # plain logprobs stream alongside even without output_logprobs=True
+    assert out2.logprobs is not None and len(out2.logprobs) == 3
+
+
+def test_top_logprobs_mixed_batch(engine):
+    """A top_logprobs slot and a plain slot in the same rounds: planes
+    only attach to the requesting slot."""
+    import threading
+    inst = engine.create_instance()
+    res = {}
+
+    def run(sid, gcfg):
+        res[sid] = inst.infer(sid, [5, sid % 32], gen_config=gcfg,
+                              sequence_end=True)
+
+    t1 = threading.Thread(target=run, args=(
+        520, GenerationConfig(max_new_tokens=5, top_k=1, ignore_eos=True,
+                              top_logprobs=2)))
+    t2 = threading.Thread(target=run, args=(
+        521, GenerationConfig(max_new_tokens=5, top_k=1,
+                              ignore_eos=True)))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert len(res[520].top_logprobs) == 5
+    assert all(len(t) == 2 for t in res[520].top_logprobs)
+    assert res[521].top_logprobs is None
+
+
 def test_qwen_style_flags_end_to_end():
     """Dynamic NTK + logn + qkv bias engine run (qwen family flags)."""
     cfg = ModelConfig(head_num=2, kv_head_num=2, size_per_head=16,

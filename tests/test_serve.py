@@ -101,6 +101,24 @@ def test_api_server_endpoints(async_engine):
                                   json={**payload, 'model': 'nope'})
             assert r.status == 404
 
+            # OpenAI chat logprobs + top_logprobs on generated tokens
+            r = await client.post('/v1/chat/completions', json={
+                **payload, 'logprobs': True, 'top_logprobs': 3,
+                'renew_session': True})
+            assert r.status == 200
+            body = await r.json()
+            lp = body['choices'][0]['logprobs']
+            content = lp['content']
+            assert len(content) == body['usage']['completion_tokens']
+            for e in content:
+                assert isinstance(e['token'], str)
+                assert e['logprob'] <= 1e-5
+                assert e['bytes'] == list(e['token'].encode('utf-8'))
+                assert len(e['top_logprobs']) == 3
+                # alternatives sort best-first
+                alt_lps = [a['logprob'] for a in e['top_logprobs']]
+                assert alt_lps == sorted(alt_lps, reverse=True)
+
             r = await client.post('/v1/embeddings',
                                   json={'input': 'abc'})
             assert r.status == 200
@@ -397,8 +415,9 @@ def test_completions_n_and_scoring(async_engine):
                 # the single best alternative can't score below chosen
                 assert max(alts.values()) >= chosen - 1e-5
 
-            # echo + generation: alternatives cover the prompt region,
-            # generated positions stay null (no device top-k readback)
+            # echo + generation: alternatives cover the prompt region
+            # (host-scored) AND the generated positions (device top-k
+            # readback planes)
             r = await client.post('/v1/completions', json={
                 'model': 'tiny', 'prompt': prompt, 'max_tokens': 2,
                 'ignore_eos': True, 'echo': True, 'logprobs': 2})
@@ -406,7 +425,9 @@ def test_completions_n_and_scoring(async_engine):
             assert len(lp['top_logprobs']) == len(ids) + 2
             assert all(isinstance(d, dict) and len(d) <= 2
                        for d in lp['top_logprobs'][1:len(ids)])
-            assert lp['top_logprobs'][len(ids):] == [None, None]
+            for d in lp['top_logprobs'][len(ids):]:
+                assert isinstance(d, dict) and 1 <= len(d) <= 2
+                assert all(v <= 1e-5 for v in d.values())
 
             # suffix is rejected loudly
             r = await client.post('/v1/completions', json={
