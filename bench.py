@@ -335,15 +335,15 @@ def main():
                      'measured on a proxy model trained on structured '
                      'log/config text through a real tokenizer '
                      '(benchmark/accuracy.py). '
-                     'Plain-decode floor ~98 tok/s on v5e: every '
-                     'sub-byte weight path is broken on this jax/libtpu '
-                     'stack so int4 streams as bytes at 660GB/s (the '
-                     '206.4 baseline is a 1TB/s RTX 4090 with true '
-                     'int4). int4_vs_bf16_speedup (both non-spec) is '
-                     'capped near ~1.4, not the 2x north-star, for the '
-                     'same reason; true 4-bit packing or W4A8 would '
-                     'restore it, both hang/broken on this runtime '
-                     '(see ops/linear.py)'),
+                     'Weights stream TRUE 4-bit packed: the Pallas '
+                     'in-dot nibble-unpack kernel '
+                     '(ops/pallas/quant_matmul.py, default on TPU) '
+                     'reads packed bytes at ~900 GB/s effective — '
+                     'int4_vs_bf16_speedup (both non-spec) is above '
+                     'the 2x north-star (the reference claims 2.4x on '
+                     'a 1TB/s RTX 4090, w4a16.md). The 206.4 tok/s '
+                     'baseline row is that 4090; this chip is a '
+                     '~900 GB/s v5e with a ~35 ms host RTT'),
         },
     }))
 

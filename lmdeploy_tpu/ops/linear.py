@@ -234,9 +234,14 @@ class PackedInt4Weight:
 
 
 def pack_quantized(qw: QuantizedWeight) -> PackedInt4Weight:
-    """Byte-per-int4 [L?, K, N] -> nibble-packed [L?, K/2, N] residency."""
+    """Byte-per-int4 [L?, K, N] -> nibble-packed [L?, K/2, N] residency.
+    Device-resident qvals pack ON DEVICE (pack_nibbles dispatches on the
+    array type) — np.asarray here stalled engine startup for many
+    minutes dragging ~3.4 GB of 7B qvals through the chip tunnel."""
     from .pallas.quant_matmul import pack_nibbles
-    q = np.asarray(qw.qvals, np.uint8)
+    q = qw.qvals
+    if not isinstance(q, jax.Array):
+        q = np.asarray(q, np.uint8)
     if q.ndim == 2:
         q = q[None]
     s = jnp.asarray(qw.scales)

@@ -43,15 +43,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def pack_nibbles(q: np.ndarray) -> np.ndarray:
+def pack_nibbles(q) -> 'np.ndarray | jnp.ndarray':
     """[..., K, N] uint8 int4-values (0..15) -> [..., K/2, N] packed:
-    low nibble = rows [0, K/2), high nibble = rows [K/2, K)."""
-    q = np.asarray(q)
+    low nibble = rows [0, K/2), high nibble = rows [K/2, K).
+
+    Dispatches on the input type: a jax Array packs ON ITS DEVICE (a 7B
+    engine's qvals may live on a remote TPU behind a ~35 ms-RTT tunnel —
+    np.asarray here would drag ~3.4 GB to the host at engine startup and
+    stall it for many minutes), numpy stays numpy (converter / disk
+    path).  The nibble math widens to i32 first, mirroring the kernel
+    (u8 shifts are the risky class on this stack)."""
+    xp = jnp if isinstance(q, jax.Array) else np
     k = q.shape[-2]
     assert k % 2 == 0, k
-    lo = q[..., : k // 2, :]
-    hi = q[..., k // 2:, :]
-    return (lo | (hi << 4)).astype(np.uint8)
+    lo = q[..., : k // 2, :].astype(xp.int32)
+    hi = q[..., k // 2:, :].astype(xp.int32)
+    return (lo | (hi << 4)).astype(xp.uint8)
 
 
 def unpack_nibbles_jax(p: jnp.ndarray) -> jnp.ndarray:
