@@ -31,6 +31,12 @@ def main():
                         speculative_k=0)
     params = bench.random_int4_params(cfg, jax.random.PRNGKey(0))
     eng = TPUEngine(cfg, ecfg, params)
+    # the engine repacked the int4 layers to sub-byte residency; drop the
+    # caller's reference so the 3.3 GB byte-per-int4 qvals free on device
+    # (keeping them + packed + profiler buffers OOMs the 16 GB chip)
+    import gc
+    del params
+    gc.collect()
     inst = eng.create_instance()
     gen = GenerationConfig(max_new_tokens=256, top_k=1, ignore_eos=True)
 

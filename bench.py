@@ -213,6 +213,10 @@ def main():
                         speculative_k=4)
     params = random_int4_params(cfg, jax.random.PRNGKey(0))
     eng = TPUEngine(cfg, ecfg, params)
+    # the engine holds the packed residency; drop the caller's reference
+    # so the byte-per-int4 qvals (2x the packed bytes) free on device
+    del params
+    gc.collect()
     inst = eng.create_instance()
     gen = GenerationConfig(max_new_tokens=OUT_TOKENS, top_k=1,
                            ignore_eos=True)
@@ -278,7 +282,7 @@ def main():
         t.join()
     batch_toks = sum(counts) / (time.perf_counter() - tb0)
     eng.shutdown()
-    del params, eng, inst
+    del eng, inst
     gc.collect()
 
     # north-star denominator: same model in bf16, no spec on either side

@@ -557,3 +557,43 @@ def test_pp_ring_indivisible_batch():
     cache, state, t2 = fns.decode_rounds(pparams, cache, state, rounds)
     got = np.concatenate([np.asarray(t1), np.asarray(t2)]).tolist()
     assert got == want
+
+
+def test_top_logprobs_on_pp_mesh_rides_relay():
+    """A top_logprobs slot on a pp mesh falls back from the ring to the
+    relay decode program (which carries the top-N planes) and stays
+    token-identical to the single-device engine."""
+    import dataclasses as dc
+
+    from lmdeploy_tpu.config import EngineConfig
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(9), jnp.float32)
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=4)
+    g = GenerationConfig(max_new_tokens=6, top_k=1, ignore_eos=True)
+    gt = dc.replace(g, top_logprobs=2)
+
+    eng = TPUEngine(CFG, ecfg, params)
+    try:
+        want = eng.create_instance().infer(
+            1, [3, 9, 4], gen_config=g, sequence_end=True).token_ids
+    finally:
+        eng.shutdown()
+
+    eng = TPUEngine(CFG, dc.replace(ecfg, pp=2), params)
+    try:
+        inst = eng.create_instance()
+        out = inst.infer(2, [3, 9, 4], gen_config=gt, sequence_end=True)
+        assert out.token_ids == want
+        assert len(out.top_logprobs) == 6
+        assert all(len(t) == 2 for t in out.top_logprobs)
+        best = [max(t, key=t.get) for t in out.top_logprobs]
+        assert best == want          # greedy: chosen == best alternative
+        # the top_logprobs rounds bypassed the ring
+        assert eng.stats['ring_rounds'] == 0
+    finally:
+        eng.shutdown()

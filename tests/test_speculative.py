@@ -382,3 +382,27 @@ def test_ngram_cascade_falls_back_to_shorter_match():
                                     k=2, ngram=3, ngram_min=2))
     assert casc[0].tolist() == [5, 5]           # 2-gram fallback fired
     assert casc[1].tolist() == [9, 8]           # 3-gram still preferred
+
+
+def test_top_logprobs_gates_spec_rounds():
+    """A slot requesting top_logprobs rides plain rounds (spec rounds
+    don't carry the top-N planes) and still streams token-identical
+    greedy output WITH alternatives attached."""
+    want, _ = _run(ECFG, [3, 4, 5, 3, 4, 5, 3, 4], 21)
+    spec = dataclasses.replace(ECFG, speculative_k=4)
+    params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
+    eng = TPUEngine(CFG, spec, params)
+    try:
+        inst = eng.create_instance()
+        out = inst.infer(22, [3, 4, 5, 3, 4, 5, 3, 4],
+                         gen_config=GenerationConfig(
+                             max_new_tokens=24, top_k=1, ignore_eos=True,
+                             top_logprobs=2),
+                         sequence_end=True)
+        assert out.token_ids == want
+        assert len(out.top_logprobs) == 24
+        assert all(len(t) == 2 for t in out.top_logprobs)
+        # every round with the top_logprobs slot running was plain
+        assert eng.stats['spec_rounds'] == 0
+    finally:
+        eng.shutdown()
