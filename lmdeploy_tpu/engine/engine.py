@@ -502,13 +502,27 @@ class TPUEngine:
                     self._flush_prefills()
                 except Exception:
                     log.exception('prefill flush failed')
-                    self._fail_all()
+                    try:
+                        self._fail_all()
+                    except Exception:
+                        log.exception('device-state recovery failed; '
+                                      'retrying on the next loop turn')
+                        time.sleep(0.5)
             if any(s is not None and not s.done for s in self.slots):
                 try:
                     self._decode_round(self.ecfg.step_length)
                 except Exception:
                     log.exception('decode round failed')
-                    self._fail_all()
+                    # _fail_all itself re-allocates device state; if the
+                    # backend is still exhausted (e.g. a profiler holds
+                    # HBM) that raises too — the engine thread must
+                    # survive either way, or queued clients hang forever
+                    try:
+                        self._fail_all()
+                    except Exception:
+                        log.exception('device-state recovery failed; '
+                                      'retrying on the next loop turn')
+                        time.sleep(0.5)
 
     def _fail_all(self):
         """Fail every running request, then rebuild the device state so

@@ -638,3 +638,51 @@ def test_stop_word_overflow_past_device_capacity(engine):
     got = collect(inst.stream_infer(71, [3, 5, 7], cfg,
                                     sequence_end=True))[-1].token_ids
     assert got == base[:2]  # stopped, stop token excluded
+
+
+def test_engine_survives_dispatch_and_recovery_failure():
+    """A backend execution error on the plain decode path fails the
+    in-flight requests — and if the state re-allocation ALSO fails
+    (e.g. device memory still held), the engine thread must survive and
+    recover on a later turn instead of dying with clients queued."""
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=24, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False)
+    params = init_params(CFG, jax.random.PRNGKey(3), jnp.float32)
+    eng = TPUEngine(CFG, ecfg, params)
+    try:
+        inst = eng.create_instance()
+        # prime compiles
+        out = inst.infer(1, [3, 9], gen_config=greedy(2), sequence_end=True)
+        assert out.status == ResponseType.FINISH
+
+        real_steps = eng.fns.decode_steps
+        real_alloc = eng._alloc_device_state
+        fails = {'steps': 1, 'alloc': 1}
+
+        def bad_steps(*a, **k):
+            if fails['steps']:
+                fails['steps'] -= 1
+                raise RuntimeError('RESOURCE_EXHAUSTED (simulated)')
+            return real_steps(*a, **k)
+
+        def bad_alloc(*a, **k):
+            if fails['alloc']:
+                fails['alloc'] -= 1
+                raise RuntimeError('still exhausted (simulated)')
+            return real_alloc(*a, **k)
+
+        eng.fns.decode_steps = bad_steps
+        eng._alloc_device_state = bad_alloc
+        out = inst.infer(2, [5, 7], gen_config=greedy(4),
+                         sequence_end=True)
+        assert out.status == ResponseType.INTERNAL_ERROR
+        assert fails['steps'] == 0
+        # engine thread alive and serving after the double failure
+        out = inst.infer(3, [3, 9], gen_config=greedy(3),
+                         sequence_end=True)
+        assert out.status == ResponseType.FINISH
+        assert len(out.token_ids) == 3
+        assert fails['alloc'] == 0
+    finally:
+        eng.shutdown()
