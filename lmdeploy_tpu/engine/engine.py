@@ -423,8 +423,19 @@ class TPUEngine:
     def create_instance(self) -> 'EngineInstance':
         return EngineInstance(self)
 
+    def alive(self) -> bool:
+        """Whether the engine thread is serving (it survives backend
+        errors by design; False after shutdown or a crash bug)."""
+        return self._thread.is_alive()
+
     def submit(self, request: EngineRequest) -> queue.Queue:
         out_q: queue.Queue = queue.Queue()
+        if not self.alive():
+            # fail fast instead of queueing into a dead engine — a
+            # client blocked on this queue would hang forever
+            out_q.put(EngineOutput(ResponseType.INTERNAL_ERROR, [], 0,
+                                   finished=True))
+            return out_q
         # backpressure: bound queued + deferred work (reference blocks in
         # RequestQueue; a serving engine must reject instead — the
         # frontend turns QUEUE_FULL into HTTP 429)
@@ -1318,6 +1329,20 @@ class TPUEngine:
         self.slots[slot_idx] = None
 
 
+def _get_or_dead(out_q: queue.Queue, engine: TPUEngine) -> EngineOutput:
+    """Wait for the next output frame, but never past the engine's
+    death: a client blocked on a queue the engine thread will no longer
+    feed (shutdown or a crash bug) gets INTERNAL_ERROR instead of
+    hanging forever."""
+    while True:
+        try:
+            return out_q.get(timeout=1.0)
+        except queue.Empty:
+            if not engine.alive():
+                return EngineOutput(ResponseType.INTERNAL_ERROR, [], 0,
+                                    finished=True)
+
+
 class EngineInstance:
     """Per-frontend handle (reference: TurboMindInstance)."""
 
@@ -1336,7 +1361,7 @@ class EngineInstance:
             step=step)
         out_q = self.engine.submit(req)
         while True:
-            out: EngineOutput = out_q.get()
+            out = _get_or_dead(out_q, self.engine)
             yield out
             if out.finished:
                 return
@@ -1356,7 +1381,8 @@ class EngineInstance:
         out_q = self.engine.submit(req)
         loop = asyncio.get_running_loop()
         while True:
-            out: EngineOutput = await loop.run_in_executor(None, out_q.get)
+            out: EngineOutput = await loop.run_in_executor(
+                None, _get_or_dead, out_q, self.engine)
             yield out
             if out.finished:
                 return
@@ -1379,7 +1405,7 @@ class EngineInstance:
         engine thread to serialize with decode rounds."""
         req = EngineRequest(session_id=-1, input_ids=list(map(int, input_ids)),
                             gen_config=GenerationConfig(), return_logits=True)
-        out: EngineOutput = self.engine.submit(req).get()
+        out = _get_or_dead(self.engine.submit(req), self.engine)
         if out.logits is None:
             raise RuntimeError(f'decode failed: {out.status!r}')
         return out.logits

@@ -686,3 +686,18 @@ def test_engine_survives_dispatch_and_recovery_failure():
         assert fails['alloc'] == 0
     finally:
         eng.shutdown()
+
+
+def test_dead_engine_fails_fast():
+    """Requests to a shut-down (or crashed) engine return INTERNAL_ERROR
+    instead of blocking forever on a queue no thread will feed."""
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=24, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False)
+    params = init_params(CFG, jax.random.PRNGKey(3), jnp.float32)
+    eng = TPUEngine(CFG, ecfg, params)
+    inst = eng.create_instance()
+    eng.shutdown()
+    out = inst.infer(1, [3, 9], gen_config=greedy(2), sequence_end=True)
+    assert out.status == ResponseType.INTERNAL_ERROR
+    assert out.finished
