@@ -30,6 +30,9 @@ def main():
                         speculative_k=0)
     params = bench.random_int4_params(cfg, jax.random.PRNGKey(0))
     eng = TPUEngine(cfg, ecfg, params)
+    import gc
+    del params
+    gc.collect()
     inst = eng.create_instance()
     prompt = list(range(5, 5 + 500))
     gen = GenerationConfig(max_new_tokens=1, top_k=1, ignore_eos=True)
@@ -47,6 +50,8 @@ def main():
     print(json.dumps({
         'dequant_min_m': os.environ.get('LMDEPLOY_TPU_DEQUANT_MIN_M',
                                         '(default 32)'),
+        'packed_prefill': os.environ.get('LMDEPLOY_TPU_PACKED_PREFILL',
+                                         '(default 1)'),
         'prompt_tokens': len(prompt),
         'prefill_wall_s': [round(x, 3) for x in ttfts],
         'prefill_tok_s': round(len(prompt) / best, 1)}), flush=True)

@@ -24,10 +24,12 @@ def main():
                       inter_size=11008, num_layer=32, vocab_size=32000,
                       rotary_embedding=128, max_position_embeddings=4096,
                       session_len=2048, weight_type='int4', group_size=128)
+    # int8 KV: a bs32 bf16 pool (13.4 GB) + packed weights exceeds the
+    # 16 GB chip; int8 KV at high concurrency is the production sizing
     ecfg = EngineConfig(max_batch_size=32, session_len=512, page_size=64,
                         num_pages=200, max_context_token_num=512,
                         prefill_buckets=(64, 512), step_length=64,
-                        speculative_k=0)
+                        speculative_k=0, kv_dtype='int8', quant_policy=4)
     params = bench.random_int4_params(cfg, jax.random.PRNGKey(0))
     eng = TPUEngine(cfg, ecfg, params)
     del params

@@ -1,4 +1,4 @@
-"""Capture an xplane trace of the plain bs1 decode program (step_length=64)
+"""Capture an xplane trace of a speculative bs1 run (k=4, step_length=64)
 and attribute the ~17.4 ms/tok step cost per op category (VERDICT r3
 weak #1: ~40% of the step unexplained vs the ~10.6 ms weight-stream floor).
 
@@ -11,7 +11,7 @@ import time
 
 sys.path.insert(0, '/root/repo')
 
-TRACE_DIR = '/root/repo/.r4/xplane_decode'
+TRACE_DIR = '/root/repo/.r4/xplane_spec'
 
 
 def main():
@@ -31,7 +31,7 @@ def main():
     ecfg = EngineConfig(max_batch_size=2, session_len=1024, page_size=64,
                         num_pages=24, max_context_token_num=512,
                         prefill_buckets=(64, 512), step_length=64,
-                        speculative_k=0)
+                        speculative_k=4)
     params = bench.random_int4_params(cfg, jax.random.PRNGKey(0))
     eng = TPUEngine(cfg, ecfg, params)
     # the engine repacked the int4 layers to sub-byte residency; drop the

@@ -116,7 +116,7 @@ def measure_packed_block_n(cfg, m: int, block_n: int,
     total = 0.0
     for k, n in shapes:
         packed = jnp.asarray(pack_nibbles(
-            np.random.randint(0, 256, (1, k // 2, n)).astype(np.uint8)
+            np.random.randint(0, 256, (1, k, n)).astype(np.uint8)
             & 0xF))
         scales = jnp.full((1, k // g, n), 0.002, jnp.bfloat16)
         x = jnp.asarray(np.random.randn(m, k), jnp.bfloat16)
@@ -138,12 +138,16 @@ def measure_packed_block_n(cfg, m: int, block_n: int,
 
 
 def tune_packed(cfg, model_path: str, write: bool,
-                ms=(1, 4, 8, 16, 32, 64),
-                block_ns=(128, 256, 512, 1024)) -> dict:
+                ms=(1, 4, 8, 16, 32, 64, 512),
+                block_ns=(None, 512, 2048)) -> dict:
     """Sweep the packed kernel's N tile per (shape, M-bucket) and persist
     winners into the workspace's mm_tune.json (the repo's gemm_config.in
     equivalent — reference: generate_gemm_config.py writes the sweep
-    result consumed at engine start)."""
+    result consumed at engine start).  ``None`` is the kernel's
+    VMEM-budget auto pick (full-N rows when they fit — the measured
+    decode-M winner, 900 vs 88.7 GB/s); explicit tiles stay in the
+    sweep for shard shapes where full rows exceed the budget.  M=512
+    covers the prefill regime of the M-blocked kernel."""
     from lmdeploy_tpu.ops.linear import tune_key
 
     d, dh = cfg.hidden_size, cfg.size_per_head
@@ -155,13 +159,15 @@ def tune_packed(cfg, model_path: str, write: bool,
         per_bn = {}
         for bn in block_ns:
             per_bn[bn] = measure_packed_block_n(cfg, m, bn)
-            print(f'M={m:3d} block_n={bn:5d}: {per_bn[bn]:8.2f} ms',
+            print(f'M={m:3d} block_n={bn!s:>5}: {per_bn[bn]:8.2f} ms',
                   flush=True)
         best = min(per_bn, key=per_bn.get)
         # the sweep times all shapes together; record the winner per shape
-        # key so per-shape loads still resolve
-        for k, n in shapes:
-            table[tune_key(k, n, m)] = best
+        # key so per-shape loads still resolve; the auto pick (None)
+        # writes no entry — absent key == auto at load time
+        if best is not None:
+            for k, n in shapes:
+                table[tune_key(k, n, m)] = best
         print(f'M={m}: best block_n={best}')
     if write:
         path = _osp.join(model_path, 'mm_tune.json')
