@@ -296,6 +296,17 @@ def _tuned_block_n(m: int, k: int, n: int):
     return int(v) if v is not None else None
 
 
+def _packed_prefill_kernel() -> bool:
+    """Large-M (prefill) regime of the packed path: 1 = the M-blocked
+    Pallas kernel (one true-4-bit weight pass, MXU-bound), 0 = XLA
+    unpack-to-bf16 + plain dot (the weight materializes at ~4.5
+    bytes/value of traffic per chunk — the prior ~2230 tok/s prefill).
+    Default ON; on-chip A/B in flight (.r4/prefill_tput:kernel.json) —
+    flip to 0 if the kernel loses there."""
+    import os
+    return os.environ.get('LMDEPLOY_TPU_PACKED_PREFILL', '1') == '1'
+
+
 def quant_matmul_packed(x2: jnp.ndarray, pw: PackedInt4Weight, layer,
                         *, interpret: bool = False) -> jnp.ndarray:
     """x2 [M, K] @ dequant(pw[layer]) -> [M, N] f32, true 4-bit HBM
@@ -305,7 +316,7 @@ def quant_matmul_packed(x2: jnp.ndarray, pw: PackedInt4Weight, layer,
     m, k = x2.shape
     g = pw.scales.shape[1]
     group = k // g
-    if m <= _PACKED_PALLAS_MAX_M:
+    if m <= _PACKED_PALLAS_MAX_M or _packed_prefill_kernel():
         out = packed_int4_matmul(x2, pw.packed, pw.scales, layer,
                                  block_n=_tuned_block_n(m, k, pw.n),
                                  interpret=interpret)
@@ -313,8 +324,7 @@ def quant_matmul_packed(x2: jnp.ndarray, pw: PackedInt4Weight, layer,
         sz = jax.lax.dynamic_index_in_dim(pw.sz, layer, 0, keepdims=False)
         return out - jnp.dot(sums, sz.astype(jnp.float32),
                              preferred_element_type=jnp.float32)
-    # large-M regime: unpack + dequantize once, plain MXU dot — the
-    # measured winner from M>=64 (3.1x at M=512, see _dequant_min_m);
+    # XLA large-M fallback: unpack + dequantize once, plain MXU dot;
     # with sz = s*z in hand the zero-point folds into the dequant, so
     # no algebraic rowsum term is needed here
     p = jax.lax.dynamic_index_in_dim(pw.packed, layer, 0, keepdims=False)

@@ -73,7 +73,7 @@ def _mm_kernel(layer_ref,                       # scalar prefetch
                xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref,   # inputs
                out_ref,
                *, n_g2: int):
-    g = pl.program_id(1)
+    g = pl.program_id(2)                        # grid (mi, ni, gi)
 
     wp = w_ref[0]                               # [group, BN] u8
     # Mosaic has no native u8->bf16 convert NOR u8 shifts (arith.shrui
@@ -115,7 +115,12 @@ def _auto_block_n(n: int, mp: int) -> int:
     (2x128xbn) + the i32 nibble-widen temp (4B/value, 512xbn — this is
     what OOMs big blocks; the bf16 halves fuse into the MXU feed) + the
     [mp, bn] f32 accumulator."""
-    budget = 12_500_000
+    # override for co-residency with VMEM consumers (the xplane profiler
+    # instruments kernels and a near-full scoped budget then
+    # RESOURCE_EXHAUSTEDs — trace harnesses set a smaller value)
+    import os
+    budget = int(os.environ.get('LMDEPLOY_TPU_PACKED_VMEM_BUDGET',
+                                '12500000'))
     best = 0
     d = 128
     while d <= n:
@@ -130,11 +135,19 @@ def _auto_block_n(n: int, mp: int) -> int:
 def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
                        scales: jnp.ndarray, layer, *,
                        block_n: int | None = None,
+                       block_m: int = 256,
                        interpret: bool = False) -> jnp.ndarray:
     """``x [M, K] @ unpacked(packed)[layer] * scales[layer]`` -> [M, N] f32.
 
     The UNSCALED-zero-point product: the caller subtracts the algebraic
     ``rowsum_g(x) @ (scales * zeros)[layer]`` term (ops/linear.py).
+
+    Serves BOTH regimes: decode/verify (M <= block_m: one M block,
+    full-N row tiles when VMEM allows — HBM-saturated sub-byte
+    streaming) and prefill (M > block_m: an M grid axis; each packed
+    tile is DMA'd once and feeds block_m activation rows, so the kernel
+    is MXU-bound instead of the XLA path's unpack-to-bf16
+    materialization).
 
     Args:
       x: [M, K] activations (any float dtype; cast to bf16).
@@ -146,6 +159,7 @@ def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
         array EVERY loop iteration (measured: ~half the decode step went
         to these scales copies, .r4/trace_packed.log).
       layer: int32 scalar (traced ok) — which stacked layer to use.
+      block_m: M tile for the prefill regime (M pads up to a multiple).
     """
     # Mosaic compiles only on real TPU; CPU (tests) runs interpret mode
     interpret = interpret or jax.devices()[0].platform != 'tpu'
@@ -159,10 +173,14 @@ def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
     g2 = g_groups // 2
     assert g2 * 2 == g_groups and k2 % group == 0 and k2 // group == g2
 
-    # pad M to the bf16 sublane tile so Mosaic gets aligned blocks
-    mp = max(16, -(-m // 16) * 16)
+    # pad M to the bf16 sublane tile (decode) or the M tile (prefill)
+    if m <= block_m:
+        bm = mp = max(16, -(-m // 16) * 16)
+    else:
+        bm = block_m
+        mp = -(-m // bm) * bm
     if block_n is None:
-        bn = _auto_block_n(n, mp)
+        bn = _auto_block_n(n, bm)
     else:
         bn = min(block_n, n)
         if n % bn:
@@ -177,26 +195,29 @@ def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n // bn, g2),
+        # g innermost: the [bm, bn] f32 accumulator block is revisited
+        # across the group axis (init at gi == 0)
+        grid=(mp // bm, n // bn, g2),
         in_specs=[
-            pl.BlockSpec((mp, group), lambda ni, gi, lr: (0, gi),
+            pl.BlockSpec((bm, group), lambda mi, ni, gi, lr: (mi, gi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mp, group), lambda ni, gi, lr: (0, gi),
+            pl.BlockSpec((bm, group), lambda mi, ni, gi, lr: (mi, gi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, bn), lambda ni, gi, lr: (lr[0], gi, ni),
+            pl.BlockSpec((1, group, bn),
+                         lambda mi, ni, gi, lr: (lr[0], gi, ni),
                          memory_space=pltpu.VMEM),
             # scales carry a unit sublane dim ([L, G, 1, N]): Mosaic
             # requires the block's second-to-last dim be a multiple of 8
             # OR equal to the array dim — (1, bn) on [..., 1, N] is legal
             # where (1, bn) on [..., G, N] is not (chip-verified)
-            pl.BlockSpec((1, 1, 1, bn), lambda ni, gi, lr: (lr[0], gi, 0,
-                                                            ni),
+            pl.BlockSpec((1, 1, 1, bn),
+                         lambda mi, ni, gi, lr: (lr[0], gi, 0, ni),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, bn),
-                         lambda ni, gi, lr: (lr[0], g2 + gi, 0, ni),
+                         lambda mi, ni, gi, lr: (lr[0], g2 + gi, 0, ni),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((mp, bn), lambda ni, gi, lr: (0, ni),
+        out_specs=pl.BlockSpec((bm, bn), lambda mi, ni, gi, lr: (mi, ni),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(

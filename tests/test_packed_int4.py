@@ -74,13 +74,30 @@ def test_layer_prefetch_selects_layer():
                                    rtol=0.05, atol=0.5)
 
 
-def test_large_m_xla_regime():
-    """M past _PACKED_PALLAS_MAX_M rides the XLA unpack formulation —
-    same numbers."""
+def test_large_m_xla_regime(monkeypatch):
+    """M past _PACKED_PALLAS_MAX_M with the prefill kernel disabled
+    rides the XLA unpack formulation — same numbers."""
+    monkeypatch.setenv('LMDEPLOY_TPU_PACKED_PREFILL', '0')
     qw = _mk(k=256, n=128)
     pw = pack_quantized(qw)
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(size=(96, qw.k)), jnp.bfloat16)
+    ref = quant_matmul(x, qw)
+    got = quant_matmul_packed(x, pw, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=1.0)
+
+
+@pytest.mark.parametrize('m', [96, 200, 513])
+def test_large_m_prefill_kernel_regime(m):
+    """The M-blocked kernel (default large-M path: one true-4-bit
+    weight pass, M grid axis, padding rows) matches the XLA unpack
+    formulation at prefill shapes, including a non-multiple-of-block
+    M."""
+    qw = _mk(k=256, n=128)
+    pw = pack_quantized(qw)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(m, qw.k)), jnp.bfloat16)
     ref = quant_matmul(x, qw)
     got = quant_matmul_packed(x, pw, jnp.int32(0))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
