@@ -357,3 +357,41 @@ def test_engine_packed_int4_tp(monkeypatch):
             eng.shutdown()
 
     assert run(packed=True) == run(packed=False)
+
+
+def test_top_logprobs_on_dp_tp_mesh():
+    """The top-N readback planes ([5+2N, k, B] packed, batch LAST) must
+    shard over dp like the base planes and match the single-device
+    engine's alternatives."""
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+
+    params = init_params(CFG, jax.random.PRNGKey(7), jnp.float32)
+    base = EngineConfig(max_batch_size=4, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(8, 16), use_pallas=False,
+                        step_length=2, tp=1, dp=1)
+    gen = GenerationConfig(max_new_tokens=5, top_k=1, ignore_eos=True,
+                           top_logprobs=3)
+
+    def run(ecfg):
+        eng = TPUEngine(CFG, ecfg, params)
+        try:
+            inst = eng.create_instance()
+            outs = {}
+            for sid, p in {1: [3, 17, 42], 2: [9, 11]}.items():
+                outs[sid] = inst.infer(sid, p, gen_config=gen,
+                                       sequence_end=True)
+            return outs
+        finally:
+            eng.shutdown()
+
+    want = run(base)
+    got = run(dataclasses.replace(base, dp=2, tp=2))
+    for sid in want:
+        assert got[sid].token_ids == want[sid].token_ids
+        assert len(got[sid].top_logprobs) == 5
+        for a, b in zip(got[sid].top_logprobs, want[sid].top_logprobs):
+            assert set(a) == set(b)
+            for t in a:
+                assert abs(a[t] - b[t]) < 1e-3
