@@ -96,6 +96,14 @@ def measure_mm_regime(cfg, m: int, iters: int = 20,
     return out
 
 
+def _gemm_shapes(cfg):
+    """The five per-layer GEMM (K, N) shapes: wqkv, wo, w1, w3, w2."""
+    d, dh = cfg.hidden_size, cfg.size_per_head
+    return [(d, (cfg.head_num + 2 * cfg.kv_head_num) * dh),
+            (cfg.head_num * dh, d), (d, cfg.inter_size),
+            (d, cfg.inter_size), (cfg.inter_size, d)]
+
+
 def measure_packed_block_n(cfg, m: int, block_n: int,
                            iters: int = 20) -> float:
     """Time the packed-int4 Pallas kernel at (m, block_n) over the
@@ -108,10 +116,7 @@ def measure_packed_block_n(cfg, m: int, block_n: int,
     from lmdeploy_tpu.ops.pallas.quant_matmul import (pack_nibbles,
                                                       packed_int4_matmul)
 
-    d, dh = cfg.hidden_size, cfg.size_per_head
-    shapes = [(d, (cfg.head_num + 2 * cfg.kv_head_num) * dh),
-              (cfg.head_num * dh, d), (d, cfg.inter_size),
-              (d, cfg.inter_size), (cfg.inter_size, d)]
+    shapes = _gemm_shapes(cfg)
     g = cfg.group_size or 128
     total = 0.0
     for k, n in shapes:
@@ -150,10 +155,7 @@ def tune_packed(cfg, model_path: str, write: bool,
     covers the prefill regime of the M-blocked kernel."""
     from lmdeploy_tpu.ops.linear import tune_key
 
-    d, dh = cfg.hidden_size, cfg.size_per_head
-    shapes = [(d, (cfg.head_num + 2 * cfg.kv_head_num) * dh),
-              (cfg.head_num * dh, d), (d, cfg.inter_size),
-              (d, cfg.inter_size), (cfg.inter_size, d)]
+    shapes = _gemm_shapes(cfg)
     table = {}
     for m in ms:
         per_bn = {}

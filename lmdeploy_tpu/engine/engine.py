@@ -318,6 +318,7 @@ class TPUEngine:
         self._requests: queue.Queue = queue.Queue()
         self._pending: List = []  # requests waiting for a free slot
         self._shutdown = False
+        self._needs_recovery = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name='tpu-engine')
         self._thread.start()
@@ -484,8 +485,31 @@ class TPUEngine:
         self.submit(req)
 
     # -- engine loop ----------------------------------------------------------
+    def _fail_all_safe(self):
+        """_fail_all, but a failed re-allocation (backend still
+        exhausted) arms a retry flag instead of killing the engine
+        thread — and the retry happens PROACTIVELY at the top of each
+        loop turn, not at the expense of the next request dispatched
+        against the stale poisoned state."""
+        try:
+            self._fail_all()
+            self._needs_recovery = False
+        except Exception:
+            log.exception('device-state recovery failed; will retry '
+                          'each loop turn')
+            self._needs_recovery = True
+            time.sleep(0.5)
+
     def _loop(self):
         while not self._shutdown:
+            if getattr(self, '_needs_recovery', False):
+                try:
+                    self._recover_device_state()
+                    self._needs_recovery = False
+                except Exception:
+                    log.exception('device-state recovery failed; will '
+                                  'retry each loop turn')
+                    time.sleep(0.5)
             busy = any(s is not None for s in self.slots) or self._pending
             try:
                 timeout = 0.0 if busy else 0.05
@@ -513,27 +537,13 @@ class TPUEngine:
                     self._flush_prefills()
                 except Exception:
                     log.exception('prefill flush failed')
-                    try:
-                        self._fail_all()
-                    except Exception:
-                        log.exception('device-state recovery failed; '
-                                      'retrying on the next loop turn')
-                        time.sleep(0.5)
+                    self._fail_all_safe()
             if any(s is not None and not s.done for s in self.slots):
                 try:
                     self._decode_round(self.ecfg.step_length)
                 except Exception:
                     log.exception('decode round failed')
-                    # _fail_all itself re-allocates device state; if the
-                    # backend is still exhausted (e.g. a profiler holds
-                    # HBM) that raises too — the engine thread must
-                    # survive either way, or queued clients hang forever
-                    try:
-                        self._fail_all()
-                    except Exception:
-                        log.exception('device-state recovery failed; '
-                                      'retrying on the next loop turn')
-                        time.sleep(0.5)
+                    self._fail_all_safe()
 
     def _fail_all(self):
         """Fail every running request, then rebuild the device state so
@@ -1049,12 +1059,16 @@ class TPUEngine:
         # plain path's convention).
         running = len(cfgs)
         # top-N alternative logprobs for generated tokens (OpenAI
-        # top_logprobs): static plane count for the round = the max any
-        # running slot asked for.  Spec rounds and the pp ring don't
-        # carry the planes, so such slots ride plain decode_steps (a
-        # request-rare feature must not complicate the two hot paths)
-        topn = max((min(g.top_logprobs or 0, self.MAX_TOP_LOGPROBS)
-                    for g in cfgs), default=0)
+        # top_logprobs): the plane count is QUANTIZED to {0,
+        # MAX_TOP_LOGPROBS} — one extra program per (mode, length)
+        # instead of one per distinct N, since a novel static shape
+        # jit-compiles mid-serving and stalls running streams (the
+        # measured ~5.7s interleave stall class); _emit slices each
+        # slot's requested N host-side.  Spec rounds and the pp ring
+        # don't carry the planes, so such slots ride plain decode_steps
+        # (a request-rare feature must not complicate the two hot paths)
+        topn = self.MAX_TOP_LOGPROBS if any(
+            (g.top_logprobs or 0) > 0 for g in cfgs) else 0
         spec_mode = None
         # spec keeps its flat break-even under pp: in the weight-
         # bandwidth-bound decode regime a relay verify round and a ring
@@ -1338,7 +1352,11 @@ def _get_or_dead(out_q: queue.Queue, engine: TPUEngine) -> EngineOutput:
         try:
             return out_q.get(timeout=1.0)
         except queue.Empty:
-            if not engine.alive():
+            alive = getattr(engine, 'alive', None)
+            # engines without a liveness probe (RouterEngine wrapping
+            # remote backends) just keep waiting — their dead-peer
+            # fail-fast lives in the transport layer
+            if alive is not None and not alive():
                 return EngineOutput(ResponseType.INTERNAL_ERROR, [], 0,
                                     finished=True)
 

@@ -62,6 +62,7 @@ class GenerationConfig:
         out.top_k = max(0, min(out.top_k if out.top_k else vocab_size, 1024))
         out.top_p = float(min(max(out.top_p, 1e-5), 1.0))
         out.temperature = float(max(out.temperature, 1e-5))
+        out.top_logprobs = max(0, int(out.top_logprobs or 0))
         return out
 
 

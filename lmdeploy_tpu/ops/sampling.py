@@ -279,7 +279,11 @@ def sample_step(logits, state: SamplingState, history, history_len,
             top_vals, top_ids = jax.lax.top_k(tv, topn)
             top_lps = top_vals - jax.nn.logsumexp(tv, axis=-1,
                                                   keepdims=True)
-            return (tokens, new_keys, zeros,
+            # OpenAI consistency: the reported token logprob must equal
+            # that token's entry in top_logprobs — the argmax IS top-1
+            # of the same distribution (the topn==0 path keeps the
+            # post-filter 0.0 convention)
+            return (tokens, new_keys, top_lps[:, 0],
                     (top_ids.astype(jnp.int32), top_lps))
         return tokens, new_keys, zeros
 
@@ -304,9 +308,15 @@ def sample_step(logits, state: SamplingState, history, history_len,
     tok_logprob = jnp.take_along_axis(logprobs, tok_c[:, None], axis=1)[:, 0]
     if topn > 0:
         # alternatives from the PRE-filter distribution (see docstring);
-        # candidates are desc-sorted so the top-n are the first n columns
+        # candidates are desc-sorted so the top-n are the first n
+        # columns.  The reported token logprob switches to the SAME
+        # pre-filter distribution so it always equals the chosen
+        # token's own entry in top_logprobs (OpenAI semantics; the
+        # topn==0 path keeps the post-filter convention)
         pre_lps = jax.nn.log_softmax(pre_vals, axis=-1)
-        return (tokens.astype(jnp.int32), new_keys, tok_logprob,
+        tok_pre_lp = jnp.take_along_axis(pre_lps, tok_c[:, None],
+                                         axis=1)[:, 0]
+        return (tokens.astype(jnp.int32), new_keys, tok_pre_lp,
                 (idx[:, :topn].astype(jnp.int32), pre_lps[:, :topn]))
     return tokens.astype(jnp.int32), new_keys, tok_logprob
 

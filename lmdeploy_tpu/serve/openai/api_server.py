@@ -96,8 +96,8 @@ async def chat_completions_v1(raw: web.Request) -> web.StreamResponse:
     stop_strings = None if isinstance(req.stop, bool) else req.stop
     want_lp = bool(req.logprobs)
     # engine readback planes cap at 5 alternatives (OpenAI allows up to
-    # 20; values above clip)
-    n_top = min(int(req.top_logprobs or 0), 5) if want_lp else 0
+    # 20; values above clip, negatives floor to 0)
+    n_top = max(0, min(int(req.top_logprobs or 0), 5)) if want_lp else 0
     gen = engine.generate_openai(
         req.messages, session_id, stream_response=bool(req.stream),
         renew_session=bool(req.renew_session),
@@ -213,8 +213,9 @@ async def completions_v1(raw: web.Request) -> web.StreamResponse:
     # top-k readback planes (GenerationConfig.top_logprobs).
     want_logprobs = req.logprobs is not None
     # OpenAI contract: the logprobs int is the number of ALTERNATIVES
-    # per position, capped at 5
-    n_alts = min(int(req.logprobs or 0), 5) if want_logprobs else 0
+    # per position, capped at 5 (negatives floor to 0: logprobs=-1 must
+    # not slice a whole-vocab alternatives dict via argpartition)
+    n_alts = max(0, min(int(req.logprobs or 0), 5)) if want_logprobs else 0
 
     def _gen(prompt: str, sid: int, stream: bool):
         return engine.generate(

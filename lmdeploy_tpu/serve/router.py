@@ -155,8 +155,13 @@ def _serve_conn(engine, conn: socket.socket):
             out_q = engine.submit(req)
 
             def drain(rid=rid, out_q=out_q):
+                from ..engine.engine import _get_or_dead
                 while True:
-                    out: EngineOutput = out_q.get()
+                    # liveness-aware wait: a worker engine that dies
+                    # mid-request must surface a final INTERNAL_ERROR
+                    # frame instead of hanging this drain (and the
+                    # router-side client) forever
+                    out = _get_or_dead(out_q, engine)
                     msg = _out_to_wire(out)
                     msg['rid'] = rid
                     try:
@@ -346,6 +351,12 @@ class RouterEngine:
             self._sticky.pop(session_id, None)
 
     # -- TPUEngine surface -------------------------------------------------
+    def alive(self) -> bool:
+        """Router liveness = the local engine's (remote-peer death is
+        handled by the transport's dead-peer fail-fast, not here)."""
+        local_alive = getattr(self.local, 'alive', None)
+        return local_alive() if local_alive is not None else True
+
     def submit(self, req: EngineRequest) -> queue.Queue:
         idx = self._route(req)
         out_q = self.backends[idx].submit(req)
