@@ -40,14 +40,23 @@ def main():
     inst.infer(0, prompt, gen_config=gen, sequence_end=True)
     time.sleep(1.0)
     ttfts = []
+    fails = 0
     for r in range(REPEATS):
         t0 = time.perf_counter()
-        inst.infer(10 + r, prompt, gen_config=gen, sequence_end=True)
-        ttfts.append(time.perf_counter() - t0)
+        out = inst.infer(10 + r, prompt, gen_config=gen, sequence_end=True)
+        if out.token_ids:             # an instantly-failed request must
+            ttfts.append(time.perf_counter() - t0)   # not count as fast
+        else:
+            fails += 1
         time.sleep(0.5)
     eng.shutdown()
+    if not ttfts:
+        print(json.dumps({'error': 'all repeats failed', 'fails': fails}),
+              flush=True)
+        return
     best = min(ttfts)
     print(json.dumps({
+        'fails': fails,
         'dequant_min_m': os.environ.get('LMDEPLOY_TPU_DEQUANT_MIN_M',
                                         '(default 32)'),
         'packed_prefill': os.environ.get('LMDEPLOY_TPU_PACKED_PREFILL',

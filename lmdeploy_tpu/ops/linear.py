@@ -300,11 +300,14 @@ def _packed_prefill_kernel() -> bool:
     """Large-M (prefill) regime of the packed path: 1 = the M-blocked
     Pallas kernel (one true-4-bit weight pass, MXU-bound), 0 = XLA
     unpack-to-bf16 + plain dot (the weight materializes at ~4.5
-    bytes/value of traffic per chunk — the prior ~2230 tok/s prefill).
-    Default ON; on-chip A/B in flight (.r4/prefill_tput:kernel.json) —
-    flip to 0 if the kernel loses there."""
+    bytes/value of traffic per chunk — the measured ~2230 tok/s
+    prefill).  Default OFF: the only on-chip A/B so far ran in a
+    degraded-chip window (kernel arm 9.7 s/prompt WITH a backend error
+    mid-run; control arm's requests failed instantly) and an unmeasured
+    default flip must not risk the known-good prefill path — re-run
+    .r4/prefill_tput.py both arms on a healthy chip before flipping."""
     import os
-    return os.environ.get('LMDEPLOY_TPU_PACKED_PREFILL', '1') == '1'
+    return os.environ.get('LMDEPLOY_TPU_PACKED_PREFILL', '0') == '1'
 
 
 def quant_matmul_packed(x2: jnp.ndarray, pw: PackedInt4Weight, layer,
