@@ -7,14 +7,41 @@ Runs the REAL engine end-to-end (scheduler + sampling + detok-free stream),
 like the reference's benchmark/profile_generation.py. Weights are random
 (no checkpoints in this environment) — throughput is weight-content
 independent. Prints ONE JSON line.
+
+Un-killable by design (VERDICT r4 item 1): a monitor thread enforces a
+hard wall-clock budget (LMDEPLOY_TPU_BENCH_BUDGET_S, default 1020 s) and
+prints whatever has been measured so far — or the last successful run,
+marked stale — then exits, so a wedged tunnel / leaked-HBM chip can never
+leave the driver with rc=124 and no JSON line.  Every optional phase
+(bf16 denominator, spec proxy, bs8) checks the remaining budget first.
 """
 import json
+import os
+import threading
 import time
 
 import numpy as np
 
 BASELINE_TOKS = 206.4
 OUT_TOKENS = 512
+
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get('LMDEPLOY_TPU_BENCH_BUDGET_S', '1020'))
+_PRINTED = threading.Event()
+# phases append measured fields here; the watchdog prints them on timeout
+_PARTIAL = {}
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.monotonic() - _T0)
+
+
+def _emit(line: dict):
+    """The single place a JSON line leaves this process (main or
+    watchdog, whichever first)."""
+    if not _PRINTED.is_set():
+        _PRINTED.set()
+        print(json.dumps(line), flush=True)
 
 
 def random_int4_params(cfg, key):
@@ -118,7 +145,9 @@ def spec_accept_real_text(timeout: float = 1500.0):
         out = subprocess.run(
             [sys.executable, '-m', 'benchmark.accuracy', '--spec-only'],
             capture_output=True, text=True, timeout=timeout,
-            cwd='/root/repo')
+            cwd='/root/repo',
+            env={**os.environ, 'PALLAS_AXON_POOL_IPS': '',
+                 'JAX_PLATFORMS': 'cpu'})
         last = out.stdout.strip().splitlines()[-1]
         return _json.loads(last)
     except Exception as e:
@@ -127,14 +156,20 @@ def spec_accept_real_text(timeout: float = 1500.0):
         return None
 
 
-def _chip_alive(timeout: float = 600.0) -> bool:
+def _chip_alive(timeout: float = 240.0):
     """Probe the tunneled TPU in a SUBPROCESS with a timeout: a wedged
     axon tunnel hangs every in-process `import jax` at the register
     handshake (see CLAUDE.md), which would hang this whole benchmark.
+    Also checks the round-4 failure mode — HBM leaked server-side by
+    dead clients — by allocating/releasing an 8 GB floor (the int4
+    engine + pool needs ~6 GB; a chip that can't hold 8 will
+    RESOURCE_EXHAUSTED mid-run and waste the whole budget).
+
+    Returns (alive: bool, hbm_ok: bool).
 
     Tradeoff, stated plainly: the probe DOES compile one tiny dot, and
     killing a TPU client mid-compile is the known chip-wedge hazard.
-    On a live chip this program compiles in seconds, so a kill at 600s
+    On a live chip this program finishes in ~30 s, so a kill at 240 s
     overwhelmingly means the client never got past registration (no
     compile in flight); the residual risk of killing a
     pathologically-slow-but-alive compile is accepted because the
@@ -142,15 +177,40 @@ def _chip_alive(timeout: float = 600.0) -> bool:
     wedge."""
     import subprocess
     import sys
-    code = ('import jax, jax.numpy as jnp, numpy as np;'
-            'x = jnp.ones((128, 128), jnp.bfloat16);'
-            'print("alive", np.asarray(jnp.dot(x, x))[0, 0])')
+    # test hook: lets tests/test_bench_watchdog.py exercise the wedge /
+    # leaked-HBM paths without a TPU (and without killing real clients)
+    fake = os.environ.get('LMDEPLOY_TPU_BENCH_FAKE_PROBE')
+    if fake == 'hang':
+        time.sleep(1e9)
+    if fake == 'dead':
+        return False, False
+    if fake == 'noalloc':
+        return True, False
+    if fake == 'ok':
+        return True, True
+    code = (
+        'import json, jax, jax.numpy as jnp, numpy as np\n'
+        'x = jnp.ones((128, 128), jnp.bfloat16)\n'
+        'v = float(np.asarray(jnp.dot(x, x))[0, 0])\n'
+        'ok = True\n'
+        'try:\n'
+        '    xs = [jnp.ones((1024, 1024, 1024), jnp.bfloat16)'
+        ' for _ in range(4)]\n'
+        '    [a.block_until_ready() for a in xs]\n'
+        '    del xs\n'
+        'except Exception:\n'
+        '    ok = False\n'
+        'print(json.dumps({"alive": True, "hbm_ok": ok}))\n')
     try:
         out = subprocess.run([sys.executable, '-c', code],
                              capture_output=True, timeout=timeout)
-        return b'alive' in out.stdout
+        for ln in out.stdout.decode().splitlines():
+            if ln.startswith('{'):
+                r = json.loads(ln)
+                return True, bool(r.get('hbm_ok'))
+        return False, False
     except subprocess.TimeoutExpired:
-        return False
+        return False, False
 
 
 def _last_success_path():
@@ -195,7 +255,7 @@ def _stale_fallback(reason: str):
                 except (OSError, ValueError):
                     continue
     value = prev.get('value', 0.0)
-    print(json.dumps({
+    _emit({
         'metric': 'llama2-7b w4a16 decode tok/s (bs1, 1 in / 512 out)',
         'value': value,
         'unit': 'tok/s',
@@ -209,16 +269,62 @@ def _stale_fallback(reason: str):
                        'could be taken this run.'),
             'previous_detail': prev.get('detail', {}),
         },
-    }))
+    })
+
+
+def _deadline_flush(reason: str):
+    """Called by the watchdog at the budget deadline: print the best
+    line we can — fresh partials if the headline landed, else the stale
+    fallback — and hard-exit (the main thread may be hung inside a
+    blocked TPU call that no exception can unwind)."""
+    if _PRINTED.is_set():
+        return
+    if 'value' in _PARTIAL:
+        detail = dict(_PARTIAL.get('detail', {}))
+        detail['deadline_truncated'] = reason
+        _emit({
+            'metric':
+                'llama2-7b w4a16 decode tok/s (bs1, 1 in / 512 out)',
+            'value': _PARTIAL['value'],
+            'unit': 'tok/s',
+            'vs_baseline': round(_PARTIAL['value'] / BASELINE_TOKS, 3),
+            'detail': detail,
+        })
+    else:
+        _stale_fallback('hard budget deadline (%.0fs) hit before the '
+                        'headline phase finished: %s'
+                        % (_BUDGET, reason))
+
+
+def _watchdog():
+    while True:
+        rem = _remaining()
+        if rem <= 0:
+            break
+        time.sleep(min(rem, 5.0))
+    _deadline_flush('watchdog fired')
+    # give stdout a moment, then leave no matter what main is stuck on
+    time.sleep(1.0)
+    os._exit(0)
 
 
 def main():
     import gc
 
-    if not _chip_alive():
+    alive, hbm_ok = _chip_alive()
+    if not alive:
         _stale_fallback('the axon tunnel is wedged (clients hang in the '
                         'register handshake / fail UNAVAILABLE)')
         return
+    if not hbm_ok:
+        # one retry after a grace period: server-side GC sometimes frees
+        # leaked HBM within minutes
+        time.sleep(min(120.0, max(_remaining() - 600.0, 0.0)))
+        alive, hbm_ok = _chip_alive()
+        if not hbm_ok:
+            _stale_fallback('chip alive but cannot hold an 8 GB HBM '
+                            'floor (leaked HBM from dead clients)')
+            return
 
     import jax
     from lmdeploy_tpu.config import EngineConfig, ModelConfig
@@ -255,7 +361,7 @@ def main():
 
     # the backend occasionally throws a transient error that fails the
     # in-flight request (the engine self-recovers) — retry the timed
-    # phase rather than record a zero
+    # phase while the budget allows, rather than record a zero
     for attempt in range(3):
         t0 = time.perf_counter()
         t_first = None
@@ -270,10 +376,20 @@ def main():
             break
         print(f'# timed phase attempt {attempt} produced 0 tokens; '
               f'retrying', flush=True)
+        if _remaining() < 180.0:
+            break
         time.sleep(2.0)
     toks = n / (t_end - t0)
     spec_rounds = eng.stats['spec_rounds']
     accept = eng.stats['spec_emitted'] / max(spec_rounds, 1)
+    if n > 0:
+        _PARTIAL['value'] = round(toks, 1)
+        _PARTIAL['detail'] = {
+            'ttft_ms': round((t_first - t0) * 1e3, 1) if t_first else None,
+            'spec_accept_tokens_per_round': round(accept, 2),
+            'out_tokens': n,
+            'device': str(jax.devices()[0]),
+        }
 
     # plain (non-speculative) greedy decode for transparency
     eng.ecfg.speculative_k = 0
@@ -286,54 +402,80 @@ def main():
                             sequence_end=True)
         toks_nospec = len(out_ns.token_ids) \
             / (time.perf_counter() - t0ns)
-        if out_ns.token_ids:
+        if out_ns.token_ids or _remaining() < 150.0:
             break
         time.sleep(2.0)
     eng.ecfg.speculative_k = 4
+    if n > 0:
+        _PARTIAL['detail']['bs1_no_spec_tok_s'] = round(toks_nospec, 1)
 
     # batched decode throughput (continuous batching, 8 concurrent)
-    import threading
-    counts = [0] * 8
-    gen_b = GenerationConfig(max_new_tokens=256, top_k=1, ignore_eos=True)
+    batch_toks = None
+    if _remaining() > 90.0:
+        counts = [0] * 8
+        gen_b = GenerationConfig(max_new_tokens=256, top_k=1,
+                                 ignore_eos=True)
 
-    def worker(i):
-        for out in inst.stream_infer(10 + i, [1], gen_b, sequence_end=True):
-            counts[i] = out.num_generated
+        def worker(i):
+            for out in inst.stream_infer(10 + i, [1], gen_b,
+                                         sequence_end=True):
+                counts[i] = out.num_generated
 
-    ts = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
-    tb0 = time.perf_counter()
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join()
-    batch_toks = sum(counts) / (time.perf_counter() - tb0)
+        ts = [threading.Thread(target=worker, args=(i,))
+              for i in range(8)]
+        tb0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        batch_toks = sum(counts) / (time.perf_counter() - tb0)
+        if n > 0:
+            _PARTIAL['detail']['bs8_throughput_tok_s'] = \
+                round(batch_toks, 1)
     eng.shutdown()
     del eng, inst
     gc.collect()
 
     # north-star denominator: same model in bf16, no spec on either side
-    # (the ratio isolates quantization, BASELINE.md W4A16 >= 2x)
+    # (the ratio isolates quantization, BASELINE.md W4A16 >= 2x).
+    # Skippable: ~90 s of param init + compile; keep 150 s of margin.
     import dataclasses as _dc
-    bf16 = bf16_tok_s(cfg, _dc.replace(ecfg, speculative_k=0))
+    bf16 = None
+    if _remaining() > 240.0:
+        bf16 = bf16_tok_s(cfg, _dc.replace(ecfg, speculative_k=0))
     ratio = round(toks_nospec / bf16, 2) if bf16 else None
+    if n > 0 and bf16:
+        _PARTIAL['detail']['bf16_bs1_tok_s'] = round(bf16, 1)
+        _PARTIAL['detail']['int4_vs_bf16_speedup'] = ratio
 
-    # real-text acceptance evidence (CPU subprocess, trained proxy)
-    spec_real = spec_accept_real_text()
+    # real-text acceptance evidence (CPU subprocess, trained proxy);
+    # give it only what the budget can spare
+    spec_real = None
+    if _remaining() > 120.0:
+        spec_real = spec_accept_real_text(
+            timeout=max(_remaining() - 90.0, 30.0))
 
     # fold in on-chip measurement sidecars recorded by the round's
-    # background harness (saturation curve, SARATHI interleave, prefill
-    # MFU, prefix-cache TTFT, packed-int4/fused-rope A/B) when present —
-    # they take hours on the tunneled chip and can't rerun inside bench
+    # background harness (traces, saturation curve, SARATHI interleave,
+    # prefill A/B) when present — they take hours on the tunneled chip
+    # and can't rerun inside bench
     extra = {}
     import glob as _glob
     import os.path as _osp
-    for p in sorted(_glob.glob(_osp.join(
-            _osp.dirname(_osp.abspath(__file__)), '.r4', '*.json'))):
-        try:
-            with open(p) as f:
-                extra[_osp.basename(p)[:-5]] = json.load(f)
-        except (OSError, ValueError):
-            pass
+    for rdir in ('.r4', '.r5'):
+        for p in sorted(_glob.glob(_osp.join(
+                _osp.dirname(_osp.abspath(__file__)), rdir, '*.json'))):
+            if _osp.basename(p).startswith('probe'):
+                continue
+            try:
+                with open(p) as f:
+                    blob = json.load(f)
+            except (OSError, ValueError):
+                continue
+            # keep the folded payload lean: drop bulky trace summaries
+            if isinstance(blob, dict) and 'summary' in blob:
+                blob = {k: v for k, v in blob.items() if k != 'summary'}
+            extra[rdir[1:] + ':' + _osp.basename(p)[:-5]] = blob
 
     payload = {
         'metric': 'llama2-7b w4a16 decode tok/s (bs1, 1 in / 512 out)',
@@ -350,7 +492,8 @@ def main():
             'spec_real_text_identity_mismatches': (
                 spec_real['token_identity_mismatches']
                 if spec_real else None),
-            'bs8_throughput_tok_s': round(batch_toks, 1),
+            'bs8_throughput_tok_s': (round(batch_toks, 1)
+                                     if batch_toks else None),
             'bf16_bs1_tok_s': round(bf16, 1) if bf16 else None,
             'int4_vs_bf16_speedup': ratio,
             'out_tokens': n,
@@ -378,7 +521,7 @@ def main():
     }
     if n > 0:
         _record_success(payload)
-        print(json.dumps(payload))
+        _emit(payload)
     else:
         # every retry produced zero tokens: the backend is erroring
         # (leaked-HBM RESOURCE_EXHAUSTED class) — report the freshest
@@ -389,8 +532,13 @@ def main():
 
 
 if __name__ == '__main__':
+    threading.Thread(target=_watchdog, daemon=True).start()
     try:
         main()
     except Exception as _e:  # noqa: BLE001 — one JSON line, always
         _stale_fallback(f'benchmark run raised {type(_e).__name__}: '
                         f'{_e}'[:300])
+    # main returned: exit immediately so a leaked non-daemon thread
+    # (engine worker, bs8 stragglers) can never hold the process open
+    # past the driver's patience
+    os._exit(0)
