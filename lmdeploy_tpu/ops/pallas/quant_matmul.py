@@ -99,7 +99,7 @@ def _mm_kernel(layer_ref,                       # scalar prefetch
         out_ref[...] += acc
 
 
-def _auto_block_n(n: int, mp: int) -> int:
+def _auto_block_n(n: int, mp: int, m_grid: bool = False) -> int:
     """Largest lane-aligned divisor of ``n`` whose kernel working set
     fits the ~16MB VMEM scoped budget.
 
@@ -114,22 +114,64 @@ def _auto_block_n(n: int, mp: int) -> int:
     measured-OK [128, 11008]): u8 weight block double-buffered
     (2x128xbn) + the i32 nibble-widen temp (4B/value, 512xbn — this is
     what OOMs big blocks; the bf16 halves fuse into the MXU feed) + the
-    [mp, bn] f32 accumulator."""
+    [mp, bn] f32 accumulator.
+
+    ``m_grid`` selects the M-BLOCKED (prefill) regime, whose working set
+    is ~3x the accumulator, not ~1.3x: with an mi grid axis Mosaic keeps
+    the revisited f32 out block double-buffered AND the two dot temps
+    live (measured 22.23M at [bm=256, bn=6144] — 768*bn + ~11.6*bm*bn,
+    .r4/prefill_tput:kernel2.log — where the single-M-block model
+    predicted 11.8M).  The 12*mp term reproduces that OOM as 23.6M
+    (conservative by 6%) while keeping the chip-verified decode picks
+    unchanged (the decode path never sets m_grid)."""
     # override for co-residency with VMEM consumers (the xplane profiler
     # instruments kernels and a near-full scoped budget then
     # RESOURCE_EXHAUSTEDs — trace harnesses set a smaller value)
     import os
     budget = int(os.environ.get('LMDEPLOY_TPU_PACKED_VMEM_BUDGET',
                                 '12500000'))
+    # 11.6 B per accumulator value in the M-grid regime: the observed
+    # 22.23M at [256, 6144] gives 11.13 B/value beyond the 768*bn weight
+    # terms; 11.6 keeps ~6% margin without banning the good big-bn picks
+    acc_bytes = 11.6 * mp if m_grid else 4 * mp
     best = 0
     d = 128
     while d <= n:
-        if n % d == 0 and d * (768 + 4 * mp) <= budget:
+        if n % d == 0 and d * (768 + acc_bytes) <= budget:
             best = d
         d += 128
     # no lane-aligned divisor (sub-128 TP shards of tiny test models):
     # bn == n is always Mosaic-legal ("equal to the array dim")
     return best or n
+
+
+def _choose_tiles(m: int, n: int, block_m: int,
+                  block_n: int | None) -> tuple[int, int, int]:
+    """(bm, mp, bn) for the kernel grid: pad M to the bf16 sublane tile
+    (single-block decode/verify regime) or tile it at ``block_m``
+    (prefill M-grid regime).  The N tile is the kernel's bandwidth
+    (full rows 900 GB/s, bn=256 only 88.7): when the VMEM budget forces
+    a tiny bn at this bm, HALVE bm instead — n=11008's lane-aligned
+    divisor ladder is {128, 256, 5504, 11008}, so [bm=128, bn=5504]
+    beats [bm=256, bn=256] decisively."""
+    if m <= block_m:
+        bm = mp = max(16, -(-m // 16) * 16)
+        if block_n is None:
+            block_n = _auto_block_n(n, bm)
+    else:
+        bm = block_m
+        if block_n is None:
+            while True:
+                block_n = _auto_block_n(n, bm, m_grid=True)
+                if block_n >= 1024 or bm <= 128:
+                    break
+                bm //= 2
+        mp = -(-m // bm) * bm
+    bn = min(block_n, n)
+    if n % bn:
+        bn = max((d for d in range(128, block_n + 1, 128)
+                  if n % d == 0), default=n)
+    return bm, mp, bn
 
 
 def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
@@ -173,19 +215,7 @@ def packed_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
     g2 = g_groups // 2
     assert g2 * 2 == g_groups and k2 % group == 0 and k2 // group == g2
 
-    # pad M to the bf16 sublane tile (decode) or the M tile (prefill)
-    if m <= block_m:
-        bm = mp = max(16, -(-m // 16) * 16)
-    else:
-        bm = block_m
-        mp = -(-m // bm) * bm
-    if block_n is None:
-        bn = _auto_block_n(n, bm)
-    else:
-        bn = min(block_n, n)
-        if n % bn:
-            bn = max((d for d in range(128, block_n + 1, 128)
-                      if n % d == 0), default=n)
+    bm, mp, bn = _choose_tiles(m, n, block_m, block_n)
     assert n % bn == 0, (n, bn)
     xb = x.astype(jnp.bfloat16)
     if mp != m:
