@@ -29,12 +29,15 @@ def build_engine(model_path: str,
                  engine_config: Optional[EngineConfig] = None,
                  model_name: str = '', tp: int = 1, pp: int = 1,
                  dp: int = 1, quant_policy: Optional[int] = None,
+                 speculative_k: Optional[int] = None,
                  **engine_kw) -> TPUEngine:
     """Load a workspace (converted) or HF directory and start the engine.
 
     ``quant_policy`` overrides the KV-cache policy of whatever engine
     config is resolved (0 bf16, 4 int8, 8 int4 — reference CLI parity;
-    int4 without calibrated qparams uses dynamic per-token scales)."""
+    int4 without calibrated qparams uses dynamic per-token scales).
+    ``speculative_k`` overrides the speculative draft length the same
+    way (0 disables; beyond-reference prompt-lookup decoding)."""
     import dataclasses
 
     from .convert.converter import is_workspace, load_workspace
@@ -72,6 +75,9 @@ def build_engine(model_path: str,
         # replace re-runs __post_init__, which derives kv_dtype
         engine_config = dataclasses.replace(engine_config,
                                             quant_policy=quant_policy)
+    if speculative_k is not None:
+        engine_config = dataclasses.replace(engine_config,
+                                            speculative_k=speculative_k)
 
     name = model_name or cfg.model_name
     template_name = name if name in MODELS.module_dict else \

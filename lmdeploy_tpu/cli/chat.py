@@ -34,10 +34,11 @@ def get_gen_config(template, max_new_tokens: int, ignore_eos=False,
 def main(model_path: str, session_id: int = 1, max_new_tokens: int = 512,
          temperature=None, top_p=None, top_k=None, stream: bool = True,
          engine=None, input_fn=input, print_fn=print, tp: int = 1,
-         pp: int = 1, dp: int = 1, quant_policy=None):
+         pp: int = 1, dp: int = 1, quant_policy=None, speculative_k=None):
     from ..api import build_engine
     eng = engine or build_engine(model_path, tp=tp, pp=pp, dp=dp,
-                                 quant_policy=quant_policy)
+                                 quant_policy=quant_policy,
+                                 speculative_k=speculative_k)
     inst = eng.create_instance()
     template = eng.chat_template
     tokenizer = eng.tokenizer
@@ -99,9 +100,13 @@ if __name__ == '__main__':
     ap.add_argument('--dp', type=int, default=1)
     ap.add_argument('--quant-policy', type=int, default=None,
                     choices=(0, 4, 8))
+    ap.add_argument('--speculative-k', type=int, default=None,
+                    help='prompt-lookup speculative draft length '
+                         '(0 disables)')
     args = ap.parse_args()
     raise SystemExit(main(args.model_path, session_id=args.session_id,
                           max_new_tokens=args.max_new_tokens,
                           temperature=args.temperature, top_p=args.top_p,
                           top_k=args.top_k, tp=args.tp, pp=args.pp,
-                          dp=args.dp, quant_policy=args.quant_policy))
+                          dp=args.dp, quant_policy=args.quant_policy,
+                          speculative_k=args.speculative_k))

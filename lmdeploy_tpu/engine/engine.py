@@ -1064,9 +1064,10 @@ class TPUEngine:
         # instead of one per distinct N, since a novel static shape
         # jit-compiles mid-serving and stalls running streams (the
         # measured ~5.7s interleave stall class); _emit slices each
-        # slot's requested N host-side.  Spec rounds and the pp ring
-        # don't carry the planes, so such slots ride plain decode_steps
-        # (a request-rare feature must not complicate the two hot paths)
+        # slot's requested N host-side.  Spec rounds carry the planes
+        # too (spec_decode_rounds' trailing rows), so top_logprobs
+        # requests keep speculation; only the pp ring still gates them
+        # to the relay path.
         topn = self.MAX_TOP_LOGPROBS if any(
             (g.top_logprobs or 0) > 0 for g in cfgs) else 0
         spec_mode = None
@@ -1075,7 +1076,7 @@ class TPUEngine:
         # round stream the same weights per stage, so acceptance > 1.15
         # pays exactly as on a flat mesh; in the compute-bound regime the
         # occupancy gate below already hands large batches to the ring
-        if self.ecfg.speculative_k > 0 and cfgs and topn == 0 \
+        if self.ecfg.speculative_k > 0 and cfgs \
                 and running * (self.ecfg.speculative_k + 1) \
                 <= self.SPEC_MAX_VERIFY_ROWS:
             if _all_plain_greedy(cfgs):
@@ -1086,7 +1087,7 @@ class TPUEngine:
         if spec_mode is not None:
             if self._spec_cooloff <= 0:
                 try:
-                    self._spec_round(k, spec_mode)
+                    self._spec_round(k, spec_mode, topn=topn)
                     return
                 except Exception:
                     # this backend occasionally throws opaque transient
@@ -1198,18 +1199,23 @@ class TPUEngine:
             if not any(s is not None and not s.done for s in self.slots):
                 return
 
-    def _spec_round(self, rounds: int, sampling: str = 'greedy'):
+    def _spec_round(self, rounds: int, sampling: str = 'greedy',
+                    topn: int = 0):
         """Speculative (prompt-lookup) decode rounds: each dispatch runs
         ``rounds`` draft-verify-accept rounds on device; every round
-        yields >= 1 token per running slot and up to speculative_k + 1."""
+        yields >= 1 token per running slot and up to speculative_k + 1.
+        ``topn`` > 0 additionally reads back per-position top-N
+        alternative logprob planes (OpenAI top_logprobs WITHOUT
+        forfeiting speculation)."""
         kd = self.ecfg.speculative_k
         kp1 = kd + 1
         self._grow_pages(rounds * kp1)
         self.cache, self.state, packed = self.fns.spec_decode_rounds(
             self.params, self.cache, self.state, num_rounds=rounds,
             k_draft=kd, ngram=self.ecfg.speculative_ngram,
-            ngram_min=self.ecfg.speculative_ngram_min, sampling=sampling)
-        arr = np.asarray(packed)            # [R, 3*kp1+3, B]
+            ngram_min=self.ecfg.speculative_ngram_min, sampling=sampling,
+            topn=topn)
+        arr = np.asarray(packed)    # [R, 3*kp1+3 (+ 2*kp1*topn), B]
         # adaptive gating: EMA of per-slot accepted tokens/round over
         # this dispatch; below break-even, cool off to plain rounds.
         # Short dispatches (the TTFT ramp's 1-round burst right after
@@ -1237,11 +1243,21 @@ class TPUEngine:
                 arr[r, 3 * kp1 + 1:3 * kp1 + 3].T).view(np.uint32)
             self.stats['spec_rounds'] += 1
             self.stats['spec_emitted'] += int(n.sum())
+            base = 3 * kp1 + 3
             for t in range(kp1):
                 mask = t < n
                 if not mask.any():
                     break
-                self._emit(g[t], fin[t], logp[t], mask=mask)
+                tops = None
+                if topn:
+                    tids = arr[r, base + t * topn:
+                               base + (t + 1) * topn].T       # [B, topn]
+                    tlps = np.ascontiguousarray(
+                        arr[r, base + kp1 * topn + t * topn:
+                            base + kp1 * topn + (t + 1) * topn].T
+                    ).view(np.float32)
+                    tops = (tids, tlps)
+                self._emit(g[t], fin[t], logp[t], mask=mask, tops=tops)
                 if not any(s is not None and not s.done
                            for s in self.slots):
                     return

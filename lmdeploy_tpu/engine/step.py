@@ -180,13 +180,19 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
                       cfg: ModelConfig, *, k_draft: int, ngram: int = 3,
                       ngram_min: int = 0, use_pallas_attn: bool = False,
                       axis: str = None, sampling: str = 'greedy',
-                      forward_fn=None):
+                      topn: int = 0, forward_fn=None):
     """One speculative round for every running slot: propose ``k_draft``
     tokens by in-jit prompt lookup, verify all of them plus the model's
     own next token in ONE [B, K+1]-position forward, accept the matched
     prefix.  bs1 decode is weight-bandwidth-bound, so the verify streams
     the same bytes as a single decode step — rejected drafts are nearly
     free (ops/speculative.py).
+
+    ``topn`` (STATIC) > 0 additionally returns per-position top-``topn``
+    alternative tokens + logprobs (sample_step's OpenAI top_logprobs
+    convention: pre-filter distribution, the reported token logprob
+    equals the chosen token's own top_logprobs entry), so
+    logprob-requesting slots keep riding speculation.
 
     ``sampling`` is static, chosen by the host like decode_step's mode:
       * 'greedy'     — raw-argmax verify (every slot is plain greedy).
@@ -197,7 +203,9 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
         batches containing top_k<=0 slots.
 
     Returns (cache, state, g [B, K+1] candidate tokens, fin_emit
-    [B, K+1] finish flag per emitted token, n [B] tokens emitted).
+    [B, K+1] finish flag per emitted token, n [B] tokens emitted,
+    logp [B, K+1], tops) where tops is (top_ids [B, K+1, topn],
+    top_lps [B, K+1, topn]) or None.
     """
     from ..ops.speculative import (greedy_argmax, ngram_propose,
                                    spec_verify_sample)
@@ -228,11 +236,31 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
     keys = jax.vmap(jax.random.wrap_key_data)(smp.rng_key)
     split = jax.vmap(jax.random.split)(keys)                  # [B, 2]
     new_keys = jax.vmap(jax.random.key_data)(split[:, 0])
+    tops = None
     if sampling == 'greedy':
         g = greedy_argmax(logits)                             # [B, K+1]
         match = (draft == g[:, :-1]) & run[:, None]           # [B, K]
-        # a top_k==1 post-filter candidate set is {argmax}: logprob 0
-        logp = jnp.zeros(g.shape, jnp.float32)
+        if topn > 0:
+            # sample_step's greedy+topn branch, vectorized over K+1:
+            # alternatives from the temperature-scaled distribution; the
+            # argmax IS top-1 of that same distribution so the reported
+            # logprob equals its own top_logprobs entry
+            lgf = logits.astype(jnp.float32).reshape(b * kp1, -1)
+            tv = lgf / jnp.maximum(
+                jnp.repeat(smp.temperature, kp1), 1e-5)[:, None]
+            top_vals, top_idx = jax.lax.top_k(tv, topn)
+            tlp = top_vals - jax.nn.logsumexp(tv, axis=-1, keepdims=True)
+            tops = (top_idx.reshape(b, kp1, topn).astype(jnp.int32),
+                    tlp.reshape(b, kp1, topn))
+            logp = tops[1][..., 0]
+        else:
+            # a top_k==1 post-filter candidate set is {argmax}: logprob 0
+            logp = jnp.zeros(g.shape, jnp.float32)
+    elif topn > 0:
+        g, accept, logp, tops = spec_verify_sample(
+            logits, draft, smp, state.history, state.history_len,
+            state.generated, split[:, 1], mode=sampling, topn=topn)
+        match = accept & run[:, None]                         # [B, K]
     else:
         g, accept, logp = spec_verify_sample(
             logits, draft, smp, state.history, state.history_len,
@@ -270,7 +298,7 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
         history=history, history_len=state.history_len + n,
         generated=state.generated + n, finished=finished,
         sampling=new_smp)
-    return cache, new_state, g, fin_emit, n, logp
+    return cache, new_state, g, fin_emit, n, logp, tops
 
 
 def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
@@ -278,33 +306,45 @@ def spec_decode_rounds(params, cache: KVCache, state: DecodeState,
                        ngram: int = 3, ngram_min: int = 0,
                        use_pallas_attn: bool = False,
                        axis: str = None, sampling: str = 'greedy',
-                       forward_fn=None):
+                       topn: int = 0, forward_fn=None):
     """``num_rounds`` speculative rounds in one device program.
 
-    Returns (cache, state, packed int32 [R, 3*(K+1)+3, B]): per round,
-    rows [0:K+1] = candidate tokens, rows [K+1:2K+2] = per-token finish
-    flags, row 2K+2 = emitted count, rows [2K+3:3K+4] = per-token logprob
-    f32 bits (the plain path's logprob stream, logprob_kernels.cu
-    analogue), rows [3K+4:3K+6] = the rng key AFTER this round
-    (per-round snapshot: a slot retired mid-dispatch by a host-side stop
-    sequence must save the key as of ITS round, matching decode_steps'
-    per-substep rng planes / the reference's curand save at the exact
-    stop step, LlamaBatch.cc:1097).
+    Returns (cache, state, packed int32 [R, 3*(K+1)+3 + 2*(K+1)*topn, B]):
+    per round, rows [0:K+1] = candidate tokens, rows [K+1:2K+2] =
+    per-token finish flags, row 2K+2 = emitted count, rows [2K+3:3K+4] =
+    per-token logprob f32 bits (the plain path's logprob stream,
+    logprob_kernels.cu analogue), rows [3K+4:3K+6] = the rng key AFTER
+    this round (per-round snapshot: a slot retired mid-dispatch by a
+    host-side stop sequence must save the key as of ITS round, matching
+    decode_steps' per-substep rng planes / the reference's curand save at
+    the exact stop step, LlamaBatch.cc:1097); with ``topn`` > 0 the
+    top-N alternative token ids ([(K+1)*topn] rows, position-major) and
+    their logprob f32 bits follow — ONE host transfer still carries the
+    whole round, so top_logprobs requests keep speculation.
     """
     kp1 = k_draft + 1
 
     def body(carry, _):
         cache, state = carry
-        cache, state, g, fin_emit, n, logp = spec_decode_round(
+        cache, state, g, fin_emit, n, logp, tops = spec_decode_round(
             params, cache, state, cfg, k_draft=k_draft, ngram=ngram,
             ngram_min=ngram_min, use_pallas_attn=use_pallas_attn,
-            axis=axis, sampling=sampling, forward_fn=forward_fn)
+            axis=axis, sampling=sampling, topn=topn,
+            forward_fn=forward_fn)
         rng = jax.lax.bitcast_convert_type(state.sampling.rng_key,
                                            jnp.int32).T        # [2, B]
         lp = jax.lax.bitcast_convert_type(logp.astype(jnp.float32),
                                           jnp.int32).T         # [kp1, B]
-        row = jnp.concatenate([g.T, fin_emit.astype(jnp.int32).T,
-                               n[None], lp, rng], axis=0)  # [3*kp1+3, B]
+        planes = [g.T, fin_emit.astype(jnp.int32).T, n[None], lp, rng]
+        if topn > 0:
+            tid, tlp = tops                          # [B, kp1, topn]
+            b = tid.shape[0]
+            planes.append(
+                tid.transpose(1, 2, 0).reshape(kp1 * topn, b))
+            planes.append(jax.lax.bitcast_convert_type(
+                tlp.astype(jnp.float32), jnp.int32)
+                .transpose(1, 2, 0).reshape(kp1 * topn, b))
+        row = jnp.concatenate(planes, axis=0)
         return (cache, state), row
 
     (cache, state), packed = jax.lax.scan(body, (cache, state),
@@ -506,7 +546,7 @@ class CompiledStepFns:
         self.spec_decode_rounds = jax.jit(
             partial(spec_decode_rounds, **kw), donate_argnums=(1, 2),
             static_argnames=('num_rounds', 'k_draft', 'ngram',
-                             'ngram_min', 'sampling'))
+                             'ngram_min', 'sampling', 'topn'))
         self.prefill_chunk = jax.jit(
             partial(prefill_chunk, **kw), donate_argnums=(1,))
         self.prefill_chunks = jax.jit(

@@ -90,7 +90,7 @@ def ngram_propose(history: jnp.ndarray, history_len: jnp.ndarray,
 def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
                        history: jnp.ndarray, history_len: jnp.ndarray,
                        generated: jnp.ndarray, sample_keys,
-                       mode: str = 'candidates'):
+                       mode: str = 'candidates', topn: int = 0):
     """Exact rejection-sampling verification of deterministic drafts.
 
     Prompt-lookup drafts are point masses (q = delta at the drafted
@@ -121,12 +121,22 @@ def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
       sample_keys: [B] jax PRNG keys consumed by this round's draws.
       mode: 'candidates' (top-1024 pipeline) or 'full' (exact full-vocab
         sort for top_k<=0 slots) — mirrors sample_step's static modes.
+      topn: STATIC; when > 0 additionally return the top-``topn``
+        alternative tokens + logprobs PER VERIFY POSITION from the
+        pre-filter distribution, exactly like sample_step's ``topn``
+        (OpenAI top_logprobs for generated tokens WITHOUT forfeiting
+        speculation).  The reported token logprob then switches to the
+        same pre-filter distribution so it always equals the chosen
+        token's own top_logprobs entry (sample_step's convention).
     Returns:
-      (g int32 [B, K+1], accept bool [B, K], logp f32 [B, K+1]):
+      (g int32 [B, K+1], accept bool [B, K], logp f32 [B, K+1]) — plus
+      (top_ids int32 [B, K+1, topn], top_lps f32 [B, K+1, topn]) when
+      ``topn`` > 0.
       g[:, i] = draft token where accepted else the rejection resample;
       g[:, K] = the bonus sample; logp[:, i] = log p_i(g_i) under the
       processed distribution (the plain path's logprob semantics — a
-      top_k==1 slot gets exactly 0).
+      top_k==1 slot gets exactly 0) or, with ``topn`` > 0, under the
+      pre-filter distribution.
     """
     from .sampling import (MAX_TOPK, NEG_INF, _approx_topk,
                            apply_repetition_penalty, ban_words,
@@ -172,6 +182,7 @@ def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
         vals, idx = jax.lax.approx_max_k(lgf, c, recall_target=0.95)
     else:
         vals, idx = jax.lax.top_k(lgf, c)
+    pre_vals = vals                         # pre-filter snapshot (topn)
     # the exact filter cascade of sample_step's candidate pipeline
     vals = filter_candidates(vals, rep(smp.top_k), rep(smp.top_p),
                              rep(smp.min_p))
@@ -205,6 +216,18 @@ def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
     # residual it may have been resampled from)
     p_g = jnp.sum(jnp.where(idx3 == g[..., None], probs_f, 0.0), axis=-1)
     logp = jnp.log(jnp.maximum(p_g, 1e-30))
+    if topn > 0:
+        # candidates are desc-sorted, so the top-n pre-filter
+        # alternatives are the first n columns (sample_step's layout)
+        pre_lps = jax.nn.log_softmax(pre_vals, axis=-1)
+        top_ids = idx[:, :topn].reshape(b, kp1, topn).astype(jnp.int32)
+        top_lps = pre_lps[:, :topn].reshape(b, kp1, topn)
+        pre_lps3 = pre_lps.reshape(b, kp1, c)
+        # every emittable g is in the candidate set (acceptance needs
+        # p_draft > 0; resamples index idx3), so the masked sum is exact
+        logp = jnp.sum(jnp.where(idx3 == g[..., None], pre_lps3, 0.0),
+                       axis=-1)
+        return g, accept, logp, (top_ids, top_lps)
     return g, accept, logp
 
 

@@ -515,12 +515,12 @@ class PPStepFns:
                 donate_argnums=(1, 2))
 
         def make_spec_rounds(pspec, num_rounds, k_draft, ngram,
-                             ngram_min=0, sampling='greedy'):
+                             ngram_min=0, sampling='greedy', topn=0):
             fn = partial(_step.spec_decode_rounds, cfg=cfg, axis=TP_AXIS,
                          num_rounds=num_rounds, k_draft=k_draft,
                          ngram=ngram, ngram_min=ngram_min,
                          use_pallas_attn=use_pallas_attn,
-                         sampling=sampling, forward_fn=fwd)
+                         sampling=sampling, topn=topn, forward_fn=fwd)
             return jax.jit(
                 smap(fn, in_specs=(pspec, cache_spec, rep),
                      out_specs=(cache_spec, rep, packed_spec)),
@@ -600,9 +600,10 @@ class PPStepFns:
 
     def spec_decode_rounds(self, params, cache, state, num_rounds: int,
                            k_draft: int, ngram: int = 3,
-                           ngram_min: int = 0, sampling: str = 'greedy'):
+                           ngram_min: int = 0, sampling: str = 'greedy',
+                           topn: int = 0):
         return self._get('spec', params, num_rounds, k_draft, ngram,
-                         ngram_min, sampling)(params, cache, state)
+                         ngram_min, sampling, topn)(params, cache, state)
 
     def prefill_chunk(self, params, cache, state, slot, ids, start_pos,
                       length):

@@ -385,12 +385,12 @@ class ShardedStepFns:
         self._decode_steps_cache = {}
 
         def make_spec_rounds(params_spec, num_rounds, k_draft, ngram,
-                             ngram_min=0, sampling='greedy'):
+                             ngram_min=0, sampling='greedy', topn=0):
             fn = partial(_step.spec_decode_rounds, cfg=cfg, axis=TP_AXIS,
                          num_rounds=num_rounds, k_draft=k_draft,
                          ngram=ngram, ngram_min=ngram_min,
                          use_pallas_attn=use_pallas_attn,
-                         sampling=sampling)
+                         sampling=sampling, topn=topn)
             return jax.jit(
                 smap(fn, in_specs=(params_spec, pspecs_cache, rep),
                      out_specs=(pspecs_cache, rep, packed_spec)),
@@ -459,8 +459,9 @@ class ShardedStepFns:
 
     def spec_decode_rounds(self, params, cache, state, num_rounds: int,
                            k_draft: int, ngram: int = 3,
-                           ngram_min: int = 0, sampling: str = 'greedy'):
-        key = (num_rounds, k_draft, ngram, ngram_min, sampling)
+                           ngram_min: int = 0, sampling: str = 'greedy',
+                           topn: int = 0):
+        key = (num_rounds, k_draft, ngram, ngram_min, sampling, topn)
         fn = self._spec_rounds_cache.get(key)
         if fn is None:
             fn = self._make_spec_rounds(param_pspecs(params), *key)

@@ -541,7 +541,11 @@ if __name__ == '__main__':
                     choices=(0, 4, 8),
                     help='KV cache: 0 bf16, 4 int8 (calibrated), 8 int4 '
                          '(dynamic per-token scales if no qparams)')
+    ap.add_argument('--speculative-k', type=int, default=None,
+                    help='prompt-lookup speculative draft length '
+                         '(0 disables)')
     args = ap.parse_args()
     main(args.model_path, args.server_name, args.server_port,
          args.instance_num, args.tp, args.pp, args.dp,
-         quant_policy=args.quant_policy)
+         quant_policy=args.quant_policy,
+         speculative_k=args.speculative_k)

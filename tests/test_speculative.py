@@ -144,6 +144,46 @@ def test_sampled_request_rides_spec_rounds(gen_kw):
         eng.shutdown()
 
 
+@pytest.mark.parametrize('gen_kw', [
+    {'top_k': 20, 'top_p': 0.9, 'temperature': 0.9},   # candidates mode
+    {'top_k': 0, 'temperature': 0.9},                  # full-vocab mode
+])
+def test_sampled_top_logprobs_rides_spec_rounds(gen_kw):
+    """A SAMPLED slot with top_logprobs keeps speculation: the rejection
+    verify additionally returns the top-N planes WITHOUT perturbing the
+    token stream (same seed, spec-with-topn == spec-without-topn — the
+    planes are purely observational), and the reported token logprob
+    equals its own top_logprobs entry (the pre-filter convention)."""
+    prompt = [3, 4, 5, 3, 4, 5]
+    gen0 = GenerationConfig(max_new_tokens=10, random_seed=7,
+                            ignore_eos=True, **gen_kw)
+    gen = dataclasses.replace(gen0, top_logprobs=2)
+    params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
+    spec = dataclasses.replace(ECFG, speculative_k=4)
+    eng0 = TPUEngine(CFG, spec, params)
+    try:
+        out0 = eng0.create_instance().infer(30, prompt, gen_config=gen0,
+                                            sequence_end=True)
+        assert eng0.stats['spec_rounds'] > 0
+    finally:
+        eng0.shutdown()
+    eng = TPUEngine(CFG, spec, params)
+    try:
+        out = eng.create_instance().infer(31, prompt, gen_config=gen,
+                                          sequence_end=True)
+        assert out.token_ids == out0.token_ids
+        assert eng.stats['spec_rounds'] > 0
+        assert len(out.top_logprobs) == 10
+        for tok, lp, tops in zip(out.token_ids, out.logprobs,
+                                 out.top_logprobs):
+            assert len(tops) == 2
+            assert np.isfinite(lp) and lp <= 0.0
+            if tok in tops:     # resamples may fall outside the top-2
+                assert lp == pytest.approx(tops[tok], abs=1e-4)
+    finally:
+        eng.shutdown()
+
+
 def test_spec_adaptive_fallback_on_low_acceptance():
     """When acceptance sits below the engine's break-even, it must fall
     back to plain decode rounds (speculation may never cost more than it
@@ -384,25 +424,46 @@ def test_ngram_cascade_falls_back_to_shorter_match():
     assert casc[1].tolist() == [9, 8]           # 3-gram still preferred
 
 
-def test_top_logprobs_gates_spec_rounds():
-    """A slot requesting top_logprobs rides plain rounds (spec rounds
-    don't carry the top-N planes) and still streams token-identical
-    greedy output WITH alternatives attached."""
-    want, _ = _run(ECFG, [3, 4, 5, 3, 4, 5, 3, 4], 21)
-    spec = dataclasses.replace(ECFG, speculative_k=4)
+def test_top_logprobs_rides_spec_rounds():
+    """A slot requesting top_logprobs KEEPS speculation (the packed
+    spec rounds carry the top-N planes) and still streams
+    token-identical greedy output WITH alternatives attached whose
+    values match the plain path's."""
+    prompt = [3, 4, 5, 3, 4, 5, 3, 4]
     params = init_params(CFG, jax.random.PRNGKey(4), jnp.float32)
+    eng0 = TPUEngine(CFG, ECFG, params)
+    try:
+        out0 = eng0.create_instance().infer(
+            21, prompt, gen_config=GenerationConfig(
+                max_new_tokens=24, top_k=1, ignore_eos=True,
+                top_logprobs=2),
+            sequence_end=True)
+    finally:
+        eng0.shutdown()
+    spec = dataclasses.replace(ECFG, speculative_k=4)
     eng = TPUEngine(CFG, spec, params)
     try:
         inst = eng.create_instance()
-        out = inst.infer(22, [3, 4, 5, 3, 4, 5, 3, 4],
+        out = inst.infer(22, prompt,
                          gen_config=GenerationConfig(
                              max_new_tokens=24, top_k=1, ignore_eos=True,
                              top_logprobs=2),
                          sequence_end=True)
-        assert out.token_ids == want
+        assert out.token_ids == out0.token_ids
         assert len(out.top_logprobs) == 24
         assert all(len(t) == 2 for t in out.top_logprobs)
-        # every round with the top_logprobs slot running was plain
-        assert eng.stats['spec_rounds'] == 0
+        # spec rounds actually served this slot
+        assert eng.stats['spec_rounds'] > 0
+        # OpenAI consistency: the reported token logprob equals the
+        # chosen token's own top_logprobs entry
+        for tok, lp, tops in zip(out.token_ids, out.logprobs,
+                                 out.top_logprobs):
+            assert tok in tops
+            assert lp == pytest.approx(tops[tok], abs=1e-5)
+        # plane values match the plain path's (same distribution)
+        for a, b in zip(out.top_logprobs, out0.top_logprobs):
+            assert set(a) == set(b)
+            for t in a:
+                assert a[t] == pytest.approx(b[t], abs=2e-3)
     finally:
         eng.shutdown()
