@@ -88,7 +88,7 @@ class TPUEngine:
 
     def __init__(self, model_cfg: ModelConfig, engine_cfg: EngineConfig,
                  params: Dict[str, Any], tokenizer=None, stop_words=None,
-                 kv_scales=None):
+                 kv_scales=None, start: bool = True):
         self.cfg = model_cfg
         if engine_cfg.enable_prefix_caching and (
                 model_cfg.use_dynamic_ntk
@@ -321,7 +321,17 @@ class TPUEngine:
         self._needs_recovery = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name='tpu-engine')
-        self._thread.start()
+        # start=False builds the device state + compiled fns but leaves
+        # the scheduler thread parked: cross-host SPMD roles attach
+        # first (parallel/multihost.py serve_leader wraps self.fns; a
+        # follower never schedules at all, it replays leader frames)
+        if start:
+            self._thread.start()
+
+    def start(self):
+        """Start the scheduler thread of a ``start=False`` engine."""
+        if not self._thread.is_alive():
+            self._thread.start()
 
     # -- construction helpers ------------------------------------------------
     def _alloc_device_state(self):
@@ -470,7 +480,8 @@ class TPUEngine:
 
     def shutdown(self):
         self._shutdown = True
-        self._thread.join(timeout=10)
+        if self._thread.is_alive():
+            self._thread.join(timeout=10)
 
     def end_session(self, session_id: int):
         """Free a session's cache (sequence_end)."""

@@ -22,6 +22,79 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def test_cross_host_spmd_engine(tmp_path):
+    """A REAL TPUEngine serves over a tp=2 mesh SPANNING a 2-process
+    jax.distributed cluster: process 0 runs the scheduler (every device
+    dispatch — admission install_slot/prefill included — framed to
+    followers via broadcast_control), process 1 replays the frames
+    against its device-state replica, and the streamed tokens are
+    identical to a single-process tp=2 engine on the same checkpoint."""
+    # single-process tp=2 reference (pytest env: 8 virtual cpu devices)
+    import jax
+    import jax.numpy as jnp
+
+    from lmdeploy_tpu.config import EngineConfig, ModelConfig
+    from lmdeploy_tpu.engine.engine import TPUEngine
+    from lmdeploy_tpu.messages import GenerationConfig
+    from lmdeploy_tpu.models.llama import init_params
+    cfg = ModelConfig(head_num=2, kv_head_num=2, size_per_head=16,
+                      inter_size=64, num_layer=2, vocab_size=128,
+                      rotary_embedding=16, max_position_embeddings=128,
+                      session_len=128, end_id=2)
+    ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
+                        num_pages=32, max_context_token_num=16,
+                        prefill_buckets=(16,), use_pallas=False,
+                        step_length=2, tp=2)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    ref = TPUEngine(cfg, ecfg, params,
+                    start=True)
+    try:
+        want = ref.create_instance().infer(
+            1, [3, 9, 4, 9, 4], gen_config=GenerationConfig(
+                max_new_tokens=8, top_k=1, ignore_eos=True),
+            sequence_end=True).token_ids
+    finally:
+        ref.shutdown()
+
+    worker = osp.join(osp.dirname(__file__), '_multihost_engine_worker.py')
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    env['JAX_PLATFORMS'] = 'cpu'
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), '2', str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=560)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail('engine worker timed out')
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for rc, out, err in outs:
+        assert rc == 0, f'worker failed rc={rc}\n{out}\n{err}'
+
+    with open(tmp_path / 'engine_worker_0.json') as f:
+        leader = json.load(f)
+    with open(tmp_path / 'engine_worker_1.json') as f:
+        follower = json.load(f)
+    # the mesh genuinely spans both processes
+    assert leader['mesh_procs'] == [0, 1]
+    assert follower['mesh_procs'] == [0, 1]
+    assert leader['mesh_shape'] == {'dp': 1, 'tp': 2}
+    # tokens streamed on the leader, identical to single-process tp=2
+    assert leader['finished']
+    assert leader['token_ids'] == want
+    # the follower replayed real work: admission (install_slot +
+    # prefill) and the decode rounds all crossed as frames
+    assert follower['frames'] >= 4
+
+
 def test_two_process_jax_distributed(tmp_path):
     worker = osp.join(osp.dirname(__file__), '_multihost_worker.py')
     port = _free_port()
