@@ -25,13 +25,13 @@ for job in "$@"; do
     continue
   fi
   envfile=$R5/$job.env
+  spath=$R5/$script.py
+  [ -f "$spath" ] || spath=/root/repo/.r4/$script.py
   status "START $job"
   if [ -f "$envfile" ]; then
-    env $(cat $envfile) python $R5/$script.py > $R5/$job.log 2>&1
-  elif [ -f "$R5/$script.py" ]; then
-    python $R5/$script.py > $R5/$job.log 2>&1
+    env $(cat $envfile) python $spath > $R5/$job.log 2>&1
   else
-    python .r4/$script.py > $R5/$job.log 2>&1
+    python $spath > $R5/$job.log 2>&1
   fi
   rc=$?
   grep '^{' $R5/$job.log | tail -1 > $R5/$job.json
