@@ -242,12 +242,15 @@ def spec_decode_round(params, cache: KVCache, state: DecodeState,
         match = (draft == g[:, :-1]) & run[:, None]           # [B, K]
         if topn > 0:
             # sample_step's greedy+topn branch, vectorized over K+1:
-            # alternatives from the temperature-scaled distribution; the
-            # argmax IS top-1 of that same distribution so the reported
-            # logprob equals its own top_logprobs entry
+            # alternatives from the report-basis distribution
+            # (temperature-scaled; temp ~ 0 reports at 1.0 — ops/
+            # sampling.py report_temperature); the argmax IS top-1 of
+            # that same distribution so the reported logprob equals its
+            # own top_logprobs entry
+            from ..ops.sampling import report_temperature
             lgf = logits.astype(jnp.float32).reshape(b * kp1, -1)
-            tv = lgf / jnp.maximum(
-                jnp.repeat(smp.temperature, kp1), 1e-5)[:, None]
+            tv = lgf / report_temperature(
+                jnp.repeat(smp.temperature, kp1))[:, None]
             top_vals, top_idx = jax.lax.top_k(tv, topn)
             tlp = top_vals - jax.nn.logsumexp(tv, axis=-1, keepdims=True)
             tops = (top_idx.reshape(b, kp1, topn).astype(jnp.int32),

@@ -173,6 +173,16 @@ def min_p_mask(logits, min_p):
     return jnp.where(keep, logits, NEG_INF)
 
 
+def report_temperature(t):
+    """Reporting basis for the top-N logprob planes: an effectively-
+    greedy slot (temperature ~ 0, clamped to 1e-5 upstream) reports at
+    temperature 1.0 — the model's own distribution — instead of the
+    degenerate point mass it samples from (vLLM's greedy-logprobs
+    convention; OpenAI returns finite alternatives at temperature 0).
+    Sampling itself NEVER uses this basis."""
+    return jnp.where(t < 1e-3, 1.0, jnp.maximum(t, 1e-3))
+
+
 def filter_candidates(vals, top_k, top_p, min_p):
     """Apply the top-k -> top-p -> min-p mask cascade to desc-sorted
     candidate logits ``vals`` [R, C] with per-row params [R].  One
@@ -228,6 +238,9 @@ def sample_step(logits, state: SamplingState, history, history_len,
         alternative tokens and their logprobs per slot (the OpenAI
         ``top_logprobs`` field for GENERATED tokens; the reference's
         output_log_probs cum-log path carries the chosen token only).
+        An effectively-greedy slot (temperature ~ 0) reports at
+        temperature 1.0 (report_temperature; vLLM's convention — OpenAI
+        returns finite alternatives at temperature 0).
         Alternatives come from the temperature-scaled processed
         distribution BEFORE the top-k/top-p/min-p cut — alternatives the
         filters would have rejected still get honest logprobs (OpenAI
@@ -275,7 +288,7 @@ def sample_step(logits, state: SamplingState, history, history_len,
         tokens = jnp.argmax(lg, axis=-1).astype(jnp.int32)
         zeros = jnp.zeros((b,), jnp.float32)
         if topn > 0:
-            tv = lg / jnp.maximum(state.temperature, 1e-5)[:, None]
+            tv = lg / report_temperature(state.temperature)[:, None]
             top_vals, top_ids = jax.lax.top_k(tv, topn)
             top_lps = top_vals - jax.nn.logsumexp(tv, axis=-1,
                                                   keepdims=True)
@@ -312,8 +325,13 @@ def sample_step(logits, state: SamplingState, history, history_len,
         # columns.  The reported token logprob switches to the SAME
         # pre-filter distribution so it always equals the chosen
         # token's own entry in top_logprobs (OpenAI semantics; the
-        # topn==0 path keeps the post-filter convention)
-        pre_lps = jax.nn.log_softmax(pre_vals, axis=-1)
+        # topn==0 path keeps the post-filter convention).  pre_vals are
+        # already temperature-scaled; the report-basis factor restores
+        # temp-1.0 values for effectively-greedy slots (temp ~ 0)
+        # WITHOUT touching the sampled distribution
+        f = (jnp.maximum(state.temperature, 1e-5)
+             / report_temperature(state.temperature))[:, None]
+        pre_lps = jax.nn.log_softmax(pre_vals * f, axis=-1)
         tok_pre_lp = jnp.take_along_axis(pre_lps, tok_c[:, None],
                                          axis=1)[:, 0]
         return (tokens.astype(jnp.int32), new_keys, tok_pre_lp,

@@ -140,7 +140,8 @@ def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
     """
     from .sampling import (MAX_TOPK, NEG_INF, _approx_topk,
                            apply_repetition_penalty, ban_words,
-                           filter_candidates, mask_eos_below_min_len)
+                           filter_candidates, mask_eos_below_min_len,
+                           report_temperature)
     b, kp1, v = logits.shape
     k = kp1 - 1
 
@@ -218,8 +219,12 @@ def spec_verify_sample(logits: jnp.ndarray, draft: jnp.ndarray, smp,
     logp = jnp.log(jnp.maximum(p_g, 1e-30))
     if topn > 0:
         # candidates are desc-sorted, so the top-n pre-filter
-        # alternatives are the first n columns (sample_step's layout)
-        pre_lps = jax.nn.log_softmax(pre_vals, axis=-1)
+        # alternatives are the first n columns (sample_step's layout).
+        # pre_vals are temperature-scaled; restore the temp-1.0 report
+        # basis for effectively-greedy slots (report_temperature)
+        f = (jnp.maximum(rep(smp.temperature), 1e-5)
+             / report_temperature(rep(smp.temperature)))[:, None]
+        pre_lps = jax.nn.log_softmax(pre_vals * f, axis=-1)
         top_ids = idx[:, :topn].reshape(b, kp1, topn).astype(jnp.int32)
         top_lps = pre_lps[:, :topn].reshape(b, kp1, topn)
         pre_lps3 = pre_lps.reshape(b, kp1, c)

@@ -503,6 +503,27 @@ def test_top_logprobs_generated(engine):
     assert out2.logprobs is not None and len(out2.logprobs) == 3
 
 
+def test_top_logprobs_temperature_zero_meaningful(engine):
+    """temperature=0 (clamped to 1e-5) must NOT degrade top_logprobs to
+    a degenerate point mass: the planes report at temperature 1.0 (the
+    model distribution — vLLM's greedy-logprobs convention), so the
+    values match an explicit temperature=1.0 greedy request."""
+    inst = engine.create_instance()
+    cfg0 = GenerationConfig(max_new_tokens=3, top_k=1, temperature=0.0,
+                            ignore_eos=True, top_logprobs=3)
+    cfg1 = GenerationConfig(max_new_tokens=3, top_k=1, temperature=1.0,
+                            ignore_eos=True, top_logprobs=3)
+    out0 = inst.infer(512, [3, 9, 27], gen_config=cfg0, sequence_end=True)
+    out1 = inst.infer(513, [3, 9, 27], gen_config=cfg1, sequence_end=True)
+    assert out0.token_ids == out1.token_ids
+    for t0, t1 in zip(out0.top_logprobs, out1.top_logprobs):
+        assert set(t0) == set(t1)
+        for k in t0:
+            assert t0[k] == pytest.approx(t1[k], abs=1e-3)
+        # model-scale values, not the 1e-5-scaled degenerate planes
+        assert all(lp > -100.0 for lp in t0.values())
+
+
 def test_top_logprobs_mixed_batch(engine):
     """A top_logprobs slot and a plain slot in the same rounds: planes
     only attach to the requesting slot."""
