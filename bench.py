@@ -343,20 +343,54 @@ def main():
                         num_pages=88, max_context_token_num=512,
                         prefill_buckets=(64, 512), step_length=64,
                         speculative_k=4)
-    params = random_int4_params(cfg, jax.random.PRNGKey(0))
-    eng = TPUEngine(cfg, ecfg, params)
-    # the engine holds the packed residency; drop the caller's reference
-    # so the byte-per-int4 qvals (2x the packed bytes) free on device
-    del params
-    gc.collect()
-    inst = eng.create_instance()
+    degraded = False
+    eng = None
+    for footprint in ('full', 'degraded'):
+        if footprint == 'degraded':
+            # leaked-HBM chip (dead clients pin server-side memory, the
+            # round-4/5 failure mode): a bs1-sized pool still yields a
+            # FRESH headline — better evidence than the stale fallback.
+            # The bs8 / bf16 phases are skipped in this mode.
+            import dataclasses
+            degraded = True
+            ecfg = dataclasses.replace(ecfg, max_batch_size=2,
+                                       num_pages=44)
+        try:
+            params = random_int4_params(cfg, jax.random.PRNGKey(0))
+            eng = TPUEngine(cfg, ecfg, params)
+            # the engine holds the packed residency; drop the caller's
+            # reference so the byte-per-int4 qvals (2x the packed
+            # bytes) free on device
+            del params
+            gc.collect()
+            inst = eng.create_instance()
+            # warmup: compile the prefill bucket and every ramp round
+            # length (1 -> 4 -> 16 -> step_length); drain the link
+            # before timing.  A build/warmup that yields no token is
+            # an OOM-class failure -> retry at the smaller footprint.
+            w = inst.infer(0, [1], gen_config=GenerationConfig(
+                max_new_tokens=90, top_k=1, ignore_eos=True),
+                sequence_end=True)
+            if not w.token_ids:
+                raise RuntimeError('warmup produced no tokens')
+            break
+        except Exception as e:
+            print(f'# {footprint} engine failed: {type(e).__name__}',
+                  flush=True)
+            if eng is not None:
+                try:
+                    eng.shutdown()
+                except Exception:
+                    pass
+                eng = None
+            gc.collect()
+            if footprint == 'degraded':
+                _stale_fallback('engine cannot start even at the '
+                                'degraded footprint '
+                                f'({type(e).__name__})')
+                return
     gen = GenerationConfig(max_new_tokens=OUT_TOKENS, top_k=1,
                            ignore_eos=True)
-
-    # warmup: compile the prefill bucket and every ramp round length
-    # (1 -> 4 -> 16 -> step_length); drain the engine/link before timing
-    inst.infer(0, [1], gen_config=GenerationConfig(
-        max_new_tokens=90, top_k=1, ignore_eos=True), sequence_end=True)
     time.sleep(2.0)
 
     # the backend occasionally throws a transient error that fails the
@@ -409,9 +443,10 @@ def main():
     if n > 0:
         _PARTIAL['detail']['bs1_no_spec_tok_s'] = round(toks_nospec, 1)
 
-    # batched decode throughput (continuous batching, 8 concurrent)
+    # batched decode throughput (continuous batching, 8 concurrent);
+    # the degraded footprint has a 2-slot batch — skip
     batch_toks = None
-    if _remaining() > 90.0:
+    if not degraded and _remaining() > 90.0:
         counts = [0] * 8
         gen_b = GenerationConfig(max_new_tokens=256, top_k=1,
                                  ignore_eos=True)
@@ -441,7 +476,7 @@ def main():
     # Skippable: ~90 s of param init + compile; keep 150 s of margin.
     import dataclasses as _dc
     bf16 = None
-    if _remaining() > 240.0:
+    if not degraded and _remaining() > 240.0:
         bf16 = bf16_tok_s(cfg, _dc.replace(ecfg, speculative_k=0))
     ratio = round(toks_nospec / bf16, 2) if bf16 else None
     if n > 0 and bf16:
@@ -498,6 +533,7 @@ def main():
             'int4_vs_bf16_speedup': ratio,
             'out_tokens': n,
             'device': str(jax.devices()[0]),
+            **({'degraded_footprint': True} if degraded else {}),
             **({'measured': extra} if extra else {}),
             'note': ('headline uses greedy prompt-lookup speculative '
                      'decoding (speculative_k=4) — output is token-'
