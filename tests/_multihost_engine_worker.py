@@ -42,7 +42,7 @@ def main():
     ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
                         num_pages=32, max_context_token_num=16,
                         prefill_buckets=(16,), use_pallas=False,
-                        step_length=2, tp=2)
+                        step_length=2, tp=2, speculative_k=2)
     # identical checkpoint on every host (same seed)
     params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
     eng = TPUEngine(cfg, ecfg, params, start=False)
@@ -54,11 +54,18 @@ def main():
     if idx == 0:
         channel = serve_leader(eng)
         inst = eng.create_instance()
+        # greedy request: prefill + spec_decode_rounds frames cross hosts
         out = inst.infer(1, [3, 9, 4, 9, 4], gen_config=GenerationConfig(
             max_new_tokens=8, top_k=1, ignore_eos=True),
             sequence_end=True)
         res['token_ids'] = out.token_ids
         res['finished'] = out.finished
+        res['spec_rounds'] = eng.stats['spec_rounds']
+        # sampled request: the rejection-verify dispatch class too
+        out2 = inst.infer(2, [5, 7, 5, 7], gen_config=GenerationConfig(
+            max_new_tokens=6, top_k=20, top_p=0.9, temperature=0.9,
+            random_seed=11, ignore_eos=True), sequence_end=True)
+        res['sampled_token_ids'] = out2.token_ids
         # quiesce the scheduler BEFORE the stop frame: the engine thread
         # keeps dispatching (retire/clear_slot) after infer() returns,
         # and every dispatch needs followers still pumping frames

@@ -44,14 +44,20 @@ def test_cross_host_spmd_engine(tmp_path):
     ecfg = EngineConfig(max_batch_size=2, session_len=64, page_size=8,
                         num_pages=32, max_context_token_num=16,
                         prefill_buckets=(16,), use_pallas=False,
-                        step_length=2, tp=2)
+                        step_length=2, tp=2, speculative_k=2)
     params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
     ref = TPUEngine(cfg, ecfg, params,
                     start=True)
     try:
-        want = ref.create_instance().infer(
+        inst = ref.create_instance()
+        want = inst.infer(
             1, [3, 9, 4, 9, 4], gen_config=GenerationConfig(
                 max_new_tokens=8, top_k=1, ignore_eos=True),
+            sequence_end=True).token_ids
+        want_sampled = inst.infer(
+            2, [5, 7, 5, 7], gen_config=GenerationConfig(
+                max_new_tokens=6, top_k=20, top_p=0.9, temperature=0.9,
+                random_seed=11, ignore_eos=True),
             sequence_end=True).token_ids
     finally:
         ref.shutdown()
@@ -88,8 +94,11 @@ def test_cross_host_spmd_engine(tmp_path):
     assert follower['mesh_procs'] == [0, 1]
     assert leader['mesh_shape'] == {'dp': 1, 'tp': 2}
     # tokens streamed on the leader, identical to single-process tp=2
+    # — for the greedy+speculative AND the sampled request classes
     assert leader['finished']
     assert leader['token_ids'] == want
+    assert leader['sampled_token_ids'] == want_sampled
+    assert leader['spec_rounds'] > 0   # spec dispatches crossed hosts
     # the follower replayed real work: admission (install_slot +
     # prefill) and the decode rounds all crossed as frames
     assert follower['frames'] >= 4
