@@ -25,15 +25,18 @@ def _ngram_match_pos(history, history_len, ngram: int):
     suf_idx = history_len[:, None] - ngram + jnp.arange(ngram)[None]
     suffix = jnp.take_along_axis(history, jnp.maximum(suf_idx, 0), axis=1)
 
-    # match[b, j] = history[b, j-ngram : j] == suffix  (candidate start j)
+    # match[b, j] = history[b, j-ngram : j] == suffix  (candidate start j).
+    # Each comparison row is a STATIC right-shift of the history — a
+    # zero-pad + slice (pure layout, fuses away), NOT a take_along_axis
+    # gather (dynamic gathers over [B, S] lower to one-hot matmuls /
+    # serial loops on TPU and ran once per spec round in the scan)
     match = jnp.ones((b, s), bool)
     for t in range(ngram):
-        shifted_idx = pos[None] - ngram + t
-        shifted = jnp.take_along_axis(
-            history, jnp.maximum(shifted_idx, 0), axis=1)
-        match &= (shifted == suffix[:, t:t + 1]) & (shifted_idx >= 0)
+        shifted = jnp.pad(history, ((0, 0), (ngram - t, 0)))[:, :s]
+        match &= shifted == suffix[:, t:t + 1]
     # j must start strictly before the current continuation point and
-    # leave the suffix itself out (otherwise it trivially matches itself)
+    # leave the suffix itself out (otherwise it trivially matches
+    # itself); pos >= ngram also kills the zero-padded columns
     match &= (pos[None] < history_len[:, None] - 1) \
         & (pos[None] >= ngram)
     # a suffix shorter than ngram (fresh session) must not match
