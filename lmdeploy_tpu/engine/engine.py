@@ -1075,10 +1075,10 @@ class TPUEngine:
         # instead of one per distinct N, since a novel static shape
         # jit-compiles mid-serving and stalls running streams (the
         # measured ~5.7s interleave stall class); _emit slices each
-        # slot's requested N host-side.  Spec rounds carry the planes
-        # too (spec_decode_rounds' trailing rows), so top_logprobs
-        # requests keep speculation; only the pp ring still gates them
-        # to the relay path.
+        # slot's requested N host-side.  Spec rounds AND the pp ring
+        # carry the planes too (spec_decode_rounds' trailing rows /
+        # pp_decode_sampled's extra planes), so top_logprobs requests
+        # forfeit neither speculation nor the bubble-free ring.
         topn = self.MAX_TOP_LOGPROBS if any(
             (g.top_logprobs or 0) > 0 for g in cfgs) else 0
         spec_mode = None
@@ -1116,13 +1116,14 @@ class TPUEngine:
             self.stats['spec_fallbacks'] += 1
             if self._spec_cooloff == 0:
                 self._spec_accept_ema = None  # fresh probe next time
-        if self._ring_ok and topn == 0:
+        if self._ring_ok:
             # all traffic rides the bubble-free full-sampling ring on a
             # pp mesh (greedy rides 'candidates' exactly like the plain
-            # path — and keeps the keys-advance-every-step invariant)
+            # path — and keeps the keys-advance-every-step invariant);
+            # top_logprobs slots too: the ring carries the top-N planes
             self._ring_round(k, 'full' if any((g.top_k or 0) <= 0
                                               for g in cfgs)
-                             else 'candidates')
+                             else 'candidates', topn=topn)
             return
         mode = 'full' if any((g.top_k or 0) <= 0 for g in cfgs) \
             else 'candidates'
@@ -1147,7 +1148,8 @@ class TPUEngine:
             if not any(s is not None and not s.done for s in self.slots):
                 return
 
-    def _ring_round(self, k: int, mode: str = 'candidates'):
+    def _ring_round(self, k: int, mode: str = 'candidates',
+                    topn: int = 0):
         """Bubble-free microbatch-ring decode on the pp mesh
         (parallel/pp.py:pp_decode_sampled — the full sampling stack, all
         request classes): every running slot advances up to ``k`` tokens
@@ -1183,8 +1185,8 @@ class TPUEngine:
         self._grow_pages(k)
         self.cache, self.state, packed = self.fns.decode_rounds_sampled(
             self.params, self.cache, self.state, rounds=k,
-            sampling_mode=mode)
-        pk = np.asarray(packed)                             # [4, k, B]
+            sampling_mode=mode, topn=topn)
+        pk = np.asarray(packed)                 # [4 + 2*topn, k, B]
         arr = pk[0]
         lps = np.ascontiguousarray(pk[1]).view(np.float32)
         rngs = pk[2:4]
@@ -1206,7 +1208,13 @@ class TPUEngine:
                         or tok in s.single_stops
                         or s.generated + 1 >= s.max_new):
                     fin[i] = 1
-            self._emit(arr[t], fin, lps[t])
+            tops = None
+            if topn:
+                tids = pk[4:4 + topn, t].T                 # [B, topn]
+                tlps = np.ascontiguousarray(
+                    pk[4 + topn:4 + 2 * topn, t].T).view(np.float32)
+                tops = (tids, tlps)
+            self._emit(arr[t], fin, lps[t], tops=tops)
             if not any(s is not None and not s.done for s in self.slots):
                 return
 

@@ -263,7 +263,7 @@ def pp_prefill_chunks_ring(params, cache: KVCache, state: DecodeState,
 
 def pp_decode_sampled(params, cache: KVCache, state: DecodeState,
                       cfg: ModelConfig, *, num_stages: int, rounds: int,
-                      sampling_mode: str = 'candidates',
+                      sampling_mode: str = 'candidates', topn: int = 0,
                       use_pallas_attn: bool = False):
     """``rounds`` pipelined decode rounds with the FULL sampling stack
     (penalties, banned words, min-length EOS masking, top-k/p/min-p,
@@ -291,12 +291,15 @@ def pp_decode_sampled(params, cache: KVCache, state: DecodeState,
     rows (bu = ceil(B/pp)), so every batch rides the ring — no silent
     relay fallback.
 
-    Returns ``(cache, new_state, packed int32 [4, rounds, B])``: planes
-    = (tokens; token-logprob f32 bits; rng word0; rng word1), the host
-    contract of ``decode_steps``'s packed readback with one entry per
-    RING ROUND — a slot retired mid-dispatch by a host-side stop
+    Returns ``(cache, new_state, packed int32 [4 + 2*topn, rounds, B])``:
+    planes = (tokens; token-logprob f32 bits; rng word0; rng word1), the
+    host contract of ``decode_steps``'s packed readback with one entry
+    per RING ROUND — a slot retired mid-dispatch by a host-side stop
     sequence snapshots the key as of its round (LlamaBatch.cc:1097
-    curand-save semantics).
+    curand-save semantics).  ``topn`` (STATIC) > 0 appends the per-round
+    top-N alternative token-id planes and their logprob f32 bits
+    (sample_step's OpenAI top_logprobs convention), so logprob-
+    requesting slots ride the bubble-free ring too.
     """
     from ..ops.sampling import sample_step
 
@@ -324,7 +327,7 @@ def pp_decode_sampled(params, cache: KVCache, state: DecodeState,
     generated0 = padb(state.generated)
 
     def body(carry, t):
-        h_ring, cache, hist, rng, toks, lps, rngs = carry
+        h_ring, cache, hist, rng, toks, lps, rngs, tids, tlps = carry
         # ---- stage-local layer compute on the microbatch it holds ----
         tm = t - stage
         in_flight = (tm >= 0) & (tm < rounds * m_count)
@@ -385,9 +388,11 @@ def pp_decode_sampled(params, cache: KVCache, state: DecodeState,
         hist_mb = jax.lax.dynamic_slice_in_dim(hist, row0_s, bu, 0)
         hl0 = jax.lax.dynamic_slice_in_dim(history_len0, row0_s, bu, 0)
         gen0 = jax.lax.dynamic_slice_in_dim(generated0, row0_s, bu, 0)
-        tok, new_keys, lp = sample_step(logits, smp_mb, hist_mb,
-                                        hl0 + r_s, gen0 + r_s, run=live_s,
-                                        mode=sampling_mode)
+        sampled = sample_step(logits, smp_mb, hist_mb,
+                              hl0 + r_s, gen0 + r_s, run=live_s,
+                              mode=sampling_mode, topn=topn)
+        tok, new_keys, lp = sampled[:3]
+        tops_mb = sampled[3] if topn > 0 else None
         tok = jnp.where(live_s, tok, tok0_s)
         hist_idx = jnp.where(live_s, hl0 + r_s, jnp.int32(hist.shape[1]))
         hist_mb = hist_mb.at[jnp.arange(bu), hist_idx].set(tok, mode='drop')
@@ -406,19 +411,34 @@ def pp_decode_sampled(params, cache: KVCache, state: DecodeState,
         rngs = jax.lax.dynamic_update_slice(
             rngs, jnp.where(samp_flight, rng_mb[None], cur),
             (r_s, row0_s, 0))
+        if topn > 0:
+            cur = jax.lax.dynamic_slice(tids, (r_s, row0_s, 0),
+                                        (1, bu, topn))
+            tids = jax.lax.dynamic_update_slice(
+                tids, jnp.where(samp_flight, tops_mb[0][None], cur),
+                (r_s, row0_s, 0))
+            cur = jax.lax.dynamic_slice(tlps, (r_s, row0_s, 0),
+                                        (1, bu, topn))
+            tlps = jax.lax.dynamic_update_slice(
+                tlps, jnp.where(samp_flight, tops_mb[1][None], cur),
+                (r_s, row0_s, 0))
         # every stage knows the sampled token; on the wrap-around edge
         # the last stage hands stage 0 the next round's input embedding
         payload = jnp.where(is_last, embed_tokens(params, tok[:, None]),
                             h_out)
         h_ring = jax.lax.ppermute(payload, PP_AXIS, ring)
-        return (h_ring, cache, hist, rng, toks, lps, rngs), None
+        return (h_ring, cache, hist, rng, toks, lps, rngs, tids,
+                tlps), None
 
     h0 = jnp.zeros((bu, 1, d), params['tok_embedding'].dtype)
+    nt = max(topn, 1)       # zero-size carries upset the scan layout
     carry0 = (h0, cache, padb(state.history), smp0.rng_key,
               jnp.zeros((rounds, bp), jnp.int32),
               jnp.zeros((rounds, bp), jnp.float32),
-              jnp.zeros((rounds, bp, 2), smp0.rng_key.dtype))
-    (_, cache, hist, rng, toks, lps, rngs), _ = jax.lax.scan(
+              jnp.zeros((rounds, bp, 2), smp0.rng_key.dtype),
+              jnp.zeros((rounds, bp, nt), jnp.int32),
+              jnp.zeros((rounds, bp, nt), jnp.float32))
+    (_, cache, hist, rng, toks, lps, rngs, tids, tlps), _ = jax.lax.scan(
         body, carry0, jnp.arange(total, dtype=jnp.int32))
 
     # carries are bitwise identical across stages (cooperative sampling)
@@ -444,7 +464,13 @@ def pp_decode_sampled(params, cache: KVCache, state: DecodeState,
         sampling=sampling)
     lp_bits = jax.lax.bitcast_convert_type(lps, jnp.int32)
     rng_i = jax.lax.bitcast_convert_type(rngs, jnp.int32)
-    packed = jnp.stack([toks, lp_bits, rng_i[..., 0], rng_i[..., 1]])
+    planes = [toks, lp_bits, rng_i[..., 0], rng_i[..., 1]]
+    if topn > 0:
+        tids = tids[:, :b]
+        tlp_bits = jax.lax.bitcast_convert_type(tlps[:, :b], jnp.int32)
+        planes += [tids[..., i] for i in range(topn)]
+        planes += [tlp_bits[..., i] for i in range(topn)]
+    packed = jnp.stack(planes)
     return cache, new_state, packed
 
 
@@ -558,11 +584,11 @@ class PPStepFns:
                      out_specs=(cache_spec, P())),
                 donate_argnums=(1,))
 
-        def make_ring_sampled(pspec, rounds, sampling_mode):
+        def make_ring_sampled(pspec, rounds, sampling_mode, topn=0):
             fn = partial(pp_decode_sampled, cfg=cfg, num_stages=self.pp,
                          rounds=rounds, sampling_mode=sampling_mode,
-                         use_pallas_attn=use_pallas_attn)
-            # packed is [4, rounds, B]: batch-LAST, dp shards dim 2
+                         topn=topn, use_pallas_attn=use_pallas_attn)
+            # packed is [4 + 2*topn, rounds, B]: batch-LAST, dp shards 2
             pk_spec = P(None, None, DP_AXIS) if dp_shard_batch else P()
             return jax.jit(
                 smap(fn, in_specs=(pspec, cache_spec, rep),
@@ -632,10 +658,11 @@ class PPStepFns:
         return cache, state, packed[0]
 
     def decode_rounds_sampled(self, params, cache, state, rounds: int,
-                              sampling_mode: str = 'candidates'):
+                              sampling_mode: str = 'candidates',
+                              topn: int = 0):
         """Full-sampling-stack microbatch ring (:func:`pp_decode_sampled`)."""
-        return self._get('ring_sampled', params, rounds, sampling_mode)(
-            params, cache, state)
+        return self._get('ring_sampled', params, rounds, sampling_mode,
+                         topn)(params, cache, state)
 
 
 __all__ = ['PP_AXIS', 'make_mesh_pp', 'make_mesh_3d',

@@ -559,9 +559,9 @@ def test_pp_ring_indivisible_batch():
     assert got == want
 
 
-def test_top_logprobs_on_pp_mesh_rides_relay():
-    """A top_logprobs slot on a pp mesh falls back from the ring to the
-    relay decode program (which carries the top-N planes) and stays
+def test_top_logprobs_on_pp_mesh_rides_ring():
+    """A top_logprobs slot on a pp mesh KEEPS the bubble-free ring (the
+    packed ring readback carries the top-N planes) and stays
     token-identical to the single-device engine."""
     import dataclasses as dc
 
@@ -593,7 +593,12 @@ def test_top_logprobs_on_pp_mesh_rides_relay():
         assert all(len(t) == 2 for t in out.top_logprobs)
         best = [max(t, key=t.get) for t in out.top_logprobs]
         assert best == want          # greedy: chosen == best alternative
-        # the top_logprobs rounds bypassed the ring
-        assert eng.stats['ring_rounds'] == 0
+        # the top_logprobs rounds rode the bubble-free ring
+        assert eng.stats['ring_rounds'] > 0
+        # OpenAI consistency: reported token logprob == its own entry
+        for tok, lp, tops in zip(out.token_ids, out.logprobs,
+                                 out.top_logprobs):
+            assert tok in tops
+            assert lp == pytest.approx(tops[tok], abs=1e-5)
     finally:
         eng.shutdown()
