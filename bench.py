@@ -507,6 +507,9 @@ def main():
                     blob = json.load(f)
             except (OSError, ValueError):
                 continue
+            # failed sidecar jobs record an error blob — not evidence
+            if isinstance(blob, dict) and 'error' in blob:
+                continue
             # keep the folded payload lean: drop bulky trace summaries
             if isinstance(blob, dict) and 'summary' in blob:
                 blob = {k: v for k, v in blob.items() if k != 'summary'}
