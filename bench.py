@@ -343,21 +343,29 @@ def main():
                         num_pages=88, max_context_token_num=512,
                         prefill_buckets=(64, 512), step_length=64,
                         speculative_k=4)
+    import dataclasses
+    # leaked/contended-HBM chip (other tenants / dead clients pin
+    # server-side memory, the round-4/5 failure mode): a bs1-sized pool
+    # still yields a FRESH headline — better evidence than the stale
+    # fallback.  The bs8 / bf16 phases are skipped when degraded.
+    # Contention comes in WINDOWS, so after a failed (full, degraded)
+    # cycle wait one out and try again while the budget allows.
+    ecfg_small = dataclasses.replace(ecfg, max_batch_size=2,
+                                     num_pages=44)
+    attempts = ['full', 'degraded', 'full', 'degraded']
     degraded = False
     eng = None
-    for footprint in ('full', 'degraded'):
-        if footprint == 'degraded':
-            # leaked-HBM chip (dead clients pin server-side memory, the
-            # round-4/5 failure mode): a bs1-sized pool still yields a
-            # FRESH headline — better evidence than the stale fallback.
-            # The bs8 / bf16 phases are skipped in this mode.
-            import dataclasses
-            degraded = True
-            ecfg = dataclasses.replace(ecfg, max_batch_size=2,
-                                       num_pages=44)
+    last_err = 'unknown'
+    for ai, footprint in enumerate(attempts):
+        if ai == 2:
+            if _remaining() < 500.0:
+                break
+            time.sleep(120.0)   # wait out the contention window
+        degraded = footprint == 'degraded'
         try:
             params = random_int4_params(cfg, jax.random.PRNGKey(0))
-            eng = TPUEngine(cfg, ecfg, params)
+            eng = TPUEngine(cfg, ecfg_small if degraded else ecfg,
+                            params)
             # the engine holds the packed residency; drop the caller's
             # reference so the byte-per-int4 qvals (2x the packed
             # bytes) free on device
@@ -375,7 +383,8 @@ def main():
                 raise RuntimeError('warmup produced no tokens')
             break
         except Exception as e:
-            print(f'# {footprint} engine failed: {type(e).__name__}',
+            last_err = type(e).__name__
+            print(f'# {footprint} engine failed: {last_err}',
                   flush=True)
             if eng is not None:
                 try:
@@ -384,11 +393,12 @@ def main():
                     pass
                 eng = None
             gc.collect()
-            if footprint == 'degraded':
-                _stale_fallback('engine cannot start even at the '
-                                'degraded footprint '
-                                f'({type(e).__name__})')
-                return
+    else:
+        eng = None
+    if eng is None:
+        _stale_fallback('engine cannot start even at the degraded '
+                        f'footprint ({last_err})')
+        return
     gen = GenerationConfig(max_new_tokens=OUT_TOKENS, top_k=1,
                            ignore_eos=True)
     time.sleep(2.0)
