@@ -122,6 +122,39 @@ def test_unconstrained_sampling_covers_full_vocab():
     np.testing.assert_array_equal(np.asarray(lp), 0.0)
 
 
+def test_full_mode_topn_planes():
+    """mode='full' (top_k<=0) with topn: alternatives are the exact
+    full-vocab top-N of the pre-filter distribution, tokens unchanged
+    vs the topn=0 call with the same key."""
+    v = 512
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(2, v)) * 2, jnp.float32)
+    hist = jnp.zeros((2, 8), jnp.int32)
+    zeros = jnp.zeros(2, jnp.int32)
+    st = _state(b=2, top_k=jnp.zeros((2,), jnp.int32))
+    key0 = np.asarray(st.rng_key).copy()
+    toks0, _, _ = sample_step(logits, st, hist, zeros, zeros, mode='full')
+    st.rng_key = jnp.asarray(key0)
+    toks, _, lp, (tid, tlp) = sample_step(logits, st, hist, zeros, zeros,
+                                          mode='full', topn=3)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks0))
+    # exact top-3 of temperature-scaled log-softmax per row
+    t = np.asarray(st.temperature)[:, None]
+    ls = np.asarray(logits, np.float64) / np.maximum(t, 1e-5)
+    ls = ls - np.log(np.exp(ls - ls.max(1, keepdims=True)).sum(1,
+                     keepdims=True)) - ls.max(1, keepdims=True)
+    want_ids = np.argsort(-ls, axis=1)[:, :3]
+    np.testing.assert_array_equal(np.asarray(tid), want_ids)
+    for b in range(2):
+        np.testing.assert_allclose(np.asarray(tlp)[b],
+                                   ls[b, want_ids[b]], rtol=1e-4,
+                                   atol=1e-4)
+        # chosen token's reported logprob equals its full-vocab value
+        np.testing.assert_allclose(float(np.asarray(lp)[b]),
+                                   ls[b, int(np.asarray(toks)[b])],
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_sampling_reproducible_with_key():
     rng = np.random.default_rng(1)
     logits = jnp.asarray(rng.normal(size=(2, V)) * 2, jnp.float32)
