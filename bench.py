@@ -156,7 +156,7 @@ def spec_accept_real_text(timeout: float = 1500.0):
         return None
 
 
-def _chip_alive(timeout: float = 240.0):
+def _chip_alive(timeout: float = None):
     """Probe the tunneled TPU in a SUBPROCESS with a timeout: a wedged
     axon tunnel hangs every in-process `import jax` at the register
     handshake (see CLAUDE.md), which would hang this whole benchmark.
@@ -167,11 +167,17 @@ def _chip_alive(timeout: float = 240.0):
 
     Returns (alive: bool, hbm_ok: bool).
 
+    The default timeout is adaptive: a HEALTHY handshake on this tunnel
+    measures anywhere from 4 s to ~245 s (round-5 queue logs — the
+    round-4 probe's fixed 240 s declared a healthy chip "wedged"), so
+    the probe gets up to 450 s when the budget affords it and never
+    less than 240 s.
+
     Tradeoff, stated plainly: the probe DOES compile one tiny dot, and
     killing a TPU client mid-compile is the known chip-wedge hazard.
-    On a live chip this program finishes in ~30 s, so a kill at 240 s
-    overwhelmingly means the client never got past registration (no
-    compile in flight); the residual risk of killing a
+    On a live chip this program finishes well inside the window, so a
+    kill at the deadline overwhelmingly means the client never got past
+    registration (no compile in flight); the residual risk of killing a
     pathologically-slow-but-alive compile is accepted because the
     alternative — no timeout — hangs the benchmark run forever on a
     wedge."""
@@ -188,6 +194,8 @@ def _chip_alive(timeout: float = 240.0):
         return True, False
     if fake == 'ok':
         return True, True
+    if timeout is None:
+        timeout = min(450.0, max(240.0, _remaining() - 500.0))
     code = (
         'import json, jax, jax.numpy as jnp, numpy as np\n'
         'x = jnp.ones((128, 128), jnp.bfloat16)\n'
