@@ -40,7 +40,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--gb', type=int, default=10,
                     help='free-HBM floor to require (GB)')
-    ap.add_argument('--timeout', type=float, default=300.0)
+    # healthy handshakes on this tunnel measure 4s..300s+ (round-5 queue
+    # logs); a timeout below ~400s misclassifies slow-but-alive as wedged
+    ap.add_argument('--timeout', type=float, default=480.0)
     args = ap.parse_args()
     try:
         out = subprocess.run(

@@ -75,16 +75,26 @@ def main():
     time.sleep(1.0)
 
     gen = GenerationConfig(max_new_tokens=600, ignore_eos=True, **kw)
-    t0 = r0 = g0 = None
-    nt0 = 0
-    for out in inst.stream_infer(1, [1], gen_config=gen,
-                                 sequence_end=True):
-        if t0 is None and out.token_ids:
-            t0 = time.perf_counter()
-            r0 = eng.stats['spec_rounds']
-            g0 = eng.stats['generated_tokens']
-            nt0 = len(out.token_ids)
-    t1 = time.perf_counter()
+    for attempt in range(3):
+        t0 = r0 = g0 = None
+        nt0 = 0
+        for out in inst.stream_infer(10 + attempt, [1], gen_config=gen,
+                                     sequence_end=True):
+            if t0 is None and out.token_ids:
+                t0 = time.perf_counter()
+                r0 = eng.stats['spec_rounds']
+                g0 = eng.stats['generated_tokens']
+                nt0 = len(out.token_ids)
+        t1 = time.perf_counter()
+        if t0 is not None and len(out.token_ids) > nt0:
+            break
+        time.sleep(30.0)   # transient RESOURCE_EXHAUSTED window
+    if t0 is None:
+        print(json.dumps({'cell': CELL, 'error':
+                          'no tokens streamed in 3 attempts '
+                          '(backend RESOURCE_EXHAUSTED class)'}),
+              flush=True)
+        return
     r1 = eng.stats['spec_rounds']
     g1 = eng.stats['generated_tokens']
     ntok = len(out.token_ids) - nt0

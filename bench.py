@@ -44,27 +44,47 @@ def _emit(line: dict):
         print(json.dumps(line), flush=True)
 
 
-def random_int4_params(cfg, key):
-    """Random W4A16 params built on-device (fast on 1-core hosts)."""
+def random_int4_params(cfg, key, packed=None):
+    """Random W4A16 params built on-device (fast on 1-core hosts).
+
+    When the packed-int4 gate is on (the default), the big projection
+    weights are generated DIRECTLY in nibble-packed PackedInt4Weight
+    residency: byte-per-int4 qvals never exist on device, so the build
+    peak drops from ~10.5 GB (6.7 GB byte qvals + 3.3 GB packed copy
+    before the free) to ~4.5 GB — the difference between an engine that
+    starts and RESOURCE_EXHAUSTED in a contended-HBM window (the .r5
+    cell failures: an 8 GB probe passed, the 7B build still died)."""
     import jax
     import jax.numpy as jnp
     from lmdeploy_tpu.models.llama import init_params, vocab_padded
-    from lmdeploy_tpu.ops.linear import QuantizedWeight
+    from lmdeploy_tpu.ops.linear import PackedInt4Weight, QuantizedWeight
 
+    if packed is None:
+        packed = os.environ.get('LMDEPLOY_TPU_PACKED_INT4', '1') == '1'
     d, dh = cfg.hidden_size, cfg.size_per_head
     h, kh, inter, nl, g = (cfg.head_num, cfg.kv_head_num, cfg.inter_size,
                            cfg.num_layer, cfg.group_size or 128)
     vp = vocab_padded(cfg)
     keys = iter(jax.random.split(key, 16))
 
-    def _rand_u4(key, shape):
+    def _rand_bytes(key, shape):
         # uint32 bits bitcast to u8 (uint8 RNG would materialize 4x u32)
         w32 = jax.random.bits(key, (*shape[:-1], shape[-1] // 4),
                               jnp.uint32)
-        u8 = jax.lax.bitcast_convert_type(w32, jnp.uint8).reshape(shape)
-        return u8 & jnp.uint8(0xF)
+        return jax.lax.bitcast_convert_type(w32, jnp.uint8).reshape(shape)
+
+    def _rand_u4(key, shape):
+        return _rand_bytes(key, shape) & jnp.uint8(0xF)
 
     def qw(k_dim, n_dim):
+        if packed:
+            # one random byte = two random nibbles (pack_nibbles layout)
+            return PackedInt4Weight(
+                packed=_rand_bytes(next(keys), (nl, k_dim // 2, n_dim)),
+                scales=jnp.full((nl, k_dim // g, 1, n_dim), 0.002,
+                                jnp.bfloat16),
+                sz=jnp.full((nl, k_dim // g, n_dim), 0.002 * 8.0,
+                            jnp.bfloat16))
         return QuantizedWeight(
             qvals=_rand_u4(next(keys), (nl, k_dim, n_dim)),
             scales=jnp.full((nl, k_dim // g, n_dim), 0.002, jnp.bfloat16),

@@ -396,15 +396,19 @@ def forward_layers(params: Dict[str, Any], cache: KVCache, batch: StepBatch,
             # to 128 rows made speculative verify compute-bound: 304 vs
             # ~20 ms/round measured).
             from ..ops.pallas.prefill_attention import (
-                Q_BLOCK, paged_prefill_attention_batched)
+                paged_prefill_attention_batched, verify_q_block)
             qp4 = jnp.stack([k_scale, k_zp, v_scale, v_zp])
-            tpad = -(-t // Q_BLOCK) * Q_BLOCK
+            # short (speculative-verify) chunks ride an 8-sublane q block
+            # instead of the 128-row prefill block — the f32 attention
+            # dots are otherwise ~96% padding at kp1=5
+            qb = verify_q_block(t)
+            tpad = -(-t // qb) * qb
             qk = q if tpad == t else jnp.pad(
                 q, ((0, 0), (0, tpad - t), (0, 0), (0, 0)))
             o = paged_prefill_attention_batched(
                 qk, cache_k, cache_v, layer, batch.page_table,
                 batch.positions[:, 0], batch.context_len, qp4,
-                quantized=cache.quantized)[:, :t]
+                quantized=cache.quantized, q_block=qb)[:, :t]
         else:
             ck = jax.lax.dynamic_index_in_dim(cache_k, layer, 0,
                                               keepdims=False)

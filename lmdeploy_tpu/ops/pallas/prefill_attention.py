@@ -31,22 +31,23 @@ def _prefill_kernel(page_table_ref, end_pos_ref, layer_ref,  # prefetch
                     o_ref,
                     k_buf, v_buf, sem,
                     *, page_size: int, kh: int, g: int, dh: int,
-                    start_pos: None, kv_bits: int, scale: float):
+                    start_pos: None, kv_bits: int, scale: float,
+                    q_block: int = Q_BLOCK):
     si = pl.program_id(0)           # batch slot (grid dim 0)
     qi = pl.program_id(1)           # q block within the slot's chunk
     layer = layer_ref[0]
     start = end_pos_ref[1, si]      # absolute position of ids[0]
     ctx_end = end_pos_ref[0, si]    # start + valid length
-    blk_start = start + qi * Q_BLOCK
+    blk_start = start + qi * q_block
     # pages causally visible to this block's LAST query
-    last_q_pos = jnp.minimum(blk_start + Q_BLOCK - 1, ctx_end - 1)
+    last_q_pos = jnp.minimum(blk_start + q_block - 1, ctx_end - 1)
     num_pages = jnp.maximum(jax.lax.div(last_q_pos, page_size) + 1, 1)
 
     q = q_ref[0].astype(jnp.float32) * scale           # [QB, KH*G, Dh]
-    qh = q.reshape(Q_BLOCK, kh, g, dh).transpose(1, 0, 2, 3) \
-          .reshape(kh, Q_BLOCK * g, dh)                # [KH, QB*G, Dh]
+    qh = q.reshape(q_block, kh, g, dh).transpose(1, 0, 2, 3) \
+          .reshape(kh, q_block * g, dh)                # [KH, QB*G, Dh]
     q_pos = blk_start + jax.lax.broadcasted_iota(
-        jnp.int32, (1, Q_BLOCK, 1, 1), 1)              # [1, QB, 1, 1]
+        jnp.int32, (1, q_block, 1, 1), 1)              # [1, QB, 1, 1]
 
     def dma(slot, page_idx):
         phys = page_table_ref[si, page_idx]
@@ -79,8 +80,8 @@ def _prefill_kernel(page_table_ref, end_pos_ref, layer_ref,  # prefetch
         kv_pos = i * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, 1, page_size), 3)        # [1,1,1,page]
         ok = (kv_pos <= q_pos) & (kv_pos < ctx_end)    # [1, QB, 1, page]
-        ok = jnp.broadcast_to(ok, (kh, Q_BLOCK, g, page_size)) \
-                .reshape(kh, Q_BLOCK * g, page_size)
+        ok = jnp.broadcast_to(ok, (kh, q_block, g, page_size)) \
+                .reshape(kh, q_block * g, page_size)
         s = jnp.where(ok, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[..., None])
@@ -92,18 +93,35 @@ def _prefill_kernel(page_table_ref, end_pos_ref, layer_ref,  # prefetch
         acc = acc * alpha[..., None] + pv
         return m_new, l_new, acc
 
-    m0 = jnp.full((kh, Q_BLOCK * g), -1e30, jnp.float32)
-    l0 = jnp.zeros((kh, Q_BLOCK * g), jnp.float32)
-    acc0 = jnp.zeros((kh, Q_BLOCK * g, dh), jnp.float32)
+    m0 = jnp.full((kh, q_block * g), -1e30, jnp.float32)
+    l0 = jnp.zeros((kh, q_block * g), jnp.float32)
+    acc0 = jnp.zeros((kh, q_block * g, dh), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-20)[..., None]       # [KH, QB*G, Dh]
-    out = out.reshape(kh, Q_BLOCK, g, dh).transpose(1, 0, 2, 3)
-    o_ref[0] = out.reshape(Q_BLOCK, kh * g, dh).astype(o_ref.dtype)
+    out = out.reshape(kh, q_block, g, dh).transpose(1, 0, 2, 3)
+    o_ref[0] = out.reshape(q_block, kh * g, dh).astype(o_ref.dtype)
+
+
+def verify_q_block(t: int) -> int:
+    """Q block for a short speculative-verify chunk: the smallest
+    8-sublane multiple covering ``t`` instead of the full 128-row prefill
+    block.  A k=4 verify (t=5) otherwise pads its attention dots 25x —
+    the f32 QK^T/PV work is ~96% padding at kp1=5 (the measured
+    spec-round overhead class, .r5/spec_overhead cells).  Gated by
+    LMDEPLOY_TPU_VERIFY_QBLOCK ('0' = off -> classic 128) pending the
+    on-chip A/B; 8 sublanes is the f32 tile floor so smaller blocks
+    can't help further."""
+    import os
+    mode = os.environ.get('LMDEPLOY_TPU_VERIFY_QBLOCK', '0')
+    if mode == '0' or t >= Q_BLOCK:
+        return Q_BLOCK
+    return -(-t // 8) * 8
 
 
 def paged_prefill_attention_batched(q, k_cache, v_cache, layer, page_tables,
                                     start_pos, context_end, qparams4, *,
-                                    quantized: bool, interpret: bool = False):
+                                    quantized: bool, interpret: bool = False,
+                                    q_block: int = Q_BLOCK):
     """Prefill attention of MULTIPLE slots' chunks over the paged pool in
     one kernel — grid (slot, q-block).  The reference chunks context
     decode across all newly admitted requests in one pass
@@ -123,22 +141,22 @@ def paged_prefill_attention_batched(q, k_cache, v_cache, layer, page_tables,
     Returns [B, T, KH*G, Dh] in q.dtype.
     """
     b, t, h, dh = q.shape
-    assert t % Q_BLOCK == 0, t
+    assert t % q_block == 0, (t, q_block)
     kh = k_cache.shape[-2]
     g = h // kh
     page_size = k_cache.shape[-3]
     dp = k_cache.shape[-1]           # pool feature width (Dh/2 for int4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, t // Q_BLOCK),
+        grid=(b, t // q_block),
         in_specs=[
-            pl.BlockSpec((1, Q_BLOCK, h, dh), lambda s, i, *_: (s, i, 0, 0),
+            pl.BlockSpec((1, q_block, h, dh), lambda s, i, *_: (s, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, Q_BLOCK, h, dh),
+        out_specs=pl.BlockSpec((1, q_block, h, dh),
                                lambda s, i, *_: (s, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -150,7 +168,7 @@ def paged_prefill_attention_batched(q, k_cache, v_cache, layer, page_tables,
     kernel = functools.partial(
         _prefill_kernel, page_size=page_size, kh=kh, g=g, dh=dh,
         start_pos=None, kv_bits=kv_bits_of(k_cache.dtype, quantized),
-        scale=dh ** -0.5)
+        scale=dh ** -0.5, q_block=q_block)
     end_pos = jnp.stack([jnp.asarray(context_end, jnp.int32),
                          jnp.asarray(start_pos, jnp.int32)])  # [2, B]
     return pl.pallas_call(

@@ -255,6 +255,49 @@ def test_paged_prefill_attention_batched_multi_slot():
                                    rtol=2e-3, atol=2e-3, err_msg=f'row {i}')
 
 
+def test_paged_prefill_attention_verify_qblock8():
+    """The 8-sublane q-block (speculative-verify chunks, t = k_draft + 1
+    padded to 8 instead of 128) matches the gather reference — the
+    attention math must be q_block-invariant."""
+    from lmdeploy_tpu.ops.pallas.prefill_attention import \
+        paged_prefill_attention_batched
+
+    rng = np.random.default_rng(9)
+    DH, PAGE, MAXP, P, L, T = 128, 64, 8, 32, 2, 8
+    kh, g = 2, 2
+    h = kh * g
+    B = 2
+    kp1 = 5                                     # k_draft=4 verify rows
+    starts = np.asarray([199, 63], np.int32)    # mid-session histories
+    ends = starts + kp1
+    k_cache = jnp.asarray(rng.normal(size=(L, P, PAGE, kh, DH)), jnp.float32)
+    v_cache = jnp.asarray(rng.normal(size=(L, P, PAGE, kh, DH)), jnp.float32)
+    pts = np.full((B, MAXP), -1, np.int32)
+    used = rng.choice(P, size=MAXP * 2, replace=False)
+    for i in range(B):
+        need = max(-(-int(ends[i]) // PAGE), 1)
+        pts[i, :need] = used[i * MAXP:i * MAXP + need]
+    q = jnp.asarray(rng.normal(size=(B, T, h, DH)), jnp.float32)
+    layer = 1
+
+    got = paged_prefill_attention_batched(
+        q, k_cache, v_cache, jnp.int32(layer), jnp.asarray(pts),
+        jnp.asarray(starts), jnp.asarray(ends),
+        jnp.ones((4,), jnp.float32), quantized=False, interpret=True,
+        q_block=8)
+
+    for i in range(B):
+        kk, vv = gather_kv_layer(k_cache[layer], v_cache[layer],
+                                 jnp.asarray(pts[i])[None], None,
+                                 dtype=jnp.float32)
+        q_pos = (starts[i] + np.arange(T)).astype(np.int32)
+        want = gqa_attention(q[i][None], kk, vv, jnp.asarray(q_pos)[None],
+                             jnp.asarray([ends[i]]))[0]
+        np.testing.assert_allclose(np.asarray(got)[i, :kp1],
+                                   np.asarray(want)[:kp1],
+                                   rtol=2e-3, atol=2e-3, err_msg=f'row {i}')
+
+
 @pytest.mark.parametrize('quantized,rotary', [(False, 128), (True, 128),
                                               (False, 64)])
 def test_fused_rope_write_attend_matches_unfused(quantized, rotary):
