@@ -38,7 +38,7 @@ def main():
     from lmdeploy_tpu.engine.engine import TPUEngine
     from lmdeploy_tpu.messages import GenerationConfig
 
-    spec_k = {'greedy_k1': 1, 'greedy_k2': 2, 'greedy_k4': 4,
+    spec_k = {'greedy_k1': 1, 'greedy_k2': 2, 'greedy_k3': 3, 'greedy_k4': 4,
               'sampled_k4': 4, 'nodraft_k4': 4}.get(CELL, 0)
     if CELL == 'nodraft_k4':
         # patch BEFORE the engine compiles: step.py resolves
