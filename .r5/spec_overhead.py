@@ -39,7 +39,24 @@ def main():
     from lmdeploy_tpu.messages import GenerationConfig
 
     spec_k = {'greedy_k1': 1, 'greedy_k2': 2, 'greedy_k3': 3, 'greedy_k4': 4,
-              'sampled_k4': 4, 'nodraft_k4': 4}.get(CELL, 0)
+              'sampled_k4': 4, 'nodraft_k4': 4,
+              'nokv_k1': 1, 'nokv_k4': 4}.get(CELL, 0)
+    if CELL.startswith('nokv'):
+        # diagnostic: is the verify-path KV pool scatter (B*T rows via
+        # page-table indirection, 2 scatters x 32 layers per round) the
+        # per-verify-row slope?  Skip the T>1 write (T==1 plain/fused
+        # rounds unaffected; attention reads stale KV — WRONG TOKENS,
+        # timing-only evidence: ms_per_round keeps its meaning).
+        import lmdeploy_tpu.models.llama as _lm
+        _real_write = _lm.write_kv
+
+        def _skip_big_write(cache_k, cache_v, layer, k_new, v_new,
+                            positions, page_table, valid, qparams=None):
+            if k_new.shape[1] > 1:
+                return cache_k, cache_v
+            return _real_write(cache_k, cache_v, layer, k_new, v_new,
+                               positions, page_table, valid, qparams)
+        _lm.write_kv = _skip_big_write
     if CELL == 'nodraft_k4':
         # patch BEFORE the engine compiles: step.py resolves
         # ngram_propose at call time from the ops module
@@ -59,6 +76,13 @@ def main():
                         speculative_k=spec_k)
     params = bench.random_int4_params(cfg, jax.random.PRNGKey(0))
     eng = TPUEngine(cfg, ecfg, params)
+    if spec_k > 0:
+        # pin the adaptive acceptance gate OFF: low-acceptance cells
+        # (nodraft / sampled on random weights) otherwise cool off to
+        # PLAIN rounds mid-measurement and corrupt ms_per_round (the
+        # first nodraft/sampled runs: 11 fallbacks, accept 4.68 "per
+        # round" — plain-round tokens folded in)
+        eng.SPEC_MIN_ACCEPT = -1.0
     del params
     import gc
     gc.collect()
