@@ -106,16 +106,29 @@ def verify_q_block(t: int) -> int:
     """Q block for a short speculative-verify chunk: the smallest
     8-sublane multiple covering ``t`` instead of the full 128-row prefill
     block.  A k=4 verify (t=5) otherwise pads its attention dots 25x —
-    the f32 QK^T/PV work is ~96% padding at kp1=5 (the measured
-    spec-round overhead class, .r5/spec_overhead cells).  Gated by
-    LMDEPLOY_TPU_VERIFY_QBLOCK ('0' = off -> classic 128) pending the
-    on-chip A/B; 8 sublanes is the f32 tile floor so smaller blocks
-    can't help further."""
+    the f32 QK^T/PV work is ~96% padding at kp1=5.
+
+    DEFAULT ON — measured A/B on chip (v5e, .r5/spec_overhead cells,
+    2026-08-20): greedy k=4 verify rounds drop 15.64 -> 10.82 ms
+    (189.6 -> 274.1 tok/s bs1 — above the reference's 206.4 baseline);
+    parity vs the gather reference in
+    tests/test_pallas.py::test_paged_prefill_attention_verify_qblock8.
+    LMDEPLOY_TPU_VERIFY_QBLOCK=0 (or 128) restores the classic 128-row
+    block; any other multiple of 8 sets the sublane cover explicitly.
+    8 sublanes is the f32 tile floor so smaller blocks can't help
+    further."""
     import os
-    mode = os.environ.get('LMDEPLOY_TPU_VERIFY_QBLOCK', '0')
-    if mode == '0' or t >= Q_BLOCK:
+    mode = os.environ.get('LMDEPLOY_TPU_VERIFY_QBLOCK', 'auto')
+    if t >= Q_BLOCK:
         return Q_BLOCK
-    return -(-t // 8) * 8
+    if mode in ('auto', ''):
+        step = 8
+    else:
+        step = int(mode)
+        if step <= 0 or step >= Q_BLOCK:
+            return Q_BLOCK
+        step = max(8, -(-step // 8) * 8)
+    return -(-t // step) * step
 
 
 def paged_prefill_attention_batched(q, k_cache, v_cache, layer, page_tables,
