@@ -300,14 +300,17 @@ def _packed_prefill_kernel() -> bool:
     """Large-M (prefill) regime of the packed path: 1 = the M-blocked
     Pallas kernel (one true-4-bit weight pass, MXU-bound), 0 = XLA
     unpack-to-bf16 + plain dot (the weight materializes at ~4.5
-    bytes/value of traffic per chunk — the measured ~2230 tok/s
-    prefill).  Default OFF: the only on-chip A/B so far ran in a
-    degraded-chip window (kernel arm 9.7 s/prompt WITH a backend error
-    mid-run; control arm's requests failed instantly) and an unmeasured
-    default flip must not risk the known-good prefill path — re-run
-    .r4/prefill_tput.py both arms on a healthy chip before flipping."""
+    bytes/value of traffic per chunk).
+
+    DEFAULT ON — healthy-chip A/B (v5e, .r5/prefill_tput, 2026-08-20,
+    512-token bucket, 500-token prompts, 3 repeats, zero fails):
+    kernel 4026.8 tok/s vs XLA 2156.1 (1.87x), and the r4 scoped-VMEM
+    compile OOM is fixed by the M-grid budget model + bm-halving tile
+    choice (quant_matmul._auto_block_n/_choose_tiles, unit-tested
+    against the known-OOM [512, 12288] shape).  Override:
+    LMDEPLOY_TPU_PACKED_PREFILL=0 restores the XLA path."""
     import os
-    return os.environ.get('LMDEPLOY_TPU_PACKED_PREFILL', '0') == '1'
+    return os.environ.get('LMDEPLOY_TPU_PACKED_PREFILL', '1') == '1'
 
 
 def quant_matmul_packed(x2: jnp.ndarray, pw: PackedInt4Weight, layer,
