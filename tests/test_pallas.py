@@ -255,6 +255,29 @@ def test_paged_prefill_attention_batched_multi_slot():
                                    rtol=2e-3, atol=2e-3, err_msg=f'row {i}')
 
 
+def test_verify_q_block_default_small(monkeypatch):
+    """The speculative-verify q block defaults to the smallest 8-sublane
+    cover (measured 15.64 -> 10.82 ms/round on chip, .r5/spec_overhead);
+    '0' or '128' restores the classic prefill block, numeric values pick
+    an explicit sublane multiple."""
+    from lmdeploy_tpu.ops.pallas.prefill_attention import (Q_BLOCK,
+                                                           verify_q_block)
+
+    monkeypatch.delenv('LMDEPLOY_TPU_VERIFY_QBLOCK', raising=False)
+    assert verify_q_block(5) == 8          # kp1=5 -> one 8-row sublane
+    assert verify_q_block(2) == 8
+    assert verify_q_block(9) == 16
+    assert verify_q_block(Q_BLOCK) == Q_BLOCK
+    assert verify_q_block(300) == Q_BLOCK  # long chunks keep the classic
+    monkeypatch.setenv('LMDEPLOY_TPU_VERIFY_QBLOCK', '0')
+    assert verify_q_block(5) == Q_BLOCK    # opt-out
+    monkeypatch.setenv('LMDEPLOY_TPU_VERIFY_QBLOCK', '128')
+    assert verify_q_block(5) == Q_BLOCK
+    monkeypatch.setenv('LMDEPLOY_TPU_VERIFY_QBLOCK', '16')
+    assert verify_q_block(5) == 16
+    assert verify_q_block(17) == 32
+
+
 def test_paged_prefill_attention_verify_qblock8():
     """The 8-sublane q-block (speculative-verify chunks, t = k_draft + 1
     padded to 8 instead of 128) matches the gather reference — the
