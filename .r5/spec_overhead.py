@@ -40,7 +40,8 @@ def main():
 
     spec_k = {'greedy_k1': 1, 'greedy_k2': 2, 'greedy_k3': 3, 'greedy_k4': 4,
               'sampled_k4': 4, 'nodraft_k4': 4,
-              'nokv_k1': 1, 'nokv_k4': 4}.get(CELL, 0)
+              'nokv_k1': 1, 'nokv_k4': 4,
+              'greedy_k4_min0': 4, 'greedy_k4_dot': 4}.get(CELL, 0)
     if CELL.startswith('nokv'):
         # diagnostic: is the verify-path KV pool scatter (B*T rows via
         # page-table indirection, 2 scatters x 32 layers per round) the
@@ -73,7 +74,12 @@ def main():
     ecfg = EngineConfig(max_batch_size=2, session_len=1024, page_size=64,
                         num_pages=24, max_context_token_num=512,
                         prefill_buckets=(64, 512), step_length=64,
-                        speculative_k=spec_k)
+                        speculative_k=spec_k,
+                        # min0 cell: disable the shorter-suffix cascade
+                        # (one match pass instead of two) to tell pass-
+                        # count-proportional ngram cost from fixed cost
+                        speculative_ngram_min=(
+                            0 if CELL.endswith('_min0') else 2))
     params = bench.random_int4_params(cfg, jax.random.PRNGKey(0))
     eng = TPUEngine(cfg, ecfg, params)
     if spec_k > 0:

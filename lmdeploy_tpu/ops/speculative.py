@@ -15,6 +15,23 @@ import jax
 import jax.numpy as jnp
 
 
+def _hist_gather(history, idx):
+    """``take_along_axis`` over [B, S] token histories.  With
+    LMDEPLOY_TPU_NGRAM_DOT=1 it lowers as a one-hot f32 einsum (MXU dot)
+    instead of a gather — dynamic gathers over [B, S] are the
+    serial-loop class on this TPU runtime, and these run once per
+    speculative round inside the scan (A/B cell
+    .r5/spec_overhead:greedy_k4_dot).  Token ids < 2^24 are exact in
+    f32."""
+    import os
+    if os.environ.get('LMDEPLOY_TPU_NGRAM_DOT', '0') != '1':
+        return jnp.take_along_axis(history, idx, axis=1)
+    s = history.shape[1]
+    oh = jax.nn.one_hot(idx, s, dtype=jnp.float32)        # [B, n, S]
+    out = jnp.einsum('bns,bs->bn', oh, history.astype(jnp.float32))
+    return out.astype(history.dtype)
+
+
 def _ngram_match_pos(history, history_len, ngram: int):
     """Most recent position whose preceding ``ngram`` tokens equal the
     current suffix; -1 where none.  Returns int32 [B]."""
@@ -23,7 +40,7 @@ def _ngram_match_pos(history, history_len, ngram: int):
 
     # suffix[b, t] = history[b, hl - ngram + t]
     suf_idx = history_len[:, None] - ngram + jnp.arange(ngram)[None]
-    suffix = jnp.take_along_axis(history, jnp.maximum(suf_idx, 0), axis=1)
+    suffix = _hist_gather(history, jnp.maximum(suf_idx, 0))
 
     # match[b, j] = history[b, j-ngram : j] == suffix  (candidate start j).
     # Each comparison row is a STATIC right-shift of the history — a
@@ -83,7 +100,7 @@ def ngram_propose(history: jnp.ndarray, history_len: jnp.ndarray,
 
     draft_idx = j[:, None] + jnp.arange(k)[None]                # [B, k]
     draft_idx = jnp.minimum(draft_idx, s - 1)
-    draft = jnp.take_along_axis(history, draft_idx, axis=1)
+    draft = _hist_gather(history, draft_idx)
     # tokens at/after history_len are stale — zero them (rejected wlog)
     ok = has[:, None] & (j[:, None] + jnp.arange(k)[None]
                          < history_len[:, None])
