@@ -41,7 +41,17 @@ def main():
     spec_k = {'greedy_k1': 1, 'greedy_k2': 2, 'greedy_k3': 3, 'greedy_k4': 4,
               'sampled_k4': 4, 'nodraft_k4': 4,
               'nokv_k1': 1, 'nokv_k4': 4,
-              'greedy_k4_min0': 4, 'greedy_k4_dot': 4}.get(CELL, 0)
+              'greedy_k4_min0': 4, 'greedy_k4_dot': 4,
+              'cand_k4': 4}.get(CELL, 0)
+    if CELL == 'cand_k4':
+        # greedy WORKLOAD on the 'candidates' verify pipeline (patch the
+        # all-greedy mode pick): same acceptance/dispatch profile as
+        # greedy_k4, different verify formulation — discriminates "raw
+        # argmax derails the schedule" (the plain-path dead-end class)
+        # from "ngram lookup costs 1.8ms".  Token stream stays identical
+        # (top_k==1 candidates are a point mass on the argmax).
+        import lmdeploy_tpu.engine.engine as eng_mod
+        eng_mod._all_plain_greedy = lambda cfgs: False
     if CELL.startswith('nokv'):
         # diagnostic: is the verify-path KV pool scatter (B*T rows via
         # page-table indirection, 2 scatters x 32 layers per round) the
